@@ -1,0 +1,284 @@
+"""Aggregation depth: distinct counts, rollup/cube/grouping sets,
+order statistics, and 2-D binning (SURVEY.md §2.2 aggregation rows).
+
+All of these compile to partial (map-side) + final hash aggregates —
+the only data crossing the wire is one pre-aggregated row per
+(partition, group), which is what makes them 100 TB-safe. The approx
+variants (HLL distinct) exist precisely for the scale path where exact
+distinct would shuffle every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+        l_returnflag,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_suppliers,
+        count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct: Spark expands this to the
+    two-phase expand+aggregate plan automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — THE scale path for distinct at 100 TB
+    (constant memory per group, no key shuffle). Not oracle-comparable
+    (sketch algorithms differ per engine) → rows-only check; the unit
+    test asserts ≤2% relative error vs exact instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        round(sum(l_quantity), 2)     AS sum_qty,
+        count(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (per-flag×status, per-flag, grand total) —
+    the per-hero × per-bracket × overall shape (README.md:27).
+    NULL grouping slots are coalesced to 'ALL' on both sides so the
+    value hash is unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT
+        coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+        coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        count(*)                         AS n,
+        round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over status×priority (all 4 grouping combinations in
+    one pass via Expand)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        coalesce(c_mktsegment, 'ALL') AS segment,
+        coalesce(n_name, 'ALL')       AS nation,
+        count(*)                      AS n,
+        round(sum(c_acctbal), 2)      AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    ORDER BY segment, nation
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-segment and per-nation totals in a
+    single Expand pass (no double scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("_gs_cust_nation")
+    return spark.sql(
+        """
+        SELECT
+            coalesce(c_mktsegment, 'ALL') AS segment,
+            coalesce(n_name, 'ALL')       AS nation,
+            count(*)                      AS n,
+            round(sum(c_acctbal), 2)      AS total_bal
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        ORDER BY segment, nation
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        round(avg(o_totalprice), 6)         AS avg_price,
+        round(stddev_samp(o_totalprice), 4) AS std_price,
+        round(min(o_totalprice), 2)         AS min_price,
+        round(max(o_totalprice), 2)         AS max_price,
+        count(*)                            AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments per group (gold/XP-distribution analogue,
+    README.md:32)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    `quantile_cont`, both linear interpolation). At 100 TB you'd switch
+    to `approx_percentile` (t-digest-style, no sort) — exposed here as
+    the exact baseline the approx path is validated against."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_heatmap_bins",
+    oracle="""
+    SELECT
+        CAST(floor(value / 50) AS BIGINT) AS value_bin,
+        CAST(hour(ts) AS BIGINT)          AS hour_bin,
+        count(*)                          AS n,
+        round(sum(value), 2)              AS sum_value
+    FROM events
+    GROUP BY value_bin, hour_bin
+    ORDER BY value_bin, hour_bin
+    """,
+)
+def agg_heatmap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binning grid (movement-heatmap analogue, README.md:36):
+    floor-binned value × hour-of-day. Pure hash aggregate on derived
+    keys — the canonical heatmap shape at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 50).cast("long").alias("value_bin"),
+            F.hour("ts").cast("long").alias("hour_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("value_bin", "hour_bin")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY spend DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) + top-k of heavy customers."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(25)
+    )

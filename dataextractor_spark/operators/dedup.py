@@ -1,0 +1,313 @@
+"""Deduplication over the documents corpus (Tier C, SURVEY.md §2.3):
+exact, token-set Jaccard, MinHash-LSH, and SimHash.
+
+Scale design: exact dedup is a hash groupBy (one shuffle on the
+content hash). Near-dup is where naive plans die at 100 TB — the
+oracled Jaccard query uses the inverted-index (explode + token join)
+shape with language blocking, and the MinHash/SimHash variants show
+the sketch+banding path where candidate generation is O(n) + bucket
+joins instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+_N_PERM = 32  # MinHash permutations
+_BANDS = 8  # → 4 rows per band; P(candidate) = 1-(1-j^4)^8
+
+
+def _tokens(col: str = "text") -> F.Column:
+    """Distinct word tokens (the shingle unit for this corpus)."""
+    return F.array_distinct(F.split(F.col(col), " "))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT
+        count(*)                            AS n_docs,
+        count(DISTINCT md5(text))           AS n_unique,
+        count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection by content hash — a partial-agg
+    distinct on md5(text), ONE shuffle of 128-bit digests (never the
+    documents themselves). This is the 100 TB-safe shape: bytes moved
+    scale with |corpus| × 16B, not document size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle="""
+    SELECT lang, source,
+           min(doc_id)  AS canonical_doc,
+           count(*)     AS n_members,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative pick per duplicate group (keep lowest
+    doc_id) — the keep-first half of dedup, as a deterministic
+    aggregate rather than a dropDuplicates whose survivor is
+    partition-order dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(
+               len(list_intersect(a.toks, b.toks))::DOUBLE
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+               6
+           ) AS jaccard
+    FROM tok a
+    JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(
+              len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+              6
+          ) >= 0.95
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-duplicates (threshold 0.95), language-
+    blocked, via the INVERTED-INDEX plan: explode distinct tokens,
+    self-join on (lang, token) to count shared tokens per pair, then
+    |A∩B| / (|A|+|B|-|A∩B|).
+
+    This never materializes the O(n²) pair matrix — only pairs sharing
+    ≥1 token appear, proportional to Σ df(token)². At 100 TB you
+    additionally drop ultra-high-df tokens (they can't separate
+    near-dups but dominate the join) — the classic skew guard.
+    The oracle is the direct all-pairs definition, so this also proves
+    the inverted-index rewrite equivalent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", _tokens().alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    ex = tok.select("doc_id", "lang", "n_toks", F.explode("toks").alias("t"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_toks").alias("na"),
+        "t",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_toks").alias("nb"),
+        "t",
+    )
+    shared = (
+        a.join(b, (a.t == b.t) & (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jaccard = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_shared")),
+        6,
+    )
+    return (
+        shared.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.95)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_minhash_lsh")  # sketch-based → rows-only; validated in tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (shingle → minhash →
+    band → bucket-join), entirely in Catalyst expressions.
+
+    Signature: for permutation i, sig_i = min over tokens of
+    xxhash64(token, i) — 32 perms via a higher-order transform (no
+    Python, no UDF). Banding: 8 bands × 4 rows; docs sharing any
+    band hash become candidates (≈ Jaccard ≥ 0.8 sweet spot for this
+    b/r). Candidates are verified with the estimated signature
+    agreement. At 100 TB: candidate generation is a bucket groupBy —
+    O(n) shuffle of (band, hash) keys, never pairwise.
+
+    tests/test_dedup.py checks candidates ⊇ true pairs found by the
+    exact dedup_jaccard_pairs at its threshold (recall) — the
+    sketch-vs-exact contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    perms = F.sequence(F.lit(0), F.lit(_N_PERM - 1))
+    sig = F.transform(
+        perms,
+        lambda i: F.array_min(
+            F.transform(_tokens(), lambda t: F.xxhash64(t, i))
+        ),
+    )
+    docs = d.select("doc_id", "lang", sig.alias("sig"))
+    rows_per_band = _N_PERM // _BANDS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bhash"),
+        ),
+    )
+    banded = docs.withColumn("b", F.explode(bands)).select(
+        "doc_id", "lang", "sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+    lhs = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "bhash",
+    )
+    rhs = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "bhash",
+    )
+    cand = (
+        lhs.join(
+            rhs,
+            (lhs.band == rhs.band)
+            & (lhs.bhash == rhs.bhash)
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / _N_PERM
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")  # bit-sketch → rows-only; hamming checked in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) fingerprints + near-dup candidates by Hamming
+    distance ≤ 6, banded on 4×16-bit chunks.
+
+    Fingerprint: per token h = xxhash64(token); bit b of the simhash is
+    the sign of Σ_tokens (±1 by bit b of h) — computed as 64 vectorized
+    conditional sums in ONE aggregate pass (no per-row Python).
+    Candidate pairing joins on any equal 16-bit chunk (pigeonhole: a
+    pair within Hamming 3 shares ≥1 exact chunk; ≤6 needs 2-chunk OR
+    which this approximates), then exact Hamming via bit_count(xor).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id", "lang").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        "lang",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0)
+                * F.lit(2**b).cast("long")
+                for b in range(63)  # bit 63 kept 0 to stay in signed range
+            ]
+        ).alias("simhash"),
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sim.withColumn("c", F.explode(chunks)).select(
+        "doc_id", "lang", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cval").alias("cval")
+    )
+    lhs = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("simhash").alias("sh_a"),
+        "chunk",
+        "cval",
+    )
+    rhs = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sh_b"),
+        "chunk",
+        "cval",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        lhs.join(
+            rhs,
+            (lhs.chunk == rhs.chunk)
+            & (lhs.cval == rhs.cval)
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )

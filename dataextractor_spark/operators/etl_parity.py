@@ -1,0 +1,222 @@
+"""Tier-A parity operators — the reference's actual ETL transforms
+re-expressed as declarative Spark plans (SURVEY.md §2.1).
+
+Each query cites the reference behavior it reproduces. The reusable
+implementations live in dataextractor_spark.etl.normalize; these
+registry entries demonstrate them on the driver tables.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.etl.normalize import flatten_array_column, unpivot_dict
+from dataextractor_spark.registry import query
+
+# The reference's constants dicts (opendotaapi.py:125-183) are {id: name}
+# maps unpivoted to 2-column dims (FIXTURES.md §2b). Same shape, inline:
+LOBBY_TYPES: dict[str, str] = {
+    "0": "lobby_type_unranked",
+    "1": "lobby_type_practice",
+    "2": "lobby_type_tournament",
+    "4": "lobby_type_coop_bots",
+    "5": "lobby_type_ranked_team",
+    "6": "lobby_type_ranked_solo",
+    "7": "lobby_type_ranked",
+    "8": "lobby_type_1v1_mid",
+}
+
+
+@query(
+    "etl_flatten_array",
+    oracle="""
+    SELECT
+        vec_id,
+        round(embedding[1]::DOUBLE, 5) AS emb_1,
+        round(embedding[2]::DOUBLE, 5) AS emb_2,
+        round(embedding[3]::DOUBLE, 5) AS emb_3,
+        round(embedding[4]::DOUBLE, 5) AS emb_4,
+        round(embedding[5]::DOUBLE, 5) AS emb_5,
+        label
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def etl_flatten_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 parity: fixed-width array → positional columns, source
+    array dropped (radiant_team[i] → radiant_hero_{i+1},
+    opendotaapi.py:105-112). Pure projection — narrow, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = flatten_array_column(e, "embedding", "emb", 5, cast="double", round_to=5)
+    return flat.select("vec_id", *[f"emb_{i}" for i in range(1, 6)], "label").orderBy(
+        "vec_id"
+    )
+
+
+@query(
+    "etl_dict_unpivot",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('0', 'lobby_type_unranked'),
+        ('1', 'lobby_type_practice'),
+        ('2', 'lobby_type_tournament'),
+        ('4', 'lobby_type_coop_bots'),
+        ('5', 'lobby_type_ranked_team'),
+        ('6', 'lobby_type_ranked_solo'),
+        ('7', 'lobby_type_ranked'),
+        ('8', 'lobby_type_1v1_mid')
+    ) AS t(lobby_id, name)
+    ORDER BY lobby_id
+    """,
+)
+def etl_dict_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 parity: {id: name} constants map → 2-column dimension table
+    with string keys (opendotaapi.py:136; FIXTURES.md §2b). Dimension
+    is driver-built and broadcast-able — exactly how a 100 TB job
+    should treat a bounded domain table."""
+    return unpivot_dict(spark, LOBBY_TYPES, key_col="lobby_id", value_col="name").orderBy(
+        "lobby_id"
+    )
+
+
+@query(
+    "etl_epoch_tz",
+    oracle="""
+    SELECT
+        strftime(ts - INTERVAL 3 HOUR, '%Y-%m-%d') AS dt_local,
+        count(*)             AS n,
+        round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY dt_local
+    ORDER BY dt_local
+    """,
+)
+def etl_epoch_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 parity: UTC event time → America/Sao_Paulo local date,
+    used as the partition key (opendotaapi.py:114-116 converts epoch →
+    São Paulo and date-stamps the output file).
+
+    Spark side uses the real timezone conversion
+    (from_utc_timestamp); the oracle uses the fixed -3h offset, which
+    is exact for 2024 data (Brazil abolished DST in 2019)."""
+    e = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Sao_Paulo")
+    return (
+        e.groupBy(F.date_format(local, "yyyy-MM-dd").alias("dt_local"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("dt_local")
+    )
+
+
+@query(
+    "etl_epoch_roundtrip",
+    oracle="""
+    SELECT
+        CAST(floor(epoch(ts)) AS BIGINT)                             AS epoch_s,
+        strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AT TIME ZONE 'UTC',
+                 '%Y-%m-%d %H:%M:%S')                         AS ts_rt,
+        event_id
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def etl_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 parity (inverse direction): timestamp → unix epoch seconds →
+    timestamp, the datetime.fromtimestamp round-trip
+    (opendotaapi.py:115) as vectorized expressions."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts").alias("epoch_s")
+    return (
+        e.filter(F.col("event_id") < 200)
+        .select(
+            epoch_s,
+            F.date_format(
+                F.timestamp_seconds(F.unix_timestamp("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("ts_rt"),
+            "event_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "etl_json_normalize",
+    oracle="""
+    SELECT
+        CAST(CAST(props->>'$.k' AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+        count(*)                                           AS n,
+        count(DISTINCT event_type)                         AS n_types
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def etl_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 parity: semi-structured JSON string → typed columns via an
+    explicit schema (from_json), not sampled inference — fixing the
+    reference's infer_schema_length=1000 hazard
+    (extract-data-dota.py:85-110; SURVEY.md §1.3)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("props_s", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy((F.col("props_s.k") % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "etl_partitioned_sink",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           count(*)                         AS n,
+           round(sum(l_quantity), 2)        AS sum_qty
+    FROM lineitem
+    WHERE year(l_shipdate) IN (1996, 1997)
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+)
+def etl_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A16/A17/A18 parity: date-derived partitioned Parquet sink +
+    partition-pruned read-back.
+
+    The reference encodes the date into a filename and then overwrites
+    a fixed S3 key anyway (opendotaapi.py:116 vs
+    extract-data-dota.py:131 — the partitioning is lost); we do it
+    properly: write.partitionBy(ship_year) in overwrite mode (the
+    idempotent full-load semantics of A18), then read back with a
+    partition filter which prunes directories, never touching other
+    years' files. Same plan shape works on s3a:// unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.gettempdir(), "dataextractor_spark_partsink")
+    (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("ship_year").isin(1996, 1997))
+    return (
+        back.groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("ship_year")
+        # partition column comes back as the partition's inferred type;
+        # normalize to long to match the oracle schema exactly
+        .select(F.col("ship_year").cast("long").alias("ship_year"), "n", "sum_qty")
+    )

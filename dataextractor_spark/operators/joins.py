@@ -1,0 +1,266 @@
+"""Join operators: equi (broadcast + shuffle), semi/anti, theta/range,
+as-of, and self-join pairs (SURVEY.md §2.2 join rows).
+
+The reference never joins (its analytics are README promises only —
+README.md:21-36), so these are Tier-B capability operators expressed
+as idiomatic Catalyst plans:
+
+- fact↔fact joins shuffle on the join key (sort-merge, AQE may convert
+  to broadcast when one side is small at runtime);
+- bounded dims (nation/region, the constants-dict analogues) carry a
+  broadcast hint from the catalog so a 100 TB fact table never
+  shuffles for them;
+- the as-of join is expressed as range-join + max_by aggregation — at
+  cluster scale you'd pre-bucket both sides on the equi key to make
+  the range portion partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+
+@query(
+    "join_star_revenue",
+    oracle="""
+    SELECT
+        r_name,
+        n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: two fact-side shuffle joins + two broadcast dim
+    joins, revenue rollup by region/nation.
+
+    Shuffle budget: lineitem⋈orders shuffles both on orderkey,
+    ⋈customer shuffles on custkey; nation/region are broadcast
+    (catalog hint) so they add zero shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")  # broadcast via catalog
+    r = load_table(spark, sf_dir, "region")  # broadcast via catalog
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-only broadcast join chain — zero shuffles before the final
+    5-group aggregate; the physical plan is scan → BHJ → BHJ → partial
+    agg → exchange(5 groups) → final agg."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 order. Semi joins
+    never duplicate the left side, so the agg input stays |customer|."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with zero orders, by
+    nation (broadcast dim)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_theta_size_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0, 15), ('medium', 16, 35), ('large', 36, 100)
+    )
+    SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+    FROM part JOIN bands ON p_size BETWEEN lo AND hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_theta_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny banding table (the reference's
+    skill-bracket idea, README.md:27). The band table is 3 rows →
+    broadcast nested-loop join, which is the right physical plan: the
+    big side streams through once, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0, 15), ("medium", 16, 35), ("large", 36, 100)],
+            "band string, lo int, hi int",
+        )
+    )
+    return (
+        p.join(bands, F.col("p_size").between(F.col("lo"), F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "join_asof_latest_order",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           max(o.o_orderdate) AS asof_orderdate
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the latest order of that user
+    at event time (match-event-vs-nearest-patch shape, SURVEY.md §2.2).
+
+    Spark has no native ASOF JOIN; we express it as an equi+range join
+    followed by a max aggregation — the range part is evaluated inside
+    the equi-join's sort-merge, so the shuffle is only on the user key.
+    At 100 TB you additionally bucket both sides on the key so the
+    as-of resolution is partition-local. DuckDB oracle is the
+    equivalent greatest-lower-bound aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        e.join(
+            o,
+            (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.max("o_orderdate").alias("asof_orderdate"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "join_selfpair_parts",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def join_selfpair_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join co-occurrence pairs (hero-pair efficiency analogue,
+    README.md:26): parts appearing together in the same order.
+
+    The self-join shuffles lineitem once on orderkey (both sides share
+    the exchange under AQE reuse); the `<` predicate halves the pair
+    space. Pair cardinality is bounded by Σ k_i² over orders, not by
+    |lineitem|² — safe at scale because orders have bounded line counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )

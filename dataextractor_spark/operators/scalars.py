@@ -1,0 +1,208 @@
+"""Scalar function coverage: string, date/time, math, array-lambda,
+and JSON functions (SURVEY.md §2.2 scalar rows).
+
+Everything here is a built-in `pyspark.sql.functions` expression —
+JVM-side, inside whole-stage codegen, zero Python in the hot path.
+This is the engine's answer to the reference's row-at-a-time Python
+record munging (opendotaapi.py:105-112): the same transforms as
+vectorized columnar expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+        p_partkey,
+        upper(p_brand)                                   AS brand_u,
+        lower(substring(p_type, 1, 6))                   AS type_prefix,
+        length(p_name)                                   AS name_len,
+        len(string_split(p_name, ' '))                   AS n_words,
+        string_split(p_name, ' ')[1]                     AS first_word,
+        regexp_extract(p_name, '([a-z]+)', 1)            AS first_alpha,
+        concat_ws('|', p_brand, trim(p_type))            AS brand_type,
+        replace(p_brand, '#', '_')                       AS brand_clean
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery: case, substring, split, regexp_extract,
+    concat_ws, replace — the name-cleanup/key-parsing tier (A11 keys
+    are strings, SURVEY.md §2.2)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower(F.substring("p_type", 1, 6)).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha"),
+            F.concat_ws("|", F.col("p_brand"), F.trim(F.col("p_type"))).alias(
+                "brand_type"
+            ),
+            F.replace(F.col("p_brand"), F.lit("#"), F.lit("_")).alias("brand_clean"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+        CAST(year(o_orderdate) AS BIGINT)    AS yr,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        strftime(date_trunc('month', min(o_orderdate)), '%Y-%m-%d') AS first_month,
+        max(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS max_age_days,
+        count(*) AS n
+    FROM orders
+    GROUP BY yr, qtr
+    ORDER BY yr, qtr
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: year/quarter extraction, date_trunc,
+    datediff, date_format — the A7/A8 timestamp tier on relational
+    data."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.date_format(
+                F.date_trunc("month", F.min("o_orderdate")), "yyyy-MM-dd"
+            ).alias("first_month"),
+            F.max(
+                F.datediff(
+                    F.lit("2002-01-01 00:00:00").cast("timestamp"),
+                    F.col("o_orderdate"),
+                )
+            ).alias("max_age_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue,
+        round(sum(abs(l_discount - 0.05)), 4)                  AS tot_disc_dev,
+        round(avg(sqrt(l_quantity)), 6)                        AS avg_sqrt_qty,
+        round(avg(ln(l_extendedprice)), 6)                     AS avg_ln_price,
+        round(sum(pow(l_tax, 2)), 6)                           AS sum_tax_sq,
+        CAST(sum(CAST(l_linenumber AS BIGINT) % 2) AS BIGINT)  AS n_odd_lines,
+        round(max(greatest(l_discount, l_tax)), 2)             AS max_rate
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: abs/sqrt/ln/pow/mod/greatest under aggregation
+    (rates & ratios tier — win-rate arithmetic analogue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("tot_disc_dev"),
+            F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+            F.round(F.avg(F.log("l_extendedprice")), 6).alias("avg_ln_price"),
+            F.round(F.sum(F.pow("l_tax", F.lit(2))), 6).alias("sum_tax_sq"),
+            F.sum(F.col("l_linenumber").cast("long") % 2)
+            .cast("long")
+            .alias("n_odd_lines"),
+            F.round(F.max(F.greatest("l_discount", "l_tax")), 2).alias("max_rate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+        label,
+        count(*)                                                          AS n_vecs,
+        CAST(min(len(embedding)) AS BIGINT)                               AS min_dim,
+        round(avg(embedding[1]::DOUBLE), 6)                               AS avg_first,
+        round(avg(len(list_filter(embedding, x -> x > 0))), 6)            AS avg_n_pos,
+        round(avg(list_sum(list_transform(embedding, x -> x::DOUBLE))), 6) AS avg_sum
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambda battery over the embedding column: element_at,
+    size, filter, transform, aggregate (the A5 array tier generalized
+    to higher-order functions)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.size("embedding")).cast("long").alias("min_dim"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias(
+                "avg_first"
+            ),
+            F.round(
+                F.avg(F.size(F.filter(F.col("embedding"), lambda x: x > 0))), 6
+            ).alias("avg_n_pos"),
+            F.round(
+                F.avg(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x)), 6
+            ).alias("avg_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT
+        event_type,
+        count(*)                                              AS n,
+        round(avg(CAST(props->>'$.k' AS BIGINT)), 6)          AS avg_k,
+        CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)    AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the semi-structured props column
+    (A13's raw-JSON payload tier): get_json_object path lookup with a
+    typed cast, aggregated per event type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

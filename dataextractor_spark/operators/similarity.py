@@ -1,0 +1,221 @@
+"""Vector similarity search over the embeddings table (Tier C,
+SURVEY.md §2.3; top-k literature in PAPERS.md).
+
+Three tiers, mirroring how a 100 TB vector corpus is actually served:
+1. exact brute-force top-k — the correctness baseline (oracled);
+2. multi-query batched top-k — broadcast the query set, one pass over
+   the corpus, per-query heaps via window ranking (oracled);
+3. LSH-bucketed ANN — random-hyperplane signatures prune the corpus to
+   one bucket per query; recall measured against tier 1 in tests
+   (approximate → rows-only check).
+
+All distance math is Catalyst expressions (functions.vector) — no
+Python in the scan loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.functions.vector import cosine_similarity
+from dataextractor_spark.registry import query
+
+#: fixed random hyperplanes for sign-LSH (seeded — deterministic across
+#: runs and engines). 8 planes → 256 buckets: sized so buckets stay
+#: non-trivially occupied at test scale (500-2k vectors); at corpus
+#: scale you'd raise planes ∝ log2(n) to keep Σ|bucket|² bounded.
+_N_PLANES = 8
+_DIM = 64
+_PLANES: list[list[float]] = (
+    np.random.RandomState(42).normal(size=(_N_PLANES, _DIM)).round(6).tolist()
+)
+
+
+def _planes_literal() -> F.Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in plane]) for plane in _PLANES]
+    )
+
+
+def lsh_bucket(emb_col: str = "embedding") -> F.Column:
+    """Sign-LSH bucket id: bit b = [embedding · plane_b > 0], packed to
+    a long. Pure zip_with/aggregate expressions — executes in codegen."""
+    emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    bits = F.transform(
+        _planes_literal(),
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(emb_d, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    ).alias("bucket")
+
+
+@query(
+    "sim_topk_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 5) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for one query vector.
+
+    The query vector is broadcast (1-row cross join); the corpus is
+    scanned once; orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k heaps + driver merge — no global sort). This
+    exact scan is the baseline ANN variants are measured against.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_knn_batch",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN: 5 query vectors × corpus in ONE corpus scan —
+    broadcast the query set, score every (query, vector) pair, then a
+    per-query window top-k. This is the distributed shape for serving
+    a query batch over a sharded 100 TB corpus: corpus-partition-local
+    scoring, then a tiny shuffle of per-partition survivors."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 5) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 50
+    """,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — chosen
+    above this corpus's noise floor, max pair ≈ 0.51).
+
+    Exact all-pairs here (oracle-checkable); the filter is applied on
+    the ROUNDED similarity so both engines agree at the threshold
+    boundary. At 100 TB all-pairs is infeasible — the scale path is
+    sim_ann_lsh's bucketing, which turns O(n²) into Σ|bucket|².
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("va", "vb"), 5).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+@query("sim_ann_lsh")  # approximate → rows-only check; recall tested vs exact
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane (sign) LSH.
+
+    Every vector gets a 16-bit bucket signature (seeded hyperplanes →
+    deterministic). A query probes ONLY its own bucket — at scale the
+    corpus is written bucket-partitioned, so a probe is a partition-
+    pruned scan of ~n/2^16 vectors instead of n. Here: bucket the
+    corpus, then exact-rank candidates sharing the bucket of each of
+    the first 5 query vectors. tests/test_similarity.py measures
+    recall vs the exact sim_knn_batch baseline.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    return (
+        e.join(q, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
+    )

@@ -1,0 +1,278 @@
+"""Text analysis over the documents corpus (Tier C, SURVEY.md §2.3):
+token statistics, quality scoring, language-ID heuristic, document
+fingerprinting, n-gram frequencies.
+
+Everything is built-in column expressions (split/explode/higher-order
+lambdas/regexp) — the whole module runs inside whole-stage codegen.
+At 100 TB these are the narrow, shuffle-light passes a training-data
+pipeline runs before dedup: per-doc scores are embarrassingly
+parallel; only the tiny per-group aggregates shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+#: tiny per-language marker lexicons for the language-ID heuristic.
+#: (This corpus is synthetic word-soup, so the interesting property is
+#: determinism of the scoring pipeline, not linguistic accuracy.)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "fast", "slow", "small"),
+    "de": ("table", "window", "row", "group"),
+    "es": ("data", "query", "filter", "sort"),
+}
+
+_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id)       AS n_docs,
+           count(*)                     AS n_tokens,
+           count(DISTINCT t)            AS vocab,
+           round(avg(length(t)), 6)     AS avg_token_len
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + vocabulary per language (token-
+    counting tier). Explode → hash agg; the shuffle carries only
+    (lang, token) pairs for the distinct, bounded by vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("vocab"),
+            F.round(F.avg(F.length("t")), 6).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH scored AS (
+        SELECT
+            source,
+            len(string_split(text, ' ')) AS n_words,
+            length(text)                 AS n_chars_m,
+            len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                / len(string_split(text, ' ')) AS stop_ratio,
+            len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    )
+    SELECT source,
+           count(*)                    AS n_docs,
+           round(avg(n_words), 6)      AS avg_words,
+           round(avg(n_chars_m), 6)    AS avg_chars,
+           round(avg(stop_ratio), 6)   AS avg_stop_ratio,
+           round(avg(ttr), 6)          AS avg_ttr
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document (length, stopword ratio, type-token
+    ratio), aggregated per source — the filter-before-training tier.
+    All per-doc math is narrow (no shuffle); only source-level
+    averages aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_words
+    )
+    ttr = F.size(F.array_distinct(words)).cast("double") / n_words
+    return (
+        d.select(
+            "source",
+            n_words.alias("n_words"),
+            F.length("text").alias("n_chars_m"),
+            stop_ratio.alias("stop_ratio"),
+            ttr.alias("ttr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+            F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT
+            lang,
+            len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'fast', 'slow', 'small'))) AS s_en,
+            len(list_filter(string_split(text, ' '),
+                t -> t IN ('table', 'window', 'row', 'group'))) AS s_de,
+            len(list_filter(string_split(text, ' '),
+                t -> t IN ('data', 'query', 'filter', 'sort'))) AS s_es
+        FROM documents
+    )
+    SELECT lang,
+           CASE
+               WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_es THEN 'de'
+               ELSE 'es'
+           END AS predicted,
+           count(*) AS n
+    FROM scored
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID (n-gram-heuristic tier): score each
+    doc against per-language marker sets, argmax with a deterministic
+    tie order, confusion counts vs the labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def score(markers: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(words, lambda t: t.isin(*markers)))
+
+    s_en = score(_LANG_MARKERS["en"])
+    s_de = score(_LANG_MARKERS["de"])
+    s_es = score(_LANG_MARKERS["es"])
+    predicted = (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH f AS (
+        SELECT lang,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    )
+    SELECT lang,
+           count(*)           AS n_docs,
+           count(DISTINCT fp) AS n_fingerprints,
+           count(*) - count(DISTINCT fp) AS n_collisions
+    FROM f
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (an order-insensitive content signature — the cheap cousin of
+    MinHash; same canonical-form trick as code-clone detection).
+    Collisions = docs with identical vocabularies."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))
+    return (
+        d.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_collisions"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_bigram_top20",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams corpus-wide (n-gram frequency tier).
+    Bigrams are generated positionally with a higher-order transform
+    over index sequences — no UDF, no quadratic blowup (|bigrams| =
+    |tokens| - |docs|)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "text_token_regex_count",
+    oracle="""
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '[a-z]+')))  AS n_word_tokens,
+           sum(len(regexp_extract_all(text, '[0-9]+')))  AS n_num_tokens,
+           count(*)                                      AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-class token counting (the BPE-ish pre-tokenizer shape:
+    split runs of letters vs digits) — regexp_extract_all stays
+    JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))).alias(
+                "n_word_tokens"
+            ),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))).alias(
+                "n_num_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,172 @@
+"""Window functions: ranking, analytic frames, distribution ranks
+(SURVEY.md §2.2 window rows; top-N-items / running-gold analogues,
+README.md:25,32).
+
+Window execution = one shuffle on partitionBy keys + per-partition
+sort. Scale discipline: every window here partitions by a
+high-cardinality key (brand, customer, user) so no single partition
+exceeds executor memory; an unpartitioned window (global ORDER BY
+over 100 TB) is the anti-pattern and appears only in top-k form, which
+Spark rewrites to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS rk
+        FROM part
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand (top-N-per-group). row_number
+    with a key tiebreak keeps it deterministic for the oracle hash."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "rk",
+        )
+        .orderBy("p_brand", "rk")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend over order history (running-gold
+    analogue). ROWS frame + orderkey tiebreak → deterministic prefix
+    sums."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 2) AS delta,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user event stream (value deltas + next
+    event type)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS mov_avg3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average per user (bounded ROWS frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg3"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_deciles",
+    oracle="""
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of order prices (distribution analysis,
+    README.md:32). Note: global ntile is a single-partition sort —
+    fine for a bounded result here; at 100 TB use approx_percentile
+    cutpoints + a broadcast range join instead (see agg_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

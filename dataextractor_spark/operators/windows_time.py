@@ -1,0 +1,198 @@
+"""Event-time windows in batch form: tumbling, sliding, session
+(SURVEY.md §2.2 streaming rows; timeline/teamfight analysis analogues,
+README.md:31,35).
+
+``F.window`` / ``F.session_window`` are the SAME operators Structured
+Streaming uses — running them over the bounded events table gives a
+deterministic, oracle-checkable definition of the streaming semantics;
+dataextractor_spark.streaming wires the identical expressions into
+readStream/writeStream with watermarks, and tests assert
+stream-batch equivalence.
+
+Window starts are emitted as formatted strings so the oracle hash is
+engine-representation independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "time_tumbling_window",
+    oracle="""
+    SELECT
+        strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type,
+        count(*)             AS n,
+        round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event type. Hash agg on
+    (window, type) — partial aggregation makes this a constant-size
+    shuffle per partition regardless of input volume."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "time_sliding_window",
+    oracle="""
+    WITH b AS (
+        SELECT
+            date_trunc('hour', ts)
+              + to_minutes(30 * (minute(ts) // 30)) AS bucket,
+            value
+        FROM events
+    ),
+    w AS (
+        SELECT unnest([bucket, bucket - INTERVAL 30 MINUTE]) AS ws, value
+        FROM b
+    )
+    SELECT
+        strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        count(*)                          AS n,
+        round(sum(value), 2)              AS sum_value
+    FROM w
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def time_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — each event
+    lands in exactly 2 windows. Spark expands via the window generator;
+    the oracle expands explicitly with unnest of the two candidate
+    window starts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "time_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT
+            user_id, ts, event_id, value,
+            CASE
+                WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT
+        user_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*)                               AS n_events,
+        round(sum(value), 2)                   AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def time_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — the
+    teamfight/session-analysis shape (README.md:35).
+
+    Spark's session_window merges events whose [ts, ts+gap) intervals
+    overlap, i.e. a session breaks when the gap is ≥ 30 minutes; the
+    oracle reproduces exactly that with gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "time_user_activity",
+    oracle="""
+    SELECT
+        user_id,
+        count(*)                                                  AS n_events,
+        count(DISTINCT date_trunc('day', ts))                     AS active_days,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S')                    AS first_seen,
+        strftime(max(ts), '%Y-%m-%d %H:%M:%S')                    AS last_seen,
+        round(sum(CASE WHEN event_type = 'purchase' THEN value
+                       ELSE 0 END), 2)                            AS purchase_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stateful running aggregate in batch form (the
+    groupBy(user) tier the streaming module maintains incrementally
+    under a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+            F.date_format(F.min("ts"), _FMT).alias("first_seen"),
+            F.date_format(F.max("ts"), _FMT).alias("last_seen"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )

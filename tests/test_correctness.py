@@ -1,0 +1,48 @@
+"""The gate: every registered query with an oracle must hash-match
+DuckDB on the same parquet (mirrors the driver's sf0.01 check; runs at
+sf0.001 by default for speed — set SPARK_GRAFT_ORACLE_SF to override).
+
+Queries without an oracle must at least execute and return a stable
+schema (the driver's rows-only check).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataextractor_spark.registry import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_to_oracle
+
+SPECS = load_all()
+ORACLED = sorted(n for n, s in SPECS.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle)
+
+
+def test_registry_nonempty():
+    assert len(SPECS) >= 10
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, SF_ORACLE)
+    compare_to_oracle(df, spec.oracle, SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, SF_ORACLE)
+    # must execute and expose a stable, named schema
+    n = df.count()
+    assert n >= 0
+    assert all(c for c in df.columns)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
