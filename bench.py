@@ -1,0 +1,81 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes through the noop sink — the full physical plan runs
+(scan → shuffles → result) without driver-side row transfer, so the
+number measures the engine, not py4j serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataextractor_spark.registry import load_all
+from dataextractor_spark.session import get_session
+
+#: headline set: one per pillar (scan/agg, star join, self-join pairs,
+#: rollup, percentiles, windows, session windows, JSON, dedup, vector
+#: top-k, text). Deliberately excludes the O(n²)-flavored demos
+#: (all-pairs jaccard/cosine) — those are correctness entries, not
+#: throughput headlines.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_star_revenue",
+    "join_selfpair_parts",
+    "agg_rollup",
+    "agg_percentiles",
+    "window_running_sum",
+    "time_session_window",
+    "scalar_json_funcs",
+    "etl_flatten_array",
+    "dedup_exact",
+    "sim_topk_cosine",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session(app_name="dataextractor-spark-bench")
+    specs = load_all()
+
+    # warm the JVM/codegen path once outside timing
+    specs["flagship_pricing_summary"].fn(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
