@@ -45,7 +45,8 @@ def flatten_array_column(
     """
     cols = []
     for i in range(1, n + 1):
-        c = F.element_at(F.col(array_col), i)
+        # try_element_at: NULL on short/absent arrays (ANSI-safe)
+        c = F.try_element_at(F.col(array_col), F.lit(i))
         if cast:
             c = c.cast(cast)
         if round_to is not None:

@@ -1,0 +1,159 @@
+"""Full-load pipeline orchestration (Tier-A parity: A19
+extract-data-dota.py:112-209, A18 idempotent overwrite, A16/A17 sinks).
+
+The reference loops 13 datasets sequentially, swallowing errors to
+None per dataset (A23). Here a pipeline is DATA: a list of
+DatasetSpec(name, requests, schema, transform); `full_load` runs every
+dataset through the distributed REST source → explicit-schema
+normalization → partitioned Parquet overwrite, isolating failures per
+dataset WITHOUT swallowing them (each failure is re-raised unless the
+caller opts into collect mode, and always lands in the returned
+report). Sinks take any Hadoop-FS URI — the same call writes
+``file:/tmp/...`` in tests and ``s3a://bucket/...`` in production
+(replacing the reference's manual Arrow-buffer→put_object dance,
+extract-data-dota.py:55-83).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.sources.rest import RestRequest, TransportFactory, fetch
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    """One dataset in the full load: where to fetch it, how to type it,
+    how to reshape it (the A5/A7/A11-style transform), how to
+    partition it at rest."""
+
+    name: str
+    requests: Sequence[RestRequest]
+    schema: str  # DDL for one record ("match_id BIGINT, ..." )
+    payload_is_array: bool = True
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class LoadReport:
+    ok: dict[str, int] = field(default_factory=dict)  # dataset → rows
+    failed: dict[str, str] = field(default_factory=dict)  # dataset → error
+
+
+def normalize_payloads(raw: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """REST result rows → typed records: parse each 200-status body
+    against the dataset's EXPLICIT schema (no sampled inference —
+    SURVEY.md §1.3), exploding top-level JSON arrays into rows."""
+    ok = raw.filter((F.col("status") == 200) & F.col("body").isNotNull())
+    if spec.payload_is_array:
+        parsed = ok.select(
+            F.explode(
+                F.from_json("body", f"array<struct<{spec.schema}>>")
+            ).alias("rec")
+        )
+    else:
+        parsed = ok.select(F.from_json("body", f"struct<{spec.schema}>").alias("rec"))
+    return parsed.select("rec.*")
+
+
+def full_load(
+    spark: SparkSession,
+    datasets: Sequence[DatasetSpec],
+    transport_factory: TransportFactory,
+    out_base: str,
+    *,
+    raise_on_failure: bool = True,
+    rate_limit_per_partition: float = 0.0,
+) -> LoadReport:
+    """Run every dataset: fetch → normalize → transform → overwrite
+    Parquet at ``{out_base}/{name}`` (fixed per-dataset location ≙ the
+    reference's fixed S3 keys, extract-data-dota.py:131-199, so
+    monthly reruns stay idempotent).
+
+    Independent datasets are independent Spark jobs; on a cluster you
+    run them under fair-scheduler pools for concurrency — the plan
+    shape needs no change.
+    """
+    report = LoadReport()
+    for spec in datasets:
+        try:
+            raw = fetch(
+                spark,
+                spec.requests,
+                transport_factory,
+                rate_limit_per_partition=rate_limit_per_partition,
+            )
+            bad = raw.filter(F.col("status") != 200)
+            n_bad = bad.count()
+            if n_bad:
+                sample = [r.error for r in bad.select("error").head(3)]
+                raise RuntimeError(
+                    f"{n_bad} failed requests for {spec.name!r}; e.g. {sample}"
+                )
+            df = normalize_payloads(raw, spec)
+            if spec.transform is not None:
+                df = spec.transform(df)
+            writer = df.write.mode("overwrite")
+            if spec.partition_by:
+                writer = writer.partitionBy(*spec.partition_by)
+            writer.parquet(f"{out_base}/{spec.name}")
+            report.ok[spec.name] = spark.read.parquet(f"{out_base}/{spec.name}").count()
+        except Exception as exc:
+            # per-dataset isolation (A19's null-guards) minus the
+            # reference's silent swallow (A23): record AND surface.
+            report.failed[spec.name] = f"{type(exc).__name__}: {exc}"
+            if raise_on_failure:
+                raise
+    return report
+
+
+# --------------------------------------------------------------------------
+# Reference-shaped demo pipeline (publicMatches + constants), fixture-fed.
+# Record shapes follow FIXTURES.md §2a/2b.
+# --------------------------------------------------------------------------
+
+MATCH_SCHEMA = (
+    "match_id BIGINT, match_seq_num BIGINT, radiant_win BOOLEAN, "
+    "start_time BIGINT, duration BIGINT, lobby_type INT, game_mode INT, "
+    "avg_rank_tier INT, cluster INT, "
+    "radiant_team ARRAY<INT>, dire_team ARRAY<INT>"
+)
+
+
+def matches_transform(df: DataFrame) -> DataFrame:
+    """The E2 dataflow (opendotaapi.py:95-123) as one narrow plan:
+    flatten both 5-hero arrays (A5), drop them (A6), epoch→São Paulo
+    local time (A7), derive the dt partition key (A8)."""
+    from dataextractor_spark.etl.normalize import flatten_array_column, with_local_date
+
+    df = flatten_array_column(df, "radiant_team", "radiant_hero", 5)
+    df = flatten_array_column(df, "dire_team", "dire_hero", 5)
+    df = df.withColumn("start_ts", F.timestamp_seconds("start_time"))
+    return with_local_date(df, "start_ts")
+
+
+def demo_match_payload(n: int = 8, base_ts: int = 1750000000) -> str:
+    """Deterministic publicMatches-shaped payload (FIXTURES.md §2a)."""
+    recs = []
+    for i in range(n):
+        recs.append(
+            {
+                "match_id": 8_000_000_000 + i,
+                "match_seq_num": 6_700_000_000 + i,
+                "radiant_win": i % 2 == 0,
+                "start_time": base_ts + i * 3600,
+                "duration": 1800 + 60 * i,
+                "lobby_type": 7,
+                "game_mode": 22,
+                "avg_rank_tier": 50 + i,
+                "cluster": 236,
+                "radiant_team": [1 + i, 11 + i, 21 + i, 31 + i, 41 + i],
+                "dire_team": [2 + i, 12 + i, 22 + i, 32 + i, 42 + i],
+            }
+        )
+    return json.dumps(recs)

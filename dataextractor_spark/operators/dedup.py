@@ -54,7 +54,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            min(doc_id)  AS canonical_doc,
            count(*)     AS n_members,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source

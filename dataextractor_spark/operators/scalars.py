@@ -23,8 +23,8 @@ from dataextractor_spark.registry import query
         p_partkey,
         upper(p_brand)                                   AS brand_u,
         lower(substring(p_type, 1, 6))                   AS type_prefix,
-        length(p_name)                                   AS name_len,
-        len(string_split(p_name, ' '))                   AS n_words,
+        CAST(length(p_name) AS BIGINT)                   AS name_len,
+        CAST(len(string_split(p_name, ' ')) AS BIGINT)   AS n_words,
         string_split(p_name, ' ')[1]                     AS first_word,
         regexp_extract(p_name, '([a-z]+)', 1)            AS first_alpha,
         concat_ws('|', p_brand, trim(p_type))            AS brand_type,
@@ -45,8 +45,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper("p_brand").alias("brand_u"),
             F.lower(F.substring("p_type", 1, 6)).alias("type_prefix"),
-            F.length("p_name").alias("name_len"),
-            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
             F.split("p_name", " ").getItem(0).alias("first_word"),
             F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha"),
             F.concat_ws("|", F.col("p_brand"), F.trim(F.col("p_type"))).alias(
@@ -65,7 +65,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(year(o_orderdate) AS BIGINT)    AS yr,
         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
         strftime(date_trunc('month', min(o_orderdate)), '%Y-%m-%d') AS first_month,
-        max(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS max_age_days,
+        CAST(max(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS BIGINT) AS max_age_days,
         count(*) AS n
     FROM orders
     GROUP BY yr, qtr
@@ -90,7 +90,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(
                     F.lit("2002-01-01 00:00:00").cast("timestamp"),
                     F.col("o_orderdate"),
-                )
+                ).cast("long")
             ).alias("max_age_days"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -112,7 +112,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e, q
         WHERE e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cos_sim, rk FROM (
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
         ) AS rk
@@ -145,7 +145,7 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
         )
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )

@@ -250,8 +250,8 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_regex_count",
     oracle="""
     SELECT lang,
-           sum(len(regexp_extract_all(text, '[a-z]+')))  AS n_word_tokens,
-           sum(len(regexp_extract_all(text, '[0-9]+')))  AS n_num_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)  AS n_word_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)  AS n_num_tokens,
            count(*)                                      AS n_docs
     FROM documents
     GROUP BY lang

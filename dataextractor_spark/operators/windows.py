@@ -21,7 +21,7 @@ from dataextractor_spark.registry import query
 @query(
     "window_rank_topn",
     oracle="""
-    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, CAST(rk AS BIGINT) AS rk
     FROM (
         SELECT p_brand, p_partkey, p_retailprice,
                row_number() OVER (
@@ -42,7 +42,7 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select(
             "p_brand",
@@ -141,7 +141,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_deciles",
     oracle="""
-    SELECT decile, count(*) AS n,
+    SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
     FROM (
@@ -161,7 +161,7 @@ def window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         etl_parity,
         joins,
         relational,
+        rest_source,
         scalars,
         similarity,
         text,

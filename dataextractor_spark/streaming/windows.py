@@ -1,0 +1,214 @@
+"""Event-time streaming over the events table: tumbling/sliding/
+session windows under watermarks, plus an arbitrary-stateful operator
+(README.md:31,35 timeline/teamfight analogues — SURVEY.md §7 M5).
+
+Determinism strategy (SURVEY.md §7 hard part a): tests replay a staged
+file stream with Trigger.AvailableNow — bounded input, full replay, no
+wall-clock dependence — and assert the streaming result equals the
+batch computation of the identical expressions.
+
+Scale notes: watermark + append mode bound state size (windows close
+and evict); maxFilesPerTrigger bounds per-micro-batch work. On a real
+cluster the same code points at a Kafka source and an exactly-once
+sink via checkpointLocation — nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import SCHEMAS, load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+#: sentinel event appended after all real data: pushes the watermark
+#: past every real window so append mode emits them all by end of an
+#: AvailableNow replay. Consumers filter user_id < 0 / windows beyond
+#: the real time range.
+SENTINEL_TS = "2024-06-01 00:00:00"
+
+
+def stage_stream_input(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 8,
+    with_sentinel: bool = True,
+) -> str:
+    """Stage the events table as ``n_chunks`` parquet files written
+    SEQUENTIALLY in event-time order, so the file source's
+    mtime-ordered listing replays them as an in-order stream (one file
+    per micro-batch with maxFilesPerTrigger=1).
+
+    Out-of-order arrival would make the watermark leap ahead and drop
+    earlier chunks as late data — exactly the failure mode watermarks
+    exist to bound; staging in order keeps the replay deterministic
+    (SURVEY.md §7 hard part a).
+    """
+    import time as _time
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    chunked = events.withColumn(
+        "_chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        _time.sleep(0.05)  # distinct mtimes → deterministic source order
+    if with_sentinel:
+        sentinel = spark.createDataFrame(
+            [(-1, -1, "sentinel", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.lit(SENTINEL_TS).cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+    return out_dir
+
+
+def events_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream with the catalog's explicit events schema
+    (ts already normalized to µs by the staging write)."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def tumbling_aggregate(
+    stream: DataFrame, *, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time counts/sums per event type under a
+    watermark; append mode emits each window exactly once when the
+    watermark passes it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_aggregate(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    stream: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — streaming
+    session state merges as events arrive and evicts once the
+    watermark passes session end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained across micro-batches
+    (the 'per-user running aggregates' row of SURVEY.md §2.2).
+
+    State is one (count, total) pair per user — O(|users|), the
+    streaming-safe kind. Output (update mode) re-emits a user's row
+    whenever a batch touches them.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="count BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    query_name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Execute a streaming query over ALL currently-available input
+    (Trigger.AvailableNow — the reference's monthly batch cadence A22
+    expressed as an incremental, checkpointed, resumable run), sink to
+    memory, return the materialized result table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,171 @@
+"""REST source connector tests (A1-A3 parity) — all fixture-fed,
+nothing touches a network (SURVEY.md §7 hard part d)."""
+
+from __future__ import annotations
+
+import json
+
+from dataextractor_spark.etl.pipeline import (
+    DatasetSpec,
+    demo_match_payload,
+    full_load,
+    MATCH_SCHEMA,
+    matches_transform,
+)
+from dataextractor_spark.sources.rest import (
+    FixtureTransport,
+    RestRequest,
+    TokenBucket,
+    _fetch_one,
+    fetch,
+)
+
+
+def test_fetch_ok_and_404(spark):
+    transport = FixtureTransport(
+        {
+            "/heroes": (200, json.dumps([{"id": 1}, {"id": 2}])),
+            # /missing not registered → 404
+        }
+    )
+    df = fetch(
+        spark,
+        [RestRequest("/heroes", "h"), RestRequest("/missing", "m")],
+        lambda: transport,
+        backoff_s=0.0,
+    )
+    rows = {r.request_id: r for r in df.collect()}
+    assert rows["h"].status == 200 and rows["h"].error is None
+    assert json.loads(rows["h"].body) == [{"id": 1}, {"id": 2}]
+    # 404 is NOT retryable: one attempt, error recorded, no body
+    assert rows["m"].status == 404
+    assert rows["m"].attempts == 1
+    assert rows["m"].body is None and "http 404" in rows["m"].error
+
+
+def test_fetch_params_in_fixture_key(spark):
+    transport = FixtureTransport(
+        {"/matches?page=2": (200, json.dumps([{"id": 9}]))}
+    )
+    df = fetch(
+        spark,
+        [RestRequest("/matches", "p2", params=(("page", "2"),))],
+        lambda: transport,
+        backoff_s=0.0,
+    )
+    [r] = df.collect()
+    assert r.status == 200 and json.loads(r.body) == [{"id": 9}]
+
+
+def test_fetch_empty_request_list(spark):
+    df = fetch(spark, [], FixtureTransport({}))
+    assert df.count() == 0
+    assert df.columns == ["endpoint", "request_id", "status", "body", "error", "attempts"]
+
+
+class FlakyTransport:
+    """Retryable failures for the first ``fail_times`` calls, then 200."""
+
+    def __init__(self, fail_times: int, status: int = 503):
+        self.fail_times = fail_times
+        self.status = status
+        self.calls = 0
+
+    def __call__(self, url, params):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            return self.status, ""
+        return 200, json.dumps([{"ok": True}])
+
+
+def test_retry_with_backoff_recovers():
+    """Bounded retry (vs the reference's unbounded 429 recursion,
+    opendotaapi.py:79-82): a 503,503,200 sequence succeeds with
+    attempts=3; sleeps follow exponential backoff."""
+    sleeps: list[float] = []
+    row = _fetch_one(
+        FlakyTransport(2),
+        TokenBucket(rate=0),
+        RestRequest("/x", "x"),
+        max_retries=3,
+        backoff_s=1.0,
+        sleeper=sleeps.append,
+    )
+    assert row[2] == 200 and row[5] == 3  # status, attempts
+    assert sleeps == [1.0, 2.0]
+
+
+def test_retry_budget_exhausted():
+    row = _fetch_one(
+        FlakyTransport(99, status=429),
+        TokenBucket(rate=0),
+        RestRequest("/x", "x"),
+        max_retries=2,
+        backoff_s=0.0,
+        sleeper=lambda s: None,
+    )
+    endpoint, _, status, body, error, attempts = row
+    assert status == 429 and attempts == 3 and body is None
+    assert "retryable" in error
+
+
+def test_empty_body_guard():
+    """200 with empty body → error recorded (opendotaapi.py:70-72)."""
+
+    row = _fetch_one(
+        lambda u, p: (200, "  "),
+        TokenBucket(rate=0),
+        RestRequest("/x", "x"),
+        max_retries=0,
+        backoff_s=0.0,
+        sleeper=lambda s: None,
+    )
+    assert row[4] == "empty response body"
+
+
+def test_full_load_pipeline(spark, tmp_path):
+    """E2E: fixture fetch → explicit-schema normalize → transform →
+    partitioned overwrite parquet → read-back counts (A19/A18/A16)."""
+    transport = FixtureTransport(
+        {
+            "/publicMatches": (200, demo_match_payload(6)),
+            "/heroes": (200, json.dumps([{"id": 1, "localized_name": "AM"}])),
+        }
+    )
+    datasets = [
+        DatasetSpec(
+            name="matches",
+            requests=[RestRequest("/publicMatches", "p0")],
+            schema=MATCH_SCHEMA,
+            transform=matches_transform,
+            partition_by=("dt",),
+        ),
+        DatasetSpec(
+            name="heroes",
+            requests=[RestRequest("/heroes", "h0")],
+            schema="id BIGINT, localized_name STRING",
+        ),
+    ]
+    report = full_load(spark, datasets, lambda: transport, str(tmp_path))
+    assert report.ok == {"matches": 6, "heroes": 1}
+    back = spark.read.parquet(str(tmp_path / "matches"))
+    assert "radiant_hero_1" in back.columns and "radiant_team" not in back.columns
+    assert back.filter("dt IS NULL").count() == 0
+    # idempotent overwrite (A18): second run, same counts
+    report2 = full_load(spark, datasets, lambda: transport, str(tmp_path))
+    assert report2.ok == report.ok
+
+
+def test_full_load_failure_isolation(spark, tmp_path):
+    """One dataset 404s: with raise_on_failure=False the others load
+    and the failure is REPORTED, not swallowed to None (anti-A23)."""
+    transport = FixtureTransport({"/heroes": (200, json.dumps([{"id": 7}]))})
+    datasets = [
+        DatasetSpec("broken", [RestRequest("/nope", "n")], "id BIGINT"),
+        DatasetSpec("heroes", [RestRequest("/heroes", "h")], "id BIGINT"),
+    ]
+    report = full_load(
+        spark, datasets, lambda: transport, str(tmp_path), raise_on_failure=False
+    )
+    assert report.ok == {"heroes": 1}
+    assert "broken" in report.failed and "failed requests" in report.failed["broken"]

@@ -1,0 +1,119 @@
+"""Streaming tests: deterministic replay (AvailableNow over staged
+files) + stream-batch equivalence against the oracled batch window
+queries (SURVEY.md §7 hard part a: no wall-clock dependence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataextractor_spark.registry import load_all
+from dataextractor_spark.streaming import (
+    events_stream,
+    run_available_now,
+    session_aggregate,
+    sliding_aggregate,
+    stage_stream_input,
+    tumbling_aggregate,
+)
+from dataextractor_spark.streaming.windows import running_user_totals
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    stage_stream_input(spark, SF_SMALL, str(d / "input"), n_chunks=6)
+    return d
+
+
+def _normalized(df, sort_cols):
+    return [tuple(r) for r in df.orderBy(*sort_cols).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, staged):
+    """Append-mode tumbling windows replayed over the full input must
+    equal the batch time_tumbling_window registry query (same
+    expressions, same data)."""
+    out = run_available_now(
+        tumbling_aggregate(events_stream(spark, str(staged / "input"))),
+        query_name="t_tumbling",
+        output_mode="append",
+        checkpoint_dir=str(staged / "ckpt_tumbling"),
+    ).filter(F.col("event_type") != "sentinel")
+    batch = load_all()["time_tumbling_window"].fn(spark, SF_SMALL)
+    assert _normalized(out, ["window_start", "event_type"]) == _normalized(
+        batch, ["window_start", "event_type"]
+    )
+
+
+def test_sliding_stream_equals_batch(spark, staged):
+    out = run_available_now(
+        sliding_aggregate(events_stream(spark, str(staged / "input"))),
+        query_name="t_sliding",
+        output_mode="append",
+        checkpoint_dir=str(staged / "ckpt_sliding"),
+    ).filter(F.col("window_start") < "2024-05")
+    batch = load_all()["time_sliding_window"].fn(spark, SF_SMALL)
+    assert _normalized(out, ["window_start"]) == _normalized(batch, ["window_start"])
+
+
+def test_session_stream_equals_batch(spark, staged):
+    out = run_available_now(
+        session_aggregate(events_stream(spark, str(staged / "input"))),
+        query_name="t_session",
+        output_mode="append",
+        checkpoint_dir=str(staged / "ckpt_session"),
+    ).filter(F.col("user_id") >= 0)
+    batch = load_all()["time_session_window"].fn(spark, SF_SMALL)
+    assert _normalized(out, ["user_id", "session_start"]) == _normalized(
+        batch, ["user_id", "session_start"]
+    )
+
+
+def test_stateful_running_totals(spark, staged):
+    """applyInPandasWithState: final per-user state after full replay
+    equals the batch per-user aggregate."""
+    out = run_available_now(
+        running_user_totals(events_stream(spark, str(staged / "input"))),
+        query_name="t_state",
+        output_mode="update",
+        checkpoint_dir=str(staged / "ckpt_state"),
+    ).filter(F.col("user_id") >= 0)
+    # update mode re-emits rows over batches → keep each user's LAST
+    # (max n_events) emission as final state
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    batch = (
+        load_all()["time_user_activity"]
+        .fn(spark, SF_SMALL)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    got = {r.user_id: r.n_events for r in final.collect()}
+    want = {r.user_id: r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_incremental_progress(spark, staged):
+    """The staged stream really is incremental: with
+    maxFilesPerTrigger=1 an AvailableNow run executes multiple
+    micro-batches, not one mega-batch."""
+    stream = tumbling_aggregate(events_stream(spark, str(staged / "input")))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_progress")
+        .outputMode("append")
+        .option("checkpointLocation", str(staged / "ckpt_progress"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 7  # one per staged file (chunks + sentinel)
