@@ -1,0 +1,333 @@
+"""SQL-text surface + subqueries + pivot/unpivot + vectorized UDFs.
+
+The reference's README promises analytics its code never implements
+(README.md:21-36); a user migrating from it gets them here either as
+DataFrame plans or as PLAIN SQL over registered views — the same
+Catalyst engine underneath. This module also carries the deliberately-
+small Python-UDF surface (SURVEY.md §2.2 'UDF/UDAF'): Arrow-batched
+pandas UDFs only, and only where they demonstrate the boundary — every
+other operator in the engine stays built-in.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dataextractor_spark.catalog import TABLES, load_table
+from dataextractor_spark.registry import query
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Expose the whole catalog as temp views so users can work in
+    pure SQL (the oracle's table names, same data, same engine)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
+
+
+@query(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped query expressed as SQL TEXT over registered
+    views — same Catalyst plan as the DataFrame form, proving the SQL
+    entry point end-to-end."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_above_avg,
+           round(min(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above global average).
+    Catalyst evaluates the subquery once and broadcasts the scalar —
+    two passes over orders, no pairwise work, scale-safe."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_above_avg,
+               round(min(o_totalprice), 2) AS min_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 100000
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it into a left-semi
+    join on the correlation key (one shuffle), never a per-row probe."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice > 100000
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS F,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS O,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): spend per priority × status. Explicit pivot
+    values keep it one pass with no distinct-values pre-query — the
+    form you want at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_returnflag, measure, round(sum(val), 2) AS total
+    FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): three measure columns become
+    (measure, val) rows via the native unpivot operator (an Expand
+    node — one pass, no join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "l_quantity", "quantity")
+            .when(F.col("measure") == "l_extendedprice", "price")
+            .otherwise("discount"),
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@query(
+    "rate_winrate_analog",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
+               AS finished_rate
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def rate_winrate_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-rate-per-hero analogue (README.md:23): rate = avg of a 0/1
+    indicator per group — finished-order rate per nation over the
+    broadcast dim chain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 6
+            ).alias("finished_rate"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _zscore_udf():
+    """Arrow-batched scalar pandas UDF — the sanctioned Python-boundary
+    shape (vectorized per batch, never per row). Built lazily: the
+    decorator parses its DDL type against the ACTIVE session, so module
+    import must stay session-free."""
+
+    @pandas_udf("double")
+    def z(x: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+        return (x - mean) / std
+
+    return z
+
+
+@query(
+    "udf_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma
+        FROM orders
+    )
+    SELECT o_orderkey, round((o_totalprice - mu) / sigma, 6) AS zscore
+    FROM orders, stats
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: z-score of order price against broadcast
+    global stats. The stats come from a tiny agg cross-joined in
+    (broadcast), so the UDF stage is a narrow Arrow pass."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = F.broadcast(
+        o.agg(
+            F.avg("o_totalprice").alias("mu"),
+            F.stddev_samp("o_totalprice").alias("sigma"),
+        )
+    )
+    return (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .crossJoin(stats)
+        .select(
+            "o_orderkey",
+            F.round(
+                _zscore_udf()(F.col("o_totalprice"), F.col("mu"), F.col("sigma")), 6
+            ).alias("zscore"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _median_udf():
+    """Grouped-aggregate pandas UDF (numpy median per group); lazy for
+    the same session-at-import reason as _zscore_udf."""
+
+    @pandas_udf("double")
+    def median(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v))
+
+    return median
+
+
+@query(
+    "udf_group_median",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def udf_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: per-status numpy median (≡ linear-
+    interpolated quantile_cont 0.5 — the oracle proves the UDF agrees
+    with the SQL definition)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.round(_median_udf()("o_totalprice"), 4).alias("median_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("agg_approx_percentile")  # sketch-based → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB path for order statistics (fixed
+    memory, no global sort); accuracy vs the exact percentile is
+    asserted in tests/test_scale_paths.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000).alias(
+                "approx_pcts"
+            )
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -57,10 +57,12 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         etl_parity,
         joins,
+        multimodal,
         relational,
         rest_source,
         scalars,
         similarity,
+        sql_surface,
         text,
         windows,
         windows_time,

