@@ -1,0 +1,210 @@
+"""Coverage completions: MapType functions, keyed point lookups (A13),
+stream-dim enrichment, vector normalization, and the composite
+training-data curation pipeline that ties the Tier-C operators
+together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.functions.vector import l2_norm
+from dataextractor_spark.registry import query
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type AS map_key, n AS map_value,
+           (SELECT count(*) FROM counts) AS n_keys
+    FROM counts
+    ORDER BY map_key
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip (A11's data model as a first-class type):
+    aggregate event counts → map_from_entries → map_keys/size →
+    explode(map_entries) back to rows. Proves map construction,
+    inspection, and unnesting agree with the relational definition."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return (
+        as_map.select(F.size("m").alias("n_keys"), F.explode(F.map_entries("m")).alias("e"))
+        .select(
+            F.col("e.key").alias("map_key"),
+            F.col("e.value").alias("map_value"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy("map_key")
+    )
+
+
+@query(
+    "point_lookup_by_key",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           round(value, 2) AS value
+    FROM events
+    WHERE event_id IN (42, 123, 999)
+    ORDER BY event_id
+    """,
+)
+def point_lookup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 parity: keyed point lookup (get_match_details(match_id)
+    shape, opendotaapi.py:204-221) = predicate-pushed scan + JSON
+    projection. At rest the table would be partitioned/z-ordered on
+    the key so the lookup prunes to a handful of files."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id").isin(42, 123, 999))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "join_stream_dim_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+)
+def join_stream_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-dim enrichment (events.user_id → customer, FIXTURES.md
+    §1): the batch form of the stream-static join the streaming layer
+    runs (tests/test_streaming.py::test_stream_static_join). Dim side
+    broadcasts; the event stream never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT label,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> (x::DOUBLE) * (x::DOUBLE))))), 6)  AS avg_norm,
+           round(max(abs(1.0 - sqrt(list_sum(list_transform(
+                 list_transform(embedding, x -> x::DOUBLE / sqrt(list_sum(
+                     list_transform(embedding, y -> (y::DOUBLE)*(y::DOUBLE))))),
+                 z -> z*z))))), 6)                       AS max_unit_err
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector normalization (the preprocessing step before cosine/LSH
+    at scale: store unit vectors, similarity = plain dot product).
+    Emits per-label average raw norm and the max deviation of
+    normalized vectors from unit length (≈0) — both engines compute
+    the same higher-order-lambda pipeline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = l2_norm("embedding")
+    unit = F.transform(emb_d, lambda x: x / norm)
+    unit_norm = F.sqrt(
+        F.aggregate(unit, F.lit(0.0), lambda acc, z: acc + z * z)
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.round(F.avg(norm), 6).alias("avg_norm"),
+            F.round(F.max(F.abs(F.lit(1.0) - unit_norm)), 6).alias("max_unit_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored WHERE n_words >= 40 AND ttr >= 0.15
+    ),
+    deduped AS (
+        SELECT lang,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               min(doc_id) AS keep_doc,
+               count(*) AS group_size
+        FROM quality
+        GROUP BY lang, fp
+    )
+    SELECT lang,
+           count(*)                       AS kept_docs,
+           CAST(sum(group_size) AS BIGINT) AS before_dedup,
+           CAST(sum(group_size) - count(*) AS BIGINT) AS removed_dups
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-training-data shape (BASELINE.json north
+    star): quality-filter → fingerprint dedup (keep lowest doc_id) →
+    per-language yield accounting. One narrow scoring pass, one
+    shuffle on (lang, fingerprint), one tiny rollup — the whole
+    curation funnel in three exchanges regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ttr"),
+    )
+    quality = scored.filter((F.col("n_words") >= 40) & (F.col("ttr") >= 0.15))
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))
+    deduped = quality.groupBy("lang", fp.alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("group_size").alias("before_dedup"),
+            (F.sum("group_size") - F.count(F.lit(1))).alias("removed_dups"),
+        )
+        .orderBy("lang")
+    )

@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dataextractor_spark.operators import (  # noqa: F401
         aggregates,
         dedup,
+        enrichment,
         etl_parity,
         joins,
         multimodal,

@@ -117,3 +117,30 @@ def test_incremental_progress(spark, staged):
     )
     q.awaitTermination()
     assert len(q.recentProgress) >= 7  # one per staged file (chunks + sentinel)
+
+
+def test_stream_static_join(spark, staged):
+    """Stream-static enrichment: streaming events joined to the static
+    customer dim must equal the batch join_stream_dim_enrich query."""
+    from dataextractor_spark.catalog import load_table
+
+    c = F.broadcast(load_table(spark, SF_SMALL, "customer"))
+    stream = events_stream(spark, str(staged / "input"))
+    joined = (
+        stream.join(c, stream.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_available_now(
+        joined,
+        query_name="t_streamdim",
+        output_mode="complete",
+        checkpoint_dir=str(staged / "ckpt_streamdim"),
+    ).filter(F.col("event_type") != "sentinel")
+    batch = load_all()["join_stream_dim_enrich"].fn(spark, SF_SMALL)
+    assert _normalized(out, ["c_mktsegment", "event_type"]) == _normalized(
+        batch, ["c_mktsegment", "event_type"]
+    )
