@@ -1,0 +1,59 @@
+"""Skew mitigation: salted joins for hot keys (SURVEY.md §4 'skewed
+keys hurt').
+
+AQE's skew-join splitting handles sort-merge skew automatically; the
+explicit salting here is for the cases AQE can't fix — e.g. a
+broadcast-infeasible dim joined on a key where a handful of values
+carry most of the fact table. Salting fans each hot key out to
+``n_salts`` sub-keys (fact side: deterministic hash-salt; dim side:
+replicated across all salts), so no single task owns a whole hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _salt_expr(cols: list[str], n_salts: int) -> Column:
+    # deterministic per-row salt: stable across retries/replays, unlike
+    # rand() — a replayed task must land rows in the same partition.
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: list,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact⋈dim on key with hot-key salting.
+
+    Fact rows with a hot key get salt = hash(all fact columns) mod n;
+    cold rows salt 0. Dim rows for hot keys are replicated across all
+    n salts (cold: salt 0 only) — the dim grows by |hot|×(n-1) rows,
+    negligible for real dims. Result is row-identical to the plain
+    join (tests/test_plans.py proves it), but the hot key's work is
+    spread over n tasks instead of one straggler.
+    """
+    is_hot_fact = F.col(fact_key).isin(hot_keys)
+    fact_s = fact.withColumn(
+        "_salt",
+        F.when(is_hot_fact, _salt_expr(fact.columns, n_salts)).otherwise(F.lit(0)),
+    )
+    is_hot_dim = F.col(dim_key).isin(hot_keys)
+    dim_s = dim.withColumn(
+        "_salts",
+        F.when(
+            is_hot_dim, F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).otherwise(F.array(F.lit(0))),
+    ).withColumn("_salt", F.explode("_salts")).drop("_salts")
+    joined = fact_s.join(
+        dim_s,
+        (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["_salt"] == dim_s["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

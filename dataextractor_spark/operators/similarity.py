@@ -188,6 +188,77 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_ivf")  # approximate → rows-only; cell contract in tests
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-style coarse quantization: per-label centroids act
+    as the cell codebook; every vector is assigned to its nearest
+    centroid; a query probes ONLY its own cell.
+
+    This is the inverted-file layout at corpus scale: vectors stored
+    partitioned by cell id, a probe = partition-pruned scan of
+    |corpus|/|cells| vectors. Centroid computation itself is the
+    distributed pattern — posexplode to (label, dim, value), hash agg
+    per dimension, re-assembled with collect_list — no driver-side
+    vectors. tests/test_scale_paths.py checks every candidate shares
+    the query's cell.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cell")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine_similarity("embedding", "centroid").alias("cos_c"),
+        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(
+            q,
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
 @query("sim_ann_lsh")  # approximate → rows-only check; recall tested vs exact
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH.

@@ -1,0 +1,88 @@
+"""Physical-plan assertions: pushdown, shuffle budgets, bucketed
+shuffle elimination, salted-join equivalence — the '.explain and
+iterate' discipline enforced by CI instead of eyeballs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.functions.skew import salted_join
+from dataextractor_spark.plans import (
+    read_bucketed,
+    shuffle_exchange_count,
+    write_bucketed,
+)
+from dataextractor_spark.plans.inspect import physical_plan, pushed_filters
+from dataextractor_spark.registry import load_all
+from tests.conftest import SF_SMALL
+
+
+def test_flagship_pushes_filters_and_prunes(spark):
+    df = load_all()["flagship_pricing_summary"].fn(spark, SF_SMALL)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"ship-date filter not pushed: {pf}"
+    plan = physical_plan(df)
+    # projection pruning: untouched wide columns must not be read
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan and "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_flagship_shuffle_budget(spark):
+    """Scan → partial agg → ONE hash exchange (+ the final sort's range
+    exchange). More exchanges = a plan regression."""
+    df = load_all()["flagship_pricing_summary"].fn(spark, SF_SMALL)
+    assert shuffle_exchange_count(df) <= 2
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = physical_plan(load_all()["join_star_revenue"].fn(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan
+    # nation/region must never arrive via a shuffle exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "n_nationkey" not in line and "r_regionkey" not in line
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """lineitem and orders bucketed on the join key: the sort-merge
+    join runs with ZERO shuffle exchanges."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, sort_key="l_orderkey")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, sort_key="o_orderkey")
+    bl, bo = read_bucketed(spark, "b_lineitem"), read_bucketed(spark, "b_orders")
+    joined = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey)
+    assert shuffle_exchange_count(joined) == 0, physical_plan(joined, "simple")
+    # and the same join WITHOUT bucketing does shuffle (both sides)
+    plain = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    assert shuffle_exchange_count(plain) == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: row-identical results."""
+    e = load_table(spark, SF_SMALL, "events")
+    c = load_table(spark, SF_SMALL, "customer")
+    hot = [1, 2, 3]
+    salted = salted_join(e, c, "user_id", "c_custkey", hot, n_salts=4)
+    plain = e.join(c, e.user_id == c.c_custkey)
+    cols = ["event_id", "c_custkey", "c_mktsegment"]
+    a = sorted(tuple(r) for r in salted.select(*cols).collect())
+    b = sorted(tuple(r) for r in plain.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The hot key's rows really land in multiple salt partitions."""
+    e = load_table(spark, SF_SMALL, "events")
+    c = load_table(spark, SF_SMALL, "customer")
+    from dataextractor_spark.functions.skew import _salt_expr
+
+    hot_user = e.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    salts = (
+        e.filter(F.col("user_id") == hot_user)
+        .select(_salt_expr(e.columns, 4).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts > 1

@@ -76,3 +76,17 @@ def test_simhash_near_duplicates_have_close_fingerprints(spark):
     r2 = specs["dedup_simhash"].fn(spark, SF_SMALL).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
     assert all(0 <= r.hamming <= 6 for r in r1)
+
+
+def test_ivf_candidates_share_cell(spark):
+    """IVF contract: results exist, are deterministic, and every
+    candidate belongs to the probing query's cell."""
+    specs = load_all()
+    r1 = specs["sim_ann_ivf"].fn(spark, SF_SMALL).collect()
+    r2 = specs["sim_ann_ivf"].fn(spark, SF_SMALL).collect()
+    assert r1 and [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    by_query = {}
+    for r in r1:
+        by_query.setdefault(r.query_id, set()).add(r.cell)
+    for q, cells in by_query.items():
+        assert len(cells) == 1, f"query {q} drew candidates from {cells}"
