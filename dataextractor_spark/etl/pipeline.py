@@ -29,12 +29,21 @@ from dataextractor_spark.sources.rest import RestRequest, TransportFactory, fetc
 class DatasetSpec:
     """One dataset in the full load: where to fetch it, how to type it,
     how to reshape it (the A5/A7/A11-style transform), how to
-    partition it at rest."""
+    partition it at rest.
+
+    payload_kind:
+    - "array":  JSON array of records (list endpoints, A12/A14)
+    - "object": a single JSON object → 1-row table
+      (extract-data-dota.py:100-101 single-dict promotion)
+    - "map":    a {key: value} constants object unpivoted to a 2-column
+      dim with STRING keys (A11, opendotaapi.py:136); ``schema`` then
+      names the two output columns, e.g. "lobby_id STRING, name STRING"
+    """
 
     name: str
     requests: Sequence[RestRequest]
     schema: str  # DDL for one record ("match_id BIGINT, ..." )
-    payload_is_array: bool = True
+    payload_kind: str = "array"
     transform: Callable[[DataFrame], DataFrame] | None = None
     partition_by: tuple[str, ...] = ()
 
@@ -50,14 +59,25 @@ def normalize_payloads(raw: DataFrame, spec: DatasetSpec) -> DataFrame:
     against the dataset's EXPLICIT schema (no sampled inference —
     SURVEY.md §1.3), exploding top-level JSON arrays into rows."""
     ok = raw.filter((F.col("status") == 200) & F.col("body").isNotNull())
-    if spec.payload_is_array:
+    if spec.payload_kind == "array":
         parsed = ok.select(
             F.explode(
                 F.from_json("body", f"array<struct<{spec.schema}>>")
             ).alias("rec")
         )
-    else:
+    elif spec.payload_kind == "object":
         parsed = ok.select(F.from_json("body", f"struct<{spec.schema}>").alias("rec"))
+    elif spec.payload_kind == "map":
+        key_col, value_col = [
+            part.strip().split()[0] for part in spec.schema.split(",")
+        ]
+        return ok.select(
+            F.explode(F.from_json("body", "map<string,string>")).alias(
+                key_col, value_col
+            )
+        )
+    else:
+        raise ValueError(f"unknown payload_kind {spec.payload_kind!r}")
     return parsed.select("rec.*")
 
 
@@ -157,3 +177,156 @@ def demo_match_payload(n: int = 8, base_ts: int = 1750000000) -> str:
             }
         )
     return json.dumps(recs)
+
+
+# --------------------------------------------------------------------------
+# The reference's complete 13-dataset full load (extract-data-dota.py:
+# 126-199) as declarative specs + deterministic fixtures. Record shapes
+# per FIXTURES.md §2; the hero_rankings endpoint is /rankings here — the
+# reference's get_hero_rankings re-fetches /heroes by mistake
+# (opendotaapi.py:627-641, SURVEY.md A14), a bug we do not reproduce.
+# --------------------------------------------------------------------------
+
+CONSTANTS_FIXTURES: dict[str, dict[str, str]] = {
+    "lobby_types": {
+        "0": "lobby_type_unranked", "1": "lobby_type_practice",
+        "5": "lobby_type_ranked_team", "7": "lobby_type_ranked",
+    },
+    "game_modes": {
+        "1": "game_mode_all_pick", "2": "game_mode_captains_mode",
+        "22": "game_mode_all_draft",
+    },
+    "clusters": {"111": "us_west", "136": "europe_west", "236": "peru"},
+}
+
+
+def _list_fixture(name: str, n: int = 5) -> str:
+    """Deterministic list payloads per dataset family."""
+    if name == "heroes":
+        roles = [["Carry", "Escape"], ["Support"], ["Nuker", "Carry"],
+                 ["Durable"], ["Pusher", "Support"]]
+        return json.dumps(
+            [
+                {
+                    "id": i + 1,
+                    "name": f"npc_dota_hero_{i + 1}",
+                    "localized_name": f"Hero {i + 1}",
+                    "primary_attr": ["agi", "str", "int"][i % 3],
+                    "attack_type": ["Melee", "Ranged"][i % 2],
+                    "roles": roles[i % len(roles)],
+                    "legs": 2,
+                }
+                for i in range(n)
+            ]
+        )
+    if name in ("teams", "leagues", "pro_players", "pro_matches"):
+        return json.dumps(
+            [
+                {
+                    "entity_id": 1000 + i,
+                    "rating": 1400.0 + 7.5 * i,
+                    "wins": 100 + i,
+                    "losses": 80 + i,
+                    "name": f"{name}_{i}",
+                    "tag": None if i == 0 else f"T{i}",
+                }
+                for i in range(n)
+            ]
+        )
+    # hero_rankings / item_timings / lane_roles / misc_scenarios
+    return json.dumps(
+        [
+            {
+                "hero_id": i + 1,
+                "bucket": f"b{i % 3}",
+                "games": 50 + 3 * i,
+                "wins": 25 + 2 * i,
+                "score": round(0.4 + 0.05 * i, 2),
+            }
+            for i in range(n)
+        ]
+    )
+
+
+LIST_SCHEMA_ENTITY = (
+    "entity_id BIGINT, rating DOUBLE, wins BIGINT, losses BIGINT, "
+    "name STRING, tag STRING"
+)
+LIST_SCHEMA_SCENARIO = (
+    "hero_id BIGINT, bucket STRING, games BIGINT, wins BIGINT, score DOUBLE"
+)
+HEROES_SCHEMA = (
+    "id BIGINT, name STRING, localized_name STRING, primary_attr STRING, "
+    "attack_type STRING, roles ARRAY<STRING>, legs BIGINT"
+)
+
+
+def reference_fixtures() -> dict[str, tuple[int, str]]:
+    """url → (status, body) for the whole 13-dataset load."""
+    fx: dict[str, tuple[int, str]] = {
+        "/publicMatches": (200, demo_match_payload()),
+        "/heroes": (200, _list_fixture("heroes")),
+    }
+    for name, d in CONSTANTS_FIXTURES.items():
+        fx[f"/constants/{name}"] = (200, json.dumps(d))
+    for name in ("teams", "leagues", "proPlayers", "proMatches"):
+        fx[f"/{name}"] = (200, _list_fixture(name.lower().replace("propl", "pro_pl").replace("proma", "pro_ma")))
+    for name in ("rankings", "itemTimings", "laneRoles", "misc"):
+        fx[f"/scenarios/{name}"] = (200, _list_fixture(name))
+    return fx
+
+
+def reference_datasets() -> list[DatasetSpec]:
+    """The 13 datasets of the reference full load (A19), typed and
+    declarative. Constants become broadcast-able string-keyed dims;
+    list endpoints get explicit schemas (no bounded inference)."""
+    specs: list[DatasetSpec] = [
+        DatasetSpec(
+            name="matches",
+            requests=[RestRequest("/publicMatches", "p0")],
+            schema=MATCH_SCHEMA,
+            transform=matches_transform,
+            partition_by=("dt",),
+        ),
+        DatasetSpec(
+            name="heroes",
+            requests=[RestRequest("/heroes", "h0")],
+            schema=HEROES_SCHEMA,
+        ),
+    ]
+    key_cols = {"lobby_types": "lobby_id", "game_modes": "game_mode_id",
+                "clusters": "cluster_id"}
+    for name in CONSTANTS_FIXTURES:
+        specs.append(
+            DatasetSpec(
+                name=name,
+                requests=[RestRequest(f"/constants/{name}", name)],
+                schema=f"{key_cols[name]} STRING, name STRING",
+                payload_kind="map",
+            )
+        )
+    for name, endpoint in (
+        ("teams", "/teams"), ("leagues", "/leagues"),
+        ("pro_players", "/proPlayers"), ("pro_matches", "/proMatches"),
+    ):
+        specs.append(
+            DatasetSpec(
+                name=name,
+                requests=[RestRequest(endpoint, name)],
+                schema=LIST_SCHEMA_ENTITY,
+            )
+        )
+    for name, endpoint in (
+        ("hero_rankings", "/scenarios/rankings"),
+        ("item_timings", "/scenarios/itemTimings"),
+        ("lane_roles", "/scenarios/laneRoles"),
+        ("misc_scenarios", "/scenarios/misc"),
+    ):
+        specs.append(
+            DatasetSpec(
+                name=name,
+                requests=[RestRequest(endpoint, name)],
+                schema=LIST_SCHEMA_SCENARIO,
+            )
+        )
+    return specs

@@ -169,3 +169,34 @@ def test_full_load_failure_isolation(spark, tmp_path):
     )
     assert report.ok == {"heroes": 1}
     assert "broken" in report.failed and "failed requests" in report.failed["broken"]
+
+
+def test_reference_full_load_all_13(spark, tmp_path):
+    """Complete A19 parity: the reference's 13-dataset monthly full
+    load runs end-to-end on fixtures — list, map-constants, and
+    transformed match datasets all land as typed Parquet."""
+    from dataextractor_spark.etl.pipeline import (
+        reference_datasets,
+        reference_fixtures,
+    )
+
+    transport = FixtureTransport(reference_fixtures())
+    specs = reference_datasets()
+    assert len(specs) == 13
+    report = full_load(spark, specs, lambda: transport, str(tmp_path))
+    assert not report.failed
+    assert set(report.ok) == {s.name for s in specs}
+    # constants became string-keyed 2-column dims (A11 semantics)
+    lobby = spark.read.parquet(str(tmp_path / "lobby_types"))
+    assert dict(lobby.dtypes) == {"lobby_id": "string", "name": "string"}
+    assert report.ok["lobby_types"] == 4
+    # heroes kept their array-typed roles column (FIXTURES.md §2c)
+    heroes = spark.read.parquet(str(tmp_path / "heroes"))
+    assert dict(heroes.dtypes)["roles"] == "array<string>"
+    # matches were flattened + date-partitioned (A5-A8)
+    matches = spark.read.parquet(str(tmp_path / "matches"))
+    assert "radiant_hero_1" in matches.columns and "dt" in matches.columns
+    # sparse field null-in-first-row did not get mistyped (anti-§1.3)
+    teams = spark.read.parquet(str(tmp_path / "teams"))
+    assert dict(teams.dtypes)["tag"] == "string"
+    assert teams.filter("tag IS NULL").count() == 1
