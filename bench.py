@@ -48,7 +48,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_session(app_name="dataextractor-spark-bench")
+    # The sf fixtures are SINGLE parquet files (lineitem sf0.1 ≈ 11MB),
+    # so the default 128MB split puts each whole scan on ~1 core. A 4MB
+    # split spreads the scan across cores for this local layout. On a
+    # real cluster with many ≥128MB files the default is correct — this
+    # override is bench-local, not engine policy.
+    spark = get_session(
+        app_name="dataextractor-spark-bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4194304"},
+    )
     specs = load_all()
 
     # warm the JVM/codegen path once outside timing

@@ -1,0 +1,119 @@
+"""Sampling + profiling: dataset subsetting and column statistics
+(the remaining utilities a training-data pipeline runs constantly).
+
+Sampling here is HASH-based, not rand()-based: membership is a pure
+function of the row key, so a sample is reproducible across reruns,
+engines, partitionings, and cluster sizes — the property that makes
+train/eval splits and A/B slices auditable. rand(seed) sampling is
+partitioning-dependent and silently changes when file splits change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Stable [0, n_buckets) bucket from a row key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its key bucket
+    falls under the stratum's percentage. Narrow filter — no shuffle,
+    no state, same rows at any scale."""
+    pct = F.coalesce(
+        *[
+            F.when(F.col(strata) == s, F.lit(int(frac * 100)))
+            for s, frac in fractions.items()
+        ],
+        F.lit(0),
+    )
+    return df.filter(hash_bucket(key) < pct)
+
+
+@query("sample_stratified")  # hash membership isn't SQL-portable → rows-only
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified document sample: 50% of 'en', 20% of
+    'de', 10% of everything else — per-language yield counts.
+    tests/test_sampling.py checks reproducibility and that realized
+    rates track the targets."""
+    d = load_table(spark, sf_dir, "documents")
+    named = stratified_sample(d, "doc_id", "lang", {"en": 0.5, "de": 0.2})
+    rest = d.filter(~F.col("lang").isin("en", "de")).filter(
+        hash_bucket("doc_id") < 10
+    )
+    return (
+        named.unionByName(rest)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           count(*) - count(o_custkey)      AS n_nulls,
+           count(DISTINCT o_custkey)        AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR)  AS min_value,
+           CAST(max(o_custkey) AS VARCHAR)  AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null counts, cardinality, range) — the
+    data-quality pass run before any pipeline ingests a new source.
+    One scan computes every column's stats in a single aggregate
+    (Spark fuses the agg expressions); rows come out long-format."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(col: str, numeric: bool):
+        mn = F.round(F.min(col), 2) if numeric else F.min(col)
+        mx = F.round(F.max(col), 2) if numeric else F.max(col)
+        return [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            mn.cast("string").alias(f"{col}__min"),
+            mx.cast("string").alias(f"{col}__max"),
+        ]
+
+    cols = [("o_custkey", True), ("o_orderstatus", False), ("o_totalprice", True)]
+    wide = o.agg(*[e for c, num in cols for e in stats(c, num)])
+    # long format: one output row per profiled column
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c, _ in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column_name")
+    )

@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         rest_source,
+        sampling,
         scalars,
         similarity,
         sql_surface,
