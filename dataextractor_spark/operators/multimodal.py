@@ -99,6 +99,39 @@ def decode_features(
     return media_df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media_df: DataFrame, *, target_w: int = 64, target_h: int = 48
+) -> DataFrame:
+    """Resize stub: for image payloads, emit a 'resized' payload whose
+    byte length is scaled by the area ratio (deterministic fake — the
+    real path would decode→resample→re-encode via PIL, which is not in
+    this container) plus updated metadata. The Arrow batch shape,
+    metadata rewrite, and binary-in/binary-out signature are the real
+    contract a codec implementation drops into."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "width": [], "height": []}
+            for doc_id, media, payload in zip(
+                pdf["doc_id"], pdf["media"], pdf["payload"]
+            ):
+                if media["kind"] != "image":
+                    continue
+                ratio = (target_w * target_h) / float(media["width"] * media["height"])
+                n_out = max(1, int(len(payload) * ratio))
+                out["doc_id"].append(doc_id)
+                out["payload"].append(payload[:n_out])
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run, "doc_id BIGINT, payload BINARY, width INT, height INT"
+    )
+
+
 def sample_frames(
     media_df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

@@ -246,6 +246,68 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_winnow_fingerprint")  # xxhash64 isn't SQL-portable → rows-only
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    MOSS-style near-dup/plagiarism detection): hash every k-gram of
+    5 consecutive tokens, then keep the MINIMUM hash in each sliding
+    window of 4 k-grams — a position-robust fingerprint set whose size
+    is ~|tokens|/4, guaranteed to share members for any sufficiently
+    long common substring.
+
+    Entirely higher-order Catalyst expressions (sequence → transform →
+    array_min) — no Python. Output: per-doc fingerprint-set size plus
+    pairs of docs sharing ≥60% of fingerprints (same-lang blocked),
+    the practical near-dup report. Deterministic (seeded xxhash64) →
+    rows-only check; determinism + overlap bounds in tests.
+    """
+    k, w = 5, 4
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, k))
+        ),
+    )
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(kgram_hashes) - (w - 1)),
+            lambda i: F.array_min(F.slice(kgram_hashes, i, w)),
+        )
+    )
+    fps = d.select(
+        "doc_id", "lang", winnowed.alias("fps"), F.size(winnowed).alias("n_fps")
+    ).filter(F.col("n_fps") > 0)
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("fps").alias("fps_a"),
+        F.col("n_fps").alias("na"),
+    )
+    b = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("fps").alias("fps_b"),
+        F.col("n_fps").alias("nb"),
+    )
+    shared = F.size(F.array_intersect(F.col("fps_a"), F.col("fps_b")))
+    overlap = shared.cast("double") / F.least("na", "nb")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(overlap, 4).alias("fp_overlap"),
+        )
+        .filter(F.col("fp_overlap") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "text_token_regex_count",
     oracle="""

@@ -66,3 +66,18 @@ def test_frame_sampling_shape(spark, media):
     for _, row in pdf.head(20).iterrows():
         start = row.frame_no * 64
         assert bytes(row.frame_bytes) == payloads[row.doc_id][start : start + 64]
+
+
+def test_resize_stub_shape(spark, media):
+    from dataextractor_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, target_w=64, target_h=48).toPandas()
+    image_ids = {
+        r.doc_id
+        for r in media.filter(F.col("media.kind") == "image").select("doc_id").collect()
+    }
+    assert set(out.doc_id) == image_ids
+    assert (out.width == 64).all() and (out.height == 48).all()
+    # area ratio 64*48 / 640*480 = 1/100 → payloads shrink
+    full = {r.doc_id: len(r.payload) for r in media.collect()}
+    assert all(len(p) <= max(1, full[d] // 50) for d, p in zip(out.doc_id, out.payload))

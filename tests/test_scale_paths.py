@@ -90,3 +90,11 @@ def test_ivf_candidates_share_cell(spark):
         by_query.setdefault(r.query_id, set()).add(r.cell)
     for q, cells in by_query.items():
         assert len(cells) == 1, f"query {q} drew candidates from {cells}"
+
+
+def test_winnow_fingerprint_deterministic_and_bounded(spark):
+    specs = load_all()
+    r1 = specs["text_winnow_fingerprint"].fn(spark, SF_SMALL).collect()
+    r2 = specs["text_winnow_fingerprint"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert all(0.6 <= r.fp_overlap <= 1.0 for r in r1)
