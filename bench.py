@@ -30,16 +30,25 @@ from dataextractor_spark.session import get_session
 HEADLINE = [
     "flagship_pricing_summary",
     "join_star_revenue",
+    "join_semi_customers_with_orders",
     "join_selfpair_parts",
+    "join_asof_latest_order",
     "agg_rollup",
     "agg_percentiles",
+    "agg_heatmap_bins",
     "window_running_sum",
+    "window_rank_topn",
     "time_session_window",
+    "time_tumbling_window",
     "scalar_json_funcs",
     "etl_flatten_array",
+    "rest_publicmatches_pipeline",
     "dedup_exact",
+    "curation_pipeline",
     "sim_topk_cosine",
     "text_token_stats",
+    "multimodal_features",
+    "udf_zscore",
 ]
 
 
