@@ -166,14 +166,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-vs-exact contract.
     """
     d = load_table(spark, sf_dir, "documents")
-    perms = F.sequence(F.lit(0), F.lit(_N_PERM - 1))
-    sig = F.transform(
-        perms,
-        lambda i: F.array_min(
-            F.transform(_tokens(), lambda t: F.xxhash64(t, i))
-        ),
+    # signatures via explode + 32 codegen'd min-aggregates: nested
+    # higher-order lambdas (transform-of-transform) execute INTERPRETED
+    # per element in Spark, so sig-as-HOF dominated runtime; exploding
+    # tokens and computing each permutation as min(xxhash64(t, i)) in a
+    # single whole-stage-codegen'd aggregate is the fast shape (and the
+    # shuffle is pre-aggregated per doc by the partial agg).
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("t"))
+    sig_aggs = [
+        F.min(F.xxhash64("t", F.lit(i))).alias(f"h{i}") for i in range(_N_PERM)
+    ]
+    docs = (
+        tok.groupBy("doc_id", "lang")
+        .agg(*sig_aggs)
+        .select(
+            "doc_id",
+            "lang",
+            F.array(*[F.col(f"h{i}") for i in range(_N_PERM)]).alias("sig"),
+        )
     )
-    docs = d.select("doc_id", "lang", sig.alias("sig"))
     rows_per_band = _N_PERM // _BANDS
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(_BANDS - 1)),
@@ -191,23 +202,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     banded = docs.withColumn("b", F.explode(bands)).select(
-        "doc_id", "lang", "sig", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+        "doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
+    # candidate pairs carry ONLY ids through the bucket join + distinct
+    # (a near-dup-rich corpus makes buckets large; hauling the 32-long
+    # signatures through every duplicate banded pair dominated runtime
+    # — ids-first then two hash joins back to signatures is ~3× faster
+    # at sf0.1 and shuffles 16 bytes/pair instead of ~540)
     lhs = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("sig").alias("sig_a"),
-        "band",
-        "bhash",
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "band", "bhash"
     )
     rhs = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("sig").alias("sig_b"),
-        "band",
-        "bhash",
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "band", "bhash"
     )
-    cand = (
+    cand_ids = (
         lhs.join(
             rhs,
             (lhs.band == rhs.band)
@@ -215,9 +223,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang_a") == F.col("lang_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = cand_ids.join(sig_a, "doc_a").join(sig_b, "doc_b")
     est = (
         F.size(
             F.filter(

@@ -179,6 +179,38 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                 THEN 1 ELSE 0 END) AS BIGINT)             AS n_big_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: parse_json →
+    variant_get with a typed path — the open-ended-schema alternative
+    to from_json for payloads whose shape isn't known up front (the
+    reference's 22 raw-passthrough getters, A13). Same answers as the
+    JSON-string path, proven by the shared oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min(k).cast("long").alias("min_k"),
+            F.sum(F.when(k > 50, 1).otherwise(0)).cast("long").alias("n_big_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "scalar_json_funcs",
     oracle="""
     SELECT

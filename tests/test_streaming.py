@@ -174,3 +174,45 @@ def test_foreachbatch_partition_overwrite_idempotent(spark, staged, tmp_path):
     # partitioned layout really materialized
     import os
     assert any(p.startswith("dt=") for p in os.listdir(out))
+
+
+def test_stream_stream_join(spark, staged):
+    """Stream-stream interval join: purchases following clicks by the
+    same user within 1 hour — both sides watermarked, join condition
+    time-bounded so state is evictable. Verified against the identical
+    batch join."""
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"), F.col("value").alias("p_value"),
+        )
+        return clicks, buys
+
+    s = events_stream(spark, str(staged / "input"))
+    sc, sp = sides(s)
+    joined = sc.withWatermark("c_ts", "1 hour").join(
+        sp.withWatermark("p_ts", "1 hour"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_id", "p_id", "p_value")
+    out = run_available_now(
+        joined,
+        query_name="t_ss_join",
+        output_mode="append",
+        checkpoint_dir=str(staged / "ckpt_ssjoin"),
+    )
+    from dataextractor_spark.catalog import load_table
+    b = load_table(spark, SF_SMALL, "events")
+    bc, bp = sides(b)
+    batch = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c_id", "p_id", "p_value")
+    assert _normalized(out, ["c_id", "p_id"]) == _normalized(batch, ["c_id", "p_id"])
