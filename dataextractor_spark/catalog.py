@@ -172,6 +172,18 @@ def load_table(
     # driver harness builds its own SparkSession): epoch math and
     # date_format over LTZ timestamps read the session tz, so pin it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Same any-session reasoning for a known-pathological optimizer rule
+    # (SPARK-36715 family): InferFiltersFromGenerate synthesizes
+    # `size(arr) > 0` above explode, and predicate pushdown inlines the
+    # array-building expression into the scan filter with attribute
+    # references substituted — for nested higher-order-function
+    # pipelines (winnowing fingerprints) that re-evaluates inner arrays
+    # per lambda element, a measured 23x slowdown. explode() already
+    # emits nothing for empty arrays, so excluding the rule is safe.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to

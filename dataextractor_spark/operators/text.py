@@ -263,46 +263,86 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k, w = 5, 4
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", F.slice(toks, i, k))
-        ),
-    )
-    winnowed = F.array_distinct(
+    # Two hazards shape this formulation, both measured at sf0.1:
+    # (1) each intermediate array is MATERIALIZED as a column before
+    #     the next lambda references it: an expression argument inside
+    #     a higher-order function is re-evaluated per element
+    #     (slice(expr,…) inside transform recomputed the whole k-gram
+    #     array per window — O(len²) per doc).
+    # (2) no filter may sit above these projections: predicate
+    #     pushdown substitutes attribute references with their
+    #     defining expressions, recreating (1) inside the scan filter.
+    #     The session factory excludes InferFiltersFromGenerate (which
+    #     would synthesize such a filter from the explode below), and
+    #     we rely on explode() itself skipping empty arrays instead of
+    #     an explicit n_fps > 0 filter.
+    with_toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    kgrams = with_toks.select(
+        "doc_id",
+        "lang",
         F.transform(
-            F.sequence(F.lit(1), F.size(kgram_hashes) - (w - 1)),
-            lambda i: F.array_min(F.slice(kgram_hashes, i, w)),
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ).alias("kh"),
+    )
+    winnowed = kgrams.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("kh") - (w - 1), F.lit(0))),
+                lambda i: F.array_min(F.slice(F.col("kh"), i, w)),
+            )
+        ).alias("fps"),
+    )
+    fps = winnowed.select("doc_id", "lang", "fps", F.size("fps").alias("n_fps"))
+    # inverted index on fingerprints: only docs SHARING a fingerprint
+    # ever meet (the all-pairs array_intersect form was O(n²·|fps|)
+    # interpreted — 535 s at sf0.1). Rather than a self-join (which
+    # would evaluate the fingerprint pipeline twice), group by
+    # fingerprint and emit doc pairs with grouped combinations — ONE
+    # scan pass, two small shuffles. Pair volume is Σ df(fp)², small
+    # because winnowed 64-bit hashes are rare outside genuinely shared
+    # content (measured max df = 4 at sf0.1).
+    ex = fps.select("doc_id", "lang", "n_fps", F.explode("fps").alias("fp"))
+    grouped = (
+        ex.groupBy("fp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "lang", "n_fps"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)  # post-aggregate: cannot push into the scan
+    )
+    n = F.size("ds")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("ds", i).alias("a"),
+                    F.element_at("ds", j).alias("b"),
+                ),
+            ),
         )
     )
-    fps = d.select(
-        "doc_id", "lang", winnowed.alias("fps"), F.size(winnowed).alias("n_fps")
-    ).filter(F.col("n_fps") > 0)
-    a = fps.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("fps").alias("fps_a"),
-        F.col("n_fps").alias("na"),
-    )
-    b = fps.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("fps").alias("fps_b"),
-        F.col("n_fps").alias("nb"),
-    )
-    shared = F.size(F.array_intersect(F.col("fps_a"), F.col("fps_b")))
-    overlap = shared.cast("double") / F.least("na", "nb")
-    return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")),
-        )
+    pairs = (
+        grouped.select(F.explode(combos).alias("p"))
+        .filter(F.col("p.a.lang") == F.col("p.b.lang"))
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(overlap, 4).alias("fp_overlap"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_fps").alias("na"),
+            F.col("p.b.n_fps").alias("nb"),
         )
+    )
+    shared = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    overlap = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return (
+        shared.select("doc_a", "doc_b", F.round(overlap, 4).alias("fp_overlap"))
         .filter(F.col("fp_overlap") >= 0.6)
         .orderBy("doc_a", "doc_b")
     )

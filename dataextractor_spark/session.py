@@ -49,6 +49,21 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism ---------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # --- known-pathological rule (SPARK-36715 family) ------------
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` above an
+        # explode; predicate pushdown then inlines the array expression
+        # into the scan filter with every attribute reference
+        # substituted by its defining expression. For higher-order-
+        # function pipelines (transform over transform, e.g. winnowing
+        # fingerprints) that substitution re-evaluates inner arrays per
+        # lambda element — O(len^2+) per row, a measured 23x slowdown
+        # at sf0.1. explode() already emits nothing for empty arrays,
+        # so the inferred filter only ever saves the per-row empty
+        # check; dropping the rule is strictly safe.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- local-mode resources (ignored under a cluster manager) --
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
