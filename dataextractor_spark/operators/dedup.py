@@ -120,7 +120,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output. The oracle stays the direct all-pairs
     definition, proving the rewrite exact.
     """
-    t = 0.95
+    return _jaccard_pairs(spark, sf_dir, 0.95).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
+    """Exact language-blocked Jaccard ≥ t pairs (doc_a, doc_b, jaccard)
+    via prefix filtering — shared by the pair report and the
+    connected-components clustering."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", _tokens().alias("toks")).withColumn(
         "n_toks", F.size("toks")
@@ -186,10 +192,99 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.round(
         shared.cast("double") / (F.col("na") + F.col("nb") - shared), 6
     )
-    return (
-        verified.select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.95)
-        .orderBy("doc_a", "doc_b")
+    return verified.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= t
+    )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM tok a
+        JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE round(
+                  len(list_intersect(a.toks, b.toks))::DOUBLE
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                  6
+              ) >= 0.95
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS component
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER formation: connected components over the
+    exact Jaccard ≥ 0.95 near-dup graph, labeling every document with
+    the smallest doc_id reachable through duplicate pairs (singletons
+    label themselves). Pairs alone don't dedup a corpus — transitive
+    groups do (A≈B, B≈C ⇒ {A,B,C} is one cluster with one survivor).
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbors' labels,
+    until the global label sum stops changing (labels are monotone
+    non-increasing, so the sum is a convergence certificate requiring
+    one cheap aggregate, no diff join). Rounds = graph diameter;
+    duplicate clusters are near-cliques so this is small. Each round
+    is one shuffle join + one aggregate; lineage is truncated per
+    round (localCheckpoint here; on a real cluster a reliable
+    checkpoint dir). For adversarial long-chain graphs at 100 TB the
+    published upgrade is the large-star/small-star algorithm (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    — same join/agg primitives, O(log²  n) rounds.
+
+    Oracle: DuckDB recursive-CTE transitive closure + min over the
+    reachable set — exact same clustering, declaratively.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(spark, sf_dir, 0.95).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    # materialize once: every iteration probes the edge list
+    edges = edges.localCheckpoint()
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("dst"), "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("connected components did not converge in 50 rounds")
+    return labels.select("doc_id", F.col("label").alias("component")).orderBy(
+        "doc_id"
     )
 
 

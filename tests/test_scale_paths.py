@@ -98,3 +98,31 @@ def test_winnow_fingerprint_deterministic_and_bounded(spark):
     r2 = specs["text_winnow_fingerprint"].fn(spark, SF_SMALL).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
     assert all(0.6 <= r.fp_overlap <= 1.0 for r in r1)
+
+
+def test_components_match_union_find(spark):
+    """Label-propagation clustering must equal a driver-side union-find
+    over the same exact Jaccard pair set (transitive-closure ground
+    truth), including singleton self-labels."""
+    from dataextractor_spark.operators.dedup import _jaccard_pairs
+
+    specs = load_all()
+    got = {
+        r.doc_id: r.component
+        for r in specs["dedup_components"].fn(spark, SF_SMALL).collect()
+    }
+    docs = [r.doc_id for r in load_table(spark, SF_SMALL, "documents").select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in _jaccard_pairs(spark, SF_SMALL, 0.95).collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+    assert got == want
