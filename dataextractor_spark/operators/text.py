@@ -233,9 +233,14 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     |tokens| - |docs|)."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    # zip_with over the token array and its shift-by-one: inherently
+    # empty for 1-token docs (an index sequence(1, size-1) would step
+    # DOWN to [1, 0] there — Spark's sequence reverses when start >
+    # stop — and element_at(w, 0) throws)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -244,6 +249,50 @@ def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+def winnow_fingerprints(d: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """(doc_id, lang, fps, n_fps) winnowing fingerprint sets for a
+    documents-shaped frame (doc_id, lang, text).
+
+    Two hazards shape this formulation, both measured at sf0.1:
+    (1) each intermediate array is MATERIALIZED as a column before the
+        next lambda references it: an expression argument inside a
+        higher-order function is re-evaluated per element (slice(expr,…)
+        inside transform recomputed the whole k-gram array per window —
+        O(len²) per doc).
+    (2) no filter may sit above these projections: predicate pushdown
+        substitutes attribute references with their defining
+        expressions, recreating (1) inside the scan filter. The session
+        factory and catalog exclude InferFiltersFromGenerate (which
+        would synthesize such a filter from downstream explodes);
+        callers must rely on explode() itself skipping empty arrays
+        instead of filtering on n_fps.
+    """
+    with_toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    kgrams = with_toks.select(
+        "doc_id",
+        "lang",
+        # lower bound 1, not 0: sequence(1, 0) steps DOWN to [1, 0] and
+        # slice(…, 0, k) throws. Docs shorter than k tokens produce one
+        # k-gram over whatever tokens exist (slice truncates at the
+        # end) — the whole-short-doc hash, matching MOSS behavior.
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ).alias("kh"),
+    )
+    winnowed = kgrams.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("kh") - (w - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(F.col("kh"), i, w)),
+            )
+        ).alias("fps"),
+    )
+    return winnowed.select("doc_id", "lang", "fps", F.size("fps").alias("n_fps"))
 
 
 @query("text_winnow_fingerprint")  # xxhash64 isn't SQL-portable → rows-only
@@ -261,41 +310,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the practical near-dup report. Deterministic (seeded xxhash64) →
     rows-only check; determinism + overlap bounds in tests.
     """
-    k, w = 5, 4
     d = load_table(spark, sf_dir, "documents")
-    # Two hazards shape this formulation, both measured at sf0.1:
-    # (1) each intermediate array is MATERIALIZED as a column before
-    #     the next lambda references it: an expression argument inside
-    #     a higher-order function is re-evaluated per element
-    #     (slice(expr,…) inside transform recomputed the whole k-gram
-    #     array per window — O(len²) per doc).
-    # (2) no filter may sit above these projections: predicate
-    #     pushdown substitutes attribute references with their
-    #     defining expressions, recreating (1) inside the scan filter.
-    #     The session factory excludes InferFiltersFromGenerate (which
-    #     would synthesize such a filter from the explode below), and
-    #     we rely on explode() itself skipping empty arrays instead of
-    #     an explicit n_fps > 0 filter.
-    with_toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
-    kgrams = with_toks.select(
-        "doc_id",
-        "lang",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
-        ).alias("kh"),
-    )
-    winnowed = kgrams.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("kh") - (w - 1), F.lit(0))),
-                lambda i: F.array_min(F.slice(F.col("kh"), i, w)),
-            )
-        ).alias("fps"),
-    )
-    fps = winnowed.select("doc_id", "lang", "fps", F.size("fps").alias("n_fps"))
+    fps = winnow_fingerprints(d)
     # inverted index on fingerprints: only docs SHARING a fingerprint
     # ever meet (the all-pairs array_intersect form was O(n²·|fps|)
     # interpreted — 535 s at sf0.1). Rather than a self-join (which

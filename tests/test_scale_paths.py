@@ -126,3 +126,31 @@ def test_components_match_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {d: find(d) for d in docs}
     assert got == want
+
+
+def test_winnow_and_bigrams_handle_short_docs(spark):
+    """Docs with fewer tokens than the k-gram/window sizes must not
+    crash (sequence(1, 0) steps DOWN and slice/element_at(…, 0) throw)
+    and must produce sensible output: one whole-doc fingerprint, zero
+    bigrams for a 1-token doc."""
+    from dataextractor_spark.operators.text import winnow_fingerprints
+
+    d = spark.createDataFrame(
+        [(1, "en", "one"), (2, "en", "two words"), (3, "en", "a b c d e f g h")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprints(d).collect()}
+    assert rows[1].n_fps == 1  # whole-short-doc hash
+    assert rows[2].n_fps == 1
+    assert rows[3].n_fps >= 1
+
+    w = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    got = {r.doc_id: r.bg for r in d.select("doc_id", bigrams.alias("bg")).collect()}
+    assert got[1] == []
+    assert got[2] == ["two words"]
+    assert got[3][:2] == ["a b", "b c"]
