@@ -394,3 +394,73 @@ def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2]
+               ) AS tg
+        FROM documents
+    )
+    SELECT lang,
+           count(*) FILTER (len(tg) > 0) AS n_docs,
+           round(
+               avg(CASE WHEN len(tg) > 0
+                        THEN 1 - len(list_distinct(tg))::DOUBLE / len(tg)
+                   END),
+               6
+           ) AS avg_repetition
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio — the classic templated/boilerplate quality
+    signal for training-data curation: per doc, the fraction of token
+    TRIGRAMS that are repeats (1 − |distinct|/|total|); reported as the
+    per-language average over docs long enough to have a trigram.
+
+    Trigrams come from zip_with over three shifted slices of the token
+    array (never an index sequence — safe for short docs, and the
+    lambda touches only its own elements so the expression stays cheap
+    even if an optimizer rule inlines it). One narrow pass + one tiny
+    per-lang aggregate: at 100 TB this is scan-bound, exactly what a
+    quality-filter pass should be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tg = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n3),
+            F.slice(toks, 2, n3),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice(toks, 3, n3),
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(tg).alias("total"),
+        F.size(F.array_distinct(tg)).alias("n_distinct"),
+    )
+    rep = F.when(
+        F.col("total") > 0,
+        1 - F.col("n_distinct").cast("double") / F.col("total"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(rep).alias("n_docs"),
+            F.round(F.avg(rep), 6).alias("avg_repetition"),
+        )
+        .orderBy("lang")
+    )
