@@ -8,6 +8,7 @@ reimplementation.
 """
 
 from dataextractor_spark.streaming.windows import (
+    dedup_events_stream,
     events_stream,
     run_available_now,
     session_aggregate,
@@ -17,6 +18,7 @@ from dataextractor_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_events_stream",
     "events_stream",
     "run_available_now",
     "session_aggregate",

@@ -190,6 +190,22 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(stream: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication by event_id under a watermark — the
+    stream-side half of the dedup tier (SURVEY.md §2.3): a first
+    occurrence is emitted immediately; re-deliveries arriving within
+    the watermark delay hit state and are suppressed; older
+    re-deliveries are discarded as late input. State is bounded:
+    dropDuplicatesWithinWatermark evicts ids once the watermark passes
+    them, so memory is O(events per watermark window), not O(stream) —
+    the property that makes at-least-once sources (Kafka, file
+    redelivery) safe to exactly-once-dedup at 100 TB/day.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     *,

@@ -216,3 +216,31 @@ def test_stream_stream_join(spark, staged):
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("c_id", "p_id", "p_value")
     assert _normalized(out, ["c_id", "p_id"]) == _normalized(batch, ["c_id", "p_id"])
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup contract: replaying the event chunks PLUS a
+    trailing file that re-delivers the newest 150 events must emit
+    every event_id exactly once (re-deliveries are either suppressed
+    by dedup state or discarded as late — both exactly-once)."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.streaming import dedup_events_stream
+
+    d = str(tmp_path / "input")
+    stage_stream_input(spark, SF_SMALL, d, n_chunks=4, with_sentinel=False)
+    events = load_table(spark, SF_SMALL, "events")
+    import time as _t
+
+    _t.sleep(0.05)
+    redelivered = events.orderBy(F.col("ts").desc(), "event_id").limit(150)
+    redelivered.select(*events.columns).coalesce(1).write.mode("append").parquet(d)
+
+    out = run_available_now(
+        dedup_events_stream(events_stream(spark, d)),
+        query_name="t_dedup",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"),
+    )
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    want = sorted(r.event_id for r in events.select("event_id").collect())
+    assert got == want
