@@ -331,3 +331,52 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_recursive_months",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           coalesce(n_orders, 0) AS n_orders
+    FROM months
+    LEFT JOIN (
+        SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ) o ON om = m
+    ORDER BY month
+    """,
+)
+def sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating the dense
+    month series spanning the orders table, left-joined to per-month
+    order counts with zero-fill — the gap-free time-series pattern
+    dashboards need (a month with no orders still appears). The
+    recursion is driver-bounded (one row per month); the per-month
+    aggregate is the only distributed work, so this stays scan-bound
+    at any scale.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               coalesce(n_orders, 0) AS n_orders
+        FROM months
+        LEFT JOIN (
+            SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ) o ON om = m
+        ORDER BY month
+        """
+    )
