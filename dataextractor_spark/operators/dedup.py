@@ -137,8 +137,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
     prefix_len = (F.col("n_toks") - F.ceil(F.lit(t) * F.col("n_toks")) + 1).cast(
         "int"
     )
+    # dfreq is vocabulary-sized (distinct tokens per language), orders of
+    # magnitude smaller than the exploded token table — broadcast it so the
+    # big side never shuffles. Measured 4.5s -> 2.9s at sf0.1; at shingle-
+    # scale vocabularies (millions of entries, tens of MB) this still fits
+    # the default 10 MB..8 GB broadcast range or falls back via AQE.
     pref = (
-        ex.join(dfreq, ["lang", "t"])
+        ex.join(F.broadcast(dfreq), ["lang", "t"])
         .groupBy("doc_id", "lang", "n_toks")
         .agg(F.sort_array(F.collect_list(F.struct("df", "t"))).alias("ordered"))
         .select(
