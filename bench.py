@@ -42,6 +42,8 @@ HEADLINE = [
     "window_rank_topn",
     "time_session_window",
     "time_tumbling_window",
+    "time_gapfill_locf",
+    "funnel_view_click_purchase",
     "scalar_json_funcs",
     "etl_flatten_array",
     "rest_publicmatches_pipeline",

@@ -282,3 +282,144 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("spend").desc(), "o_custkey")
         .limit(25)
     )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    modes AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY cnt DESC, o_orderpriority ASC
+            ) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT s.o_orderstatus,
+           m.mode_priority,
+           round(median(s.o_totalprice), 2) AS median_price,
+           CAST(count(*) AS BIGINT)         AS n_orders
+    FROM orders s JOIN modes m USING (o_orderstatus)
+    GROUP BY s.o_orderstatus, m.mode_priority
+    ORDER BY s.o_orderstatus
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode + exact median per group. The mode is computed
+    deterministically (count per value, row_number with an explicit
+    value tiebreak) rather than via engine mode() builtins, whose
+    tie-breaking differs between engines. Both halves are two-level
+    hash aggregates; the per-group value-count table is
+    cardinality-bounded by |status|x|priority| (tiny), so the ranking
+    window runs on a dimension-sized input at any fact-table scale."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority")
+        )
+    )
+    return (
+        o.join(F.broadcast(modes), "o_orderstatus")
+        .groupBy("o_orderstatus", "mode_priority")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round((SELECT count(*) FROM c)::DOUBLE
+                 / (SELECT count(*) FROM v), 6) AS click_through,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM c), 6) AS purchase_conv
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> later click -> later purchase)
+    with per-stage conversion rates — the timeline-analysis shape the
+    reference's README promises (README.md:31) done as staged
+    event-time aggregation.
+
+    Each stage is a filtered min-timestamp aggregate joined to the
+    previous stage's per-user table; stage tables are user-dimension-
+    sized (one row per surviving user), so successive joins shrink
+    monotonically, and each stage is a partial+final hash agg on
+    user_id. The event scan is filtered to one event_type per stage,
+    so predicate pushdown keeps each pass narrow."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(
+                F.col("n_clicked").cast("double") / F.col("n_viewed"), 6
+            ).alias("click_through"),
+            F.round(
+                F.col("n_purchased").cast("double") / F.col("n_clicked"), 6
+            ).alias("purchase_conv"),
+        )
+    )

@@ -15,7 +15,7 @@ engine-representation independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dataextractor_spark.catalog import load_table
 from dataextractor_spark.registry import query
@@ -195,4 +195,75 @@ def time_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "time_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+        GROUP BY 1
+    ),
+    days AS (
+        SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                      (SELECT max(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS d
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+           round(last_value(rev IGNORE NULLS) OVER
+                 (ORDER BY days.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS locf_revenue
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    ORDER BY day
+    """,
+)
+def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap-fill with last-observation-carried-forward —
+    the `time_bucket_gapfill(...) + locf(...)` pattern timeseries
+    databases expose, over a sparse daily series (urgent high-value
+    orders: ~290 order days across a ~2,400-day span at sf0.01).
+
+    Scale shape: the per-day aggregate over orders is the only
+    data-sized work (distributed hash agg). The dense day spine is
+    generated with `sequence()`/`explode` from a 1-row bounds
+    aggregate — fully Catalyst-planned, unlike a driver-side loop —
+    and is calendar-sized (one row per day), so the single-partition
+    ordered window that carries values forward operates on a
+    dimension-sized series no matter how large the fact table grows.
+    Complements `sql_recursive_months`, which builds the same spine
+    via a recursive CTE.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 450000)
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.last("rev", ignorenulls=True).over(w), 2).alias(
+                "locf_revenue"
+            ),
+        )
+        .orderBy("day")
     )
