@@ -116,10 +116,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the length filter |A| ≥ t·|B|. Candidates are then verified
     exactly with one array_intersect per surviving pair. A plain
     inverted index on ALL tokens was measured 28 s at sf0.1 on this
-    small-vocabulary corpus (Σ df² ~ all pairs); this runs ~5 s with
-    identical output (545k candidates verified down to 47k pairs —
-    verification, not candidate generation, is the remaining cost on
-    this adversarially shared-vocabulary corpus). The oracle stays the
+    small-vocabulary corpus (Σ df² ~ all pairs); this runs ~3.5 s with
+    identical output. PPJoin's positional filter (see _jaccard_pairs)
+    prunes the prefix-join candidates (545k → 455k here) before the
+    array_intersect verification that dominates the cost on this
+    adversarially shared-vocabulary corpus. The oracle stays the
     direct all-pairs definition, proving the rewrite exact.
     """
     return _jaccard_pairs(spark, sf_dir, 0.95).orderBy("doc_a", "doc_b")
@@ -155,33 +156,50 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
             F.slice("ordered", F.lit(1), prefix_len).alias("prefix"),
         )
     )
+    # posexplode keeps each prefix token's 1-based rank in the df-ordered
+    # token list, enabling PPJoin's positional filter below.
     exp = pref.select(
-        "doc_id", "lang", "n_toks", F.explode("prefix.t").alias("pt")
-    )
+        "doc_id", "lang", "n_toks", F.posexplode("prefix.t").alias("p", "pt")
+    ).withColumn("p", F.col("p") + 1)
     a = exp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("n_toks").alias("na"),
+        F.col("p").alias("pa"),
         "pt",
     )
     b = exp.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("n_toks").alias("nb"),
+        F.col("p").alias("pb"),
         "pt",
     )
+    raw = a.join(
+        b,
+        (a.pt == b.pt)
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        # length filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
+        & (F.col("na") >= F.lit(t) * F.col("nb"))
+        & (F.col("nb") >= F.lit(t) * F.col("na")),
+    )
+    # Positional filter (PPJoin): a common token at ranks (pa, pb) bounds
+    # the overlap by 1 + min(|A|-pa, |B|-pb); Jaccard ≥ t needs overlap
+    # ≥ ceil(t/(1+t)·(|A|+|B|)). The max bound over a pair's matched
+    # prefix tokens is still a valid upper bound, so pairs whose best
+    # bound misses the requirement are pruned BEFORE the expensive
+    # array_intersect verification (the dominant cost). The groupBy
+    # doubles as the candidate dedup the plain version did via distinct.
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
     cand = (
-        a.join(
-            b,
-            (a.pt == b.pt)
-            & (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            # length filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
-            & (F.col("na") >= F.lit(t) * F.col("nb"))
-            & (F.col("nb") >= F.lit(t) * F.col("na")),
-        )
-        .select("doc_a", "doc_b", F.col("lang_a").alias("lang"))
-        .distinct()
+        raw.groupBy("doc_a", "doc_b")
+        .agg(F.max(ubound).alias("ub"), F.max(alpha).alias("alpha"))
+        .filter(F.col("ub") >= F.col("alpha"))
+        .select("doc_a", "doc_b")
     )
     # exact verification of the (few) candidates
     ta = tok.select(
