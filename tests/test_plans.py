@@ -86,3 +86,21 @@ def test_salted_join_spreads_hot_keys(spark):
         .count()
     )
     assert salts > 1
+
+
+def test_gapfill_pushes_filters_and_prunes(spark):
+    """The gap-fill spine is generated, so the only scan is the daily
+    aggregate's — its selective filters must reach the parquet scan
+    and untouched wide columns must not be read."""
+    df = load_all()["time_gapfill_locf"].fn(spark, SF_SMALL)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderpriority" in pf and "o_totalprice" in pf, pf
+    assert "o_comment" not in physical_plan(df)
+
+
+def test_funnel_stage_scans_push_event_type(spark):
+    """Each funnel stage scans events filtered to ONE event_type; the
+    predicate must be pushed so every pass stays narrow."""
+    df = load_all()["funnel_view_click_purchase"].fn(spark, SF_SMALL)
+    pf = " ".join(pushed_filters(df))
+    assert "event_type" in pf, pf
