@@ -103,37 +103,164 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard near-duplicates (threshold 0.95), language-
-    blocked, via PREFIX FILTERING (Bayardo et al. "Scaling Up All
-    Pairs Similarity Search", WWW'07 / PPJoin): exact results, never
-    the O(n²) pair matrix, and — unlike a plain token inverted index —
-    immune to high-document-frequency tokens.
+    blocked, EXACT, with an adaptive physical strategy (see
+    _jaccard_pairs):
 
-    Principle: order every doc's tokens by ascending global document
-    frequency; for Jaccard ≥ t two docs MUST share a token among their
-    first |toks| - ⌈t·|toks|⌉ + 1 (= the rarest ~5% at t=0.95).
-    Candidate generation therefore joins only on prefix tokens
-    (Σ df_prefix² pairs, tiny because prefixes hold the rare tail),
-    plus the length filter |A| ≥ t·|B|. Candidates are then verified
-    exactly with one array_intersect per surviving pair. A plain
-    inverted index on ALL tokens was measured 28 s at sf0.1 on this
-    small-vocabulary corpus (Σ df² ~ all pairs); this runs ~3.5 s with
-    identical output. PPJoin's positional filter (see _jaccard_pairs)
-    prunes the prefix-join candidates (545k → 455k here) before the
-    array_intersect verification that dominates the cost on this
-    adversarially shared-vocabulary corpus. The oracle stays the
-    direct all-pairs definition, proving the rewrite exact.
+    - Deletion-neighborhood join (chosen here: short token sets ×
+      high threshold ⟹ qualifying pairs differ by ≤1 token): join on
+      exact serialized set signatures; zero candidate inflation, no
+      verification pass. ~2.1 s at sf0.1.
+    - PREFIX FILTERING (Bayardo et al. "Scaling Up All Pairs
+      Similarity Search", WWW'07 / PPJoin) for the general case:
+      order tokens by ascending document frequency; Jaccard ≥ t pairs
+      must share a token among their rarest |toks| - ⌈t·|toks|⌉ + 1,
+      within the pair-tight position bound α = ⌈t/(1+t)·(|A|+|B|)⌉;
+      survivors of the positional filter are verified exactly with
+      one array_intersect per pair. ~4.3 s at sf0.1 — the cost is
+      array_intersect over the 455k candidates this adversarially
+      shared-vocabulary corpus leaves after every filter.
+
+    Reference points, same output on all: plain inverted index on ALL
+    tokens 28 s (Σ df² ≈ all pairs); prefix filtering 4.3 s; deletion
+    neighborhood 2.1 s. The oracle stays the direct all-pairs
+    definition, proving both rewrites exact; a test asserts the two
+    strategies emit identical pairs.
     """
     return _jaccard_pairs(spark, sf_dir, 0.95).orderBy("doc_a", "doc_b")
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, t: float, strategy: str = "auto"
+) -> DataFrame:
     """Exact language-blocked Jaccard ≥ t pairs (doc_a, doc_b, jaccard)
-    via prefix filtering — shared by the pair report and the
-    connected-components clustering."""
+    — shared by the pair report and the connected-components
+    clustering. Two exact physical strategies, picked by a data
+    statistic (strategy="auto"):
+
+    - "deletion": when ⌊n_max·(1−t)/t⌋ ≤ 1 (high threshold × short
+      token sets), any qualifying pair has token-set symmetric
+      difference ≤ 1 — identical sets, or one set = the other plus a
+      single token. Candidates are then exact hash-signature matches
+      (full-set hash ∪ delete-one-token hashes, the deletion
+      neighborhood of Ed-Join/SSJoin lineage): O(Σ n) signatures, and
+      the candidate set ≈ the true pairs, not the 10× superset prefix
+      filtering yields on a shared-vocabulary corpus.
+    - "prefix": AllPairs/PPJoin prefix filtering (general case; see
+      dedup_jaccard_pairs docstring).
+
+    Both verify candidates with an exact array_intersect, so the
+    result is identical either way (a test asserts it)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", _tokens().alias("toks")).withColumn(
         "n_toks", F.size("toks")
     )
+    if strategy == "auto":
+        n_max = tok.agg(F.max("n_toks")).collect()[0][0] or 0
+        # max symmetric difference a Jaccard ≥ t pair can have:
+        # J = O/(O+d) ≥ t ⟹ d ≤ O·(1−t)/t ≤ n_max·(1−t)/t
+        strategy = "deletion" if int(n_max * (1.0 - t) / t) <= 1 else "prefix"
+    if strategy == "deletion":
+        return _jaccard_pairs_deletion(tok, t)
+    return _jaccard_pairs_prefix(tok, t)
+
+
+def _verify_pairs(tok: DataFrame, cand: DataFrame, t: float) -> DataFrame:
+    """Exact verification: join candidate (doc_a, doc_b) id pairs back
+    to token arrays (broadcast-able doc side) and compute true Jaccard."""
+    ta = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("na"),
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("nb"),
+    )
+    verified = cand.join(ta, "doc_a").join(tb, "doc_b")
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    jaccard = F.round(
+        shared.cast("double") / (F.col("na") + F.col("nb") - shared), 6
+    )
+    return verified.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= t
+    )
+
+
+def _jaccard_pairs_deletion(tok: DataFrame, t: float) -> DataFrame:
+    """Deletion-neighborhood exact join (valid when sym-diff ≤ 1).
+
+    Each doc emits its SORTED token set serialized as a string
+    (tokens are space-split words, so concat_ws(' ') is injective)
+    plus one serialization per delete-one-token subset. A qualifying
+    pair either shares the full-set string — identical sets, Jaccard
+    exactly 1 — or the larger doc's deletion equals the smaller doc's
+    full set — superset-by-one, Jaccard exactly |A|/|B| = na/(na+1).
+    Because the keys are the exact serialized sets (not hashes), NO
+    verification pass is needed: the join output IS the answer, with
+    the similarity computed arithmetically. Each direction of the
+    superset join matches at most once (tokens are distinct, so
+    delete-one strings are pairwise distinct), so no dedup shuffle
+    either. Σ (n+1) signature rows, one shuffle join each.
+
+    100 TB shape: this path is only chosen when tokens-per-doc is
+    bounded by ~2t/(1−t) (≈38 at t=0.95), so signature keys stay
+    small; linear in corpus tokens, and the join output is exactly
+    the true duplicate pairs — no candidate inflation at all."""
+    sorted_tok = tok.select(
+        "doc_id", "lang", "n_toks", F.array_sort("toks").alias("st")
+    )
+    full = sorted_tok.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.concat_ws(" ", "st").alias("sig"),
+    )
+    dels = sorted_tok.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_toks")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.concat(
+                        F.slice("st", F.lit(1), i - 1),
+                        F.slice("st", i + 1, F.col("n_toks") - i),
+                    ),
+                ),
+            )
+        ).alias("sig"),
+    )
+    fa = full.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("n_toks").alias("na"), "sig"
+    )
+    fb = full.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("n_toks").alias("nb"), "sig"
+    )
+    identical = (
+        fa.join(fb, ["lang", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    db = dels.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("n_toks").alias("nb"), "sig"
+    )
+    superset = (
+        fa.join(db, ["lang", "sig"])
+        .filter(F.col("nb") == F.col("na") + 1)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.round(F.col("na").cast("double") / F.col("nb"), 6).alias("jaccard"),
+        )
+    )
+    return identical.union(superset).filter(F.col("jaccard") >= t)
+
+
+def _jaccard_pairs_prefix(tok: DataFrame, t: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact join (general case)."""
     ex = tok.select("doc_id", "lang", "n_toks", F.explode("toks").alias("t"))
     dfreq = ex.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("df"))
     # per-doc prefix: rarest L tokens under the global (df, token) order
@@ -175,6 +302,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
         F.col("p").alias("pb"),
         "pt",
     )
+    # Pair-tight prefix (the big pruner on short documents): Jaccard ≥ t
+    # needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and the RAREST common token
+    # then sits within the first |X| - α + 1 tokens of BOTH docs — a far
+    # shorter effective prefix than the per-doc |X| - ⌈t·|X|⌉ + 1 used to
+    # build `exp` (which can't know the partner's size). At t=0.95 on
+    # ~23-token docs this is position ≤ 1–2, i.e. candidates must share
+    # their globally-rarest tokens. Subsumes the length filter (|A| <
+    # t·|B| makes the position bound infeasible), which stays as a cheap
+    # pre-cut.
+    pair_alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
     raw = a.join(
         b,
         (a.pt == b.pt)
@@ -182,7 +319,9 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
         & (F.col("doc_a") < F.col("doc_b"))
         # length filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
         & (F.col("na") >= F.lit(t) * F.col("nb"))
-        & (F.col("nb") >= F.lit(t) * F.col("na")),
+        & (F.col("nb") >= F.lit(t) * F.col("na"))
+        & (F.col("pa") <= F.col("na") - pair_alpha + 1)
+        & (F.col("pb") <= F.col("nb") - pair_alpha + 1),
     )
     # Positional filter (PPJoin): a common token at ranks (pa, pb) bounds
     # the overlap by 1 + min(|A|-pa, |B|-pb); Jaccard ≥ t needs overlap
@@ -202,24 +341,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     # exact verification of the (few) candidates
-    ta = tok.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n_toks").alias("na"),
-    )
-    tb = tok.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n_toks").alias("nb"),
-    )
-    verified = cand.join(ta, "doc_a").join(tb, "doc_b")
-    shared = F.size(F.array_intersect("toks_a", "toks_b"))
-    jaccard = F.round(
-        shared.cast("double") / (F.col("na") + F.col("nb") - shared), 6
-    )
-    return verified.select("doc_a", "doc_b", jaccard.alias("jaccard")).filter(
-        F.col("jaccard") >= t
-    )
+    return _verify_pairs(tok, cand, t)
 
 
 @query(

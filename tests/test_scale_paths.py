@@ -128,6 +128,41 @@ def test_components_match_union_find(spark):
     assert got == want
 
 
+def test_jaccard_strategies_identical(spark):
+    """The adaptive exact-join strategies (deletion-neighborhood vs
+    PPJoin prefix filtering) must emit the SAME pair set with the same
+    similarities — they are physical plans for one logical operator.
+    At t=0.95 on this corpus auto picks deletion; force both."""
+    from dataextractor_spark.operators.dedup import _jaccard_pairs
+
+    dele = {
+        tuple(r) for r in _jaccard_pairs(spark, SF_SMALL, 0.95, "deletion").collect()
+    }
+    pref = {
+        tuple(r) for r in _jaccard_pairs(spark, SF_SMALL, 0.95, "prefix").collect()
+    }
+    assert dele, "corpus should contain near-dup pairs"
+    assert dele == pref
+
+
+def test_jaccard_auto_strategy_picks_prefix_at_low_threshold(spark):
+    """At t=0.5 the sym-diff bound exceeds 1, so auto must route to the
+    prefix path (deletion enumeration would be incomplete there)."""
+    from dataextractor_spark.operators import dedup as D
+
+    tok_max = 31  # corpus max distinct tokens (FIXTURES.md)
+    assert int(tok_max * (1 - 0.5) / 0.5) > 1  # deletion ineligible
+    df = D._jaccard_pairs(spark, SF_SMALL, 0.9, "auto")
+    # t=0.9: d_max = int(31*0.111) = 3 > 1 → prefix path; result must
+    # still be a superset of the t=0.95 pairs and internally consistent
+    pairs95 = {
+        (r.doc_a, r.doc_b)
+        for r in D._jaccard_pairs(spark, SF_SMALL, 0.95, "auto").collect()
+    }
+    pairs90 = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert pairs95 <= pairs90
+
+
 def test_winnow_and_bigrams_handle_short_docs(spark):
     """Docs with fewer tokens than the k-gram/window sizes must not
     crash (sequence(1, 0) steps DOWN and slice/element_at(…, 0) throw)
