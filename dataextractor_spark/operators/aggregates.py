@@ -423,3 +423,111 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_conv"),
         )
     )
+
+
+@query(
+    "agg_conditional_filter",
+    oracle="""
+    SELECT o_orderpriority,
+        count(*) AS n_orders,
+        count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        round(avg(CASE WHEN o_totalprice > 200000 THEN 1.0 ELSE 0.0 END), 6)
+            AS big_share,
+        round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+            AS f_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — FILTER/count_if/sum(CASE) in one pass.
+    One scan, one aggregate: every conditional metric folds into the
+    same partial-agg buffers, so adding conditions never adds scans or
+    shuffles (the anti-pattern is one query per condition)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(big).alias("n_big"),
+            F.round(F.avg(F.when(big, 1.0).otherwise(0.0)), 6).alias("big_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+                ),
+                2,
+            ).alias("f_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_string_listagg",
+    oracle="""
+    SELECT r_name,
+           count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/string_agg): per-region alphabetized
+    nation roster. Spark has no ordered string_agg aggregate, so the
+    deterministic form is collect_list → array_sort → concat_ws —
+    sorting INSIDE the row after the aggregate, which keeps the
+    aggregate itself order-insensitive (safe under any partitioning)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — correlation, sample covariance,
+    and the least-squares slope (price-vs-quantity regression), all
+    single-pass streaming aggregates (Welford-style accumulators in
+    both engines, no sort, no materialized pair lists)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("price_per_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -225,6 +225,142 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH od AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    ed AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT coalesce(od.day, ed.day) AS day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM od FULL JOIN ed ON od.day = ed.day
+    ORDER BY day
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two independently-aggregated daily series
+    (orders vs events) — the reconciliation shape: days present in
+    either side survive, the missing side zero-filled. Both inputs are
+    pre-aggregated to one row per day BEFORE the join, so the full
+    outer join is tiny (days, not raw rows) regardless of corpus size
+    — the 100 TB discipline is aggregate-then-join, never the reverse."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    od = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ed = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        od.join(ed, od.day == ed.day, "full_outer")
+        .select(
+            F.coalesce(od.day, ed.day).alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "join_right_outer_order_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_custkey) AS n_customers,
+           count(o_orderkey)         AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_right_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every customer survives, order columns NULL
+    for order-less customers — and count(o_orderkey) skips those NULLs
+    while count(DISTINCT c_custkey) keeps every customer, the classic
+    outer-join counting contract."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_cross_grid_revenue",
+    oracle="""
+    WITH grid AS (
+        SELECT r_name, o_orderpriority AS priority
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    ),
+    rev AS (
+        SELECT r_name, o_orderpriority AS priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT grid.r_name AS r_name, grid.priority AS priority,
+           coalesce(revenue, 0.0) AS revenue,
+           coalesce(n_orders, 0)  AS n_orders
+    FROM grid LEFT JOIN rev
+      ON grid.r_name = rev.r_name AND grid.priority = rev.priority
+    ORDER BY grid.r_name, grid.priority
+    """,
+)
+def join_cross_grid_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN dense-grid reporting: region × order-priority grid
+    (5×5) left-joined to actual revenue so empty cells report zero —
+    the heatmap/pivot-with-no-gaps shape. The cross join multiplies
+    only two tiny dimension sets (never facts); the fact side is
+    aggregated first and broadcast into the grid."""
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    prios = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    grid = r.select("r_name").crossJoin(prios)
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("rev_r_name"), F.col("o_orderpriority").alias("rev_priority"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        grid.join(
+            F.broadcast(rev),
+            (grid.r_name == rev.rev_r_name) & (grid.priority == rev.rev_priority),
+            "left",
+        )
+        .select(
+            "r_name",
+            "priority",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "priority")
+    )
+
+
+@query(
     "join_selfpair_parts",
     oracle="""
     WITH pairs AS (

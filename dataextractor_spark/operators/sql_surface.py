@@ -133,6 +133,46 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "subquery_not_in_null_semantics",
+    oracle="""
+    WITH maybe_null AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END AS k
+        FROM orders
+    )
+    SELECT
+        (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM maybe_null))
+            AS n_not_in,
+        (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+            SELECT 1 FROM maybe_null m WHERE m.k = c.c_custkey))
+            AS n_not_exists
+    """,
+)
+def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    every SQL engine must honor: one NULL in the NOT IN list makes the
+    predicate UNKNOWN for every row (n_not_in = 0), while NOT EXISTS
+    is null-safe and returns the real complement. Catalyst plans NOT
+    IN as a null-aware anti join and NOT EXISTS as a plain left-anti
+    join; this query pins both results against the oracle so the
+    semantic difference can never silently regress."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH maybe_null AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END AS k
+            FROM orders
+        )
+        SELECT
+            (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM maybe_null))
+                AS n_not_in,
+            (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+                SELECT 1 FROM maybe_null m WHERE m.k = c.c_custkey))
+                AS n_not_exists
+        """
+    )
+
+
+@query(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,

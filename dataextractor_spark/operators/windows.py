@@ -170,3 +170,34 @@ def window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey,
+           round(s_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+    ORDER BY s_suppkey
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks — percent_rank and cume_dist of supplier
+    balance WITHIN nation (skill-percentile analogue). Partitioning by
+    nation keeps each sort partition-local and bounded; both functions
+    are tie-stable (equal values share a rank) so the result is
+    deterministic without a tiebreaker."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    return (
+        s.select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -267,3 +267,48 @@ def time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "time_trailing_week_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                   AS day_num,
+               strftime(o_orderdate, '%Y-%m-%d') AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           round(avg(revenue) OVER (
+               ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS trailing_7d_avg
+    FROM daily
+    ORDER BY day
+    """,
+)
+def time_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: 7-day trailing average of daily
+    revenue. Unlike a rowsBetween frame, the RANGE frame is gap-aware
+    — missing days shrink the window instead of silently reaching
+    further back, which is the correct trailing-metric semantics for
+    sparse time series. Runs on the pre-aggregated daily table (one
+    row per day), so the global ORDER BY sorts days, not orders —
+    bounded at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            F.round(F.avg("revenue").over(w), 6).alias("trailing_7d_avg"),
+        )
+        .orderBy("day")
+    )
