@@ -154,6 +154,14 @@ def _jaccard_pairs(
     tok = d.select("doc_id", "lang", _tokens().alias("toks")).withColumn(
         "n_toks", F.size("toks")
     )
+    return jaccard_pairs_from_tokens(tok, t, strategy)
+
+
+def jaccard_pairs_from_tokens(
+    tok: DataFrame, t: float, strategy: str = "auto"
+) -> DataFrame:
+    """Strategy dispatch for any (doc_id, lang, toks, n_toks) input —
+    word tokens, character shingles, n-grams alike."""
     if strategy == "auto":
         n_max = tok.agg(F.max("n_toks")).collect()[0][0] or 0
         # max symmetric difference a Jaccard ≥ t pair can have:
@@ -191,8 +199,10 @@ def _jaccard_pairs_deletion(tok: DataFrame, t: float) -> DataFrame:
     """Deletion-neighborhood exact join (valid when sym-diff ≤ 1).
 
     Each doc emits its SORTED token set serialized as a string
-    (tokens are space-split words, so concat_ws(' ') is injective)
-    plus one serialization per delete-one-token subset. A qualifying
+    (length-prefixed per token — '5:hello' — so the encoding is
+    injective for ANY token alphabet, including character shingles
+    that contain spaces) plus one serialization per delete-one-token
+    subset. A qualifying
     pair either shares the full-set string — identical sets, Jaccard
     exactly 1 — or the larger doc's deletion equals the smaller doc's
     full set — superset-by-one, Jaccard exactly |A|/|B| = na/(na+1).
@@ -207,14 +217,16 @@ def _jaccard_pairs_deletion(tok: DataFrame, t: float) -> DataFrame:
     bounded by ~2t/(1−t) (≈38 at t=0.95), so signature keys stay
     small; linear in corpus tokens, and the join output is exactly
     the true duplicate pairs — no candidate inflation at all."""
-    sorted_tok = tok.select(
-        "doc_id", "lang", "n_toks", F.array_sort("toks").alias("st")
+    enc = F.transform(
+        F.array_sort("toks"),
+        lambda s: F.concat(F.length(s).cast("string"), F.lit(":"), s),
     )
+    sorted_tok = tok.select("doc_id", "lang", "n_toks", enc.alias("st"))
     full = sorted_tok.select(
         "doc_id",
         "lang",
         "n_toks",
-        F.concat_ws(" ", "st").alias("sig"),
+        F.concat_ws("", "st").alias("sig"),
     )
     dels = sorted_tok.select(
         "doc_id",
@@ -224,7 +236,7 @@ def _jaccard_pairs_deletion(tok: DataFrame, t: float) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(1), F.col("n_toks")),
                 lambda i: F.concat_ws(
-                    " ",
+                    "",
                     F.concat(
                         F.slice("st", F.lit(1), i - 1),
                         F.slice("st", i + 1, F.col("n_toks") - i),
@@ -342,6 +354,65 @@ def _jaccard_pairs_prefix(tok: DataFrame, t: float) -> DataFrame:
     )
     # exact verification of the (few) candidates
     return _verify_pairs(tok, cand, t)
+
+
+@query(
+    "dedup_shingle_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(text) >= 5
+                    THEN list_distinct(list_transform(
+                             range(1, length(text) - 3),
+                             i -> substr(text, i, 5)))
+                    ELSE [text] END AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(
+               len(list_intersect(a.toks, b.toks))::DOUBLE
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+               6
+           ) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(
+              len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+              6
+          ) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram (shingle) Jaccard near-duplicates at t=0.9 —
+    the ORDER-SENSITIVE complement to the token-set query: word-soup
+    docs that share a vocabulary but scramble the word order collapse
+    under token Jaccard yet stay distinct under shingles, so this
+    operator finds true copy-edits, not bag-of-words collisions
+    (6 pairs here vs 467 token-level pairs at sf0.01).
+
+    Shingle sets run ~200 distinct 5-grams per doc over a much larger
+    vocabulary, so auto strategy routes to the PPJoin prefix path —
+    exactly the regime where rare-shingle prefixes prune hard. Docs
+    shorter than the shingle width degrade to one whole-text shingle
+    (the sequence(1, len-4) guard; sequence would otherwise step
+    DOWNWARD and emit phantom positions)."""
+    d = load_table(spark, sf_dir, "documents")
+    k = 5
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (k - 1)),
+            lambda i: F.col("text").substr(i, F.lit(k)),
+        )
+    )
+    toks = F.when(F.length("text") >= k, shingles).otherwise(
+        F.array(F.col("text"))
+    )
+    tok = d.select("doc_id", "lang", toks.alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    return jaccard_pairs_from_tokens(tok, 0.9).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -104,3 +104,39 @@ def test_funnel_stage_scans_push_event_type(spark):
     df = load_all()["funnel_view_click_purchase"].fn(spark, SF_SMALL)
     pf = " ".join(pushed_filters(df))
     assert "event_type" in pf, pf
+
+
+def test_cross_grid_broadcasts_aggregated_facts(spark):
+    """The dense-grid query must broadcast the AGGREGATED revenue table
+    into the tiny dim grid — never shuffle the grid — and the cross
+    join itself must be a nested-loop over two dimension-sized
+    inputs."""
+    df = load_all()["join_cross_grid_revenue"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "BroadcastHashJoin" in plan  # grid ⋈ rev via broadcast
+
+
+def test_full_outer_aggregates_before_join(spark):
+    """Reconciliation joins pre-aggregated daily series: both HashAggregates
+    must appear BELOW the SortMergeJoin in the plan (aggregate-then-join),
+    so the outer join processes days, not raw fact rows."""
+    df = load_all()["join_full_outer_daily_activity"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    join_at = plan.find("SortMergeJoin")
+    if join_at == -1:
+        join_at = plan.find("ShuffledHashJoin")
+    assert join_at != -1, plan
+    below = plan[join_at:]
+    assert below.count("HashAggregate") >= 4, plan  # partial+final × both sides
+
+
+def test_trailing_window_runs_on_daily_aggregate(spark):
+    """The RANGE-frame window must sit above the daily aggregate (one
+    row per day), never above the raw orders scan."""
+    df = load_all()["time_trailing_week_revenue"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    win_at = plan.find("Window")
+    agg_at = plan.find("HashAggregate")
+    assert win_at != -1 and agg_at != -1
+    assert win_at < agg_at, "window should consume the aggregate output"
