@@ -349,3 +349,52 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.col("cos_sim").desc(), "vec_id")
     )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               vec_id
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT label, pos, avg(v) AS c
+        FROM flat GROUP BY label, pos
+    )
+    SELECT c.label,
+           n_vecs,
+           round(sqrt(sum(c * c)), 5) AS centroid_norm
+    FROM centroid c
+    JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) s
+      ON c.label = s.label
+    GROUP BY c.label, n_vecs
+    ORDER BY c.label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means/IVF building block
+    and the class-prototype report): element-wise mean per dimension,
+    reported as the centroid's L2 norm plus member count.
+
+    Plan: posexplode flattens (vector, dim) pairs — 64 rows per vector
+    — then ONE hash aggregate per (label, dim) computes the mean and a
+    label-level aggregate folds the norm. The shuffle carries
+    (label, dim) partial sums only: at 100 TB the exchange is
+    |labels|×|dims| rows regardless of corpus size, the canonical
+    aggregate-don't-collect vector reduction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", "vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    centroid = flat.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        centroid.join(F.broadcast(sizes), "label")
+        .groupBy("label", "n_vecs")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 5).alias("centroid_norm"))
+        .orderBy("label")
+    )

@@ -464,3 +464,83 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, term, count(*) AS n_occ,
+               count(DISTINCT doc_id) AS n_docs
+        FROM terms GROUP BY lang, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS docs_with_term
+        FROM terms GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_total FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               CAST(tf.n_occ AS BIGINT) AS n_occ,
+               round(tf.n_occ * ln(n.n_total::DOUBLE / df.docs_with_term), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, n_occ, tfidf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, term
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the 5 most distinctive terms per
+    language — term frequency within the language weighted by inverse
+    corpus-wide document frequency, the classic discriminative-term
+    score for corpus exploration and quality auditing.
+
+    Plan: one explode pass feeds BOTH frequency tables (term×lang and
+    term document-frequency); the df table is vocabulary-sized and
+    broadcast into the scored join; ranking windows run per-language
+    on vocabulary-sized input. At 100 TB the only data-sized cost is
+    the token explode + two hash aggregations — no pairwise work."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    df_tbl = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("docs_with_term")
+    )
+    n_total = d.count()
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "lang",
+        "term",
+        F.col("n_occ"),
+        F.round(
+            F.col("n_occ")
+            * F.log(F.lit(float(n_total)) / F.col("docs_with_term")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "n_occ", "tfidf", "rk")
+        .orderBy("lang", "rk")
+    )
