@@ -414,3 +414,42 @@ def join_selfpair_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "join_interval_overlap_activity",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n_matches,
+           count(DISTINCT e.event_id) AS n_events
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate BETWEEN e.ts - INTERVAL 3 DAY AND e.ts + INTERVAL 3 DAY
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def join_interval_overlap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (band) join: orders placed within ±3 days of a
+    user's event — the event-near-a-transaction correlation shape.
+    Unlike the as-of join (latest-before), this keeps EVERY order in
+    the band, so one event can match many orders (n_matches counts
+    pairs, n_events distinct events). The equi key (user) carries the
+    shuffle; the band predicate evaluates inside the per-key join —
+    the band never becomes a cross product. At 100 TB you'd bucket
+    both sides on the user key to make the band check partition-local."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    band = (F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")) & (
+        F.col("o_orderdate") <= F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    )
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & band)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("event_id").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

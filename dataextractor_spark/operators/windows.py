@@ -201,3 +201,66 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice)  OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(avg(last_price - first_price), 6) AS avg_drift,
+           count(second_price) AS n_with_second
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
+    WHERE rn = 1
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition
+    frame (ROWS UNBOUNDED..UNBOUNDED — last_value under the DEFAULT
+    frame would see only rows up to CURRENT, the classic frame trap),
+    with a deterministic (date, key) tiebreak; reduced to per-segment
+    lifetime price drift. One window shuffle on the customer key, one
+    dimension join, one small aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    per_cust = o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg(F.col("last_price") - F.col("first_price")), 6).alias(
+                "avg_drift"
+            ),
+            F.count("second_price").alias("n_with_second"),
+        )
+        .orderBy("c_mktsegment")
+    )
