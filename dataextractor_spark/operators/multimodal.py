@@ -197,3 +197,57 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "multimodal_framesample",
+    oracle="""
+    SELECT count(*) AS n_videos,
+        CAST(sum(least(4, CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS BIGINT)
+            AS total_frames,
+        CAST(sum(list_sum(list_transform(range(0, 4), i ->
+            CASE WHEN strlen(text) > i * 64
+                 THEN least(64, strlen(text) - i * 64) ELSE 0 END)))
+             AS BIGINT) AS total_frame_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling path end-to-end: the one-row→k-rows explosion a
+    real video decoder produces, via mapInPandas (up to 4 byte-stride
+    frames per video payload), rolled up to totals. The oracle
+    recomputes frame counts and byte coverage arithmetically from the
+    source text lengths — the Arrow batch explosion must agree with
+    the closed form exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payloads(docs))
+    return frames.agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count(F.lit(1)).cast("long").alias("total_frames"),
+        F.sum(F.length("frame_bytes")).alias("total_frame_bytes"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT count(*) AS n_images,
+        CAST(sum(greatest(1, CAST(floor(strlen(text) * 0.01) AS BIGINT)))
+             AS BIGINT) AS total_resized_bytes
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path end-to-end: binary-in/binary-out mapInPandas with a
+    metadata rewrite (640×480 → 64×48, byte length scaled by the exact
+    area ratio 0.01 in the deterministic fake). The oracle recomputes
+    the resized byte budget from source lengths, pinning the batch
+    contract a real codec drops into."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_payloads(docs))
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.length("payload")).alias("total_resized_bytes"),
+    )
