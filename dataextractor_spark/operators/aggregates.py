@@ -541,3 +541,44 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1
+                END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 1-D histogram over order value via `width_bucket`
+    (12 buckets on [0, 600k) plus under/overflow 0 and 13) — the
+    gold/XP-distribution shape from README.md:32, and the profiling
+    primitive behind any quality-score threshold choice. The oracle
+    spells out width_bucket's exact bucket arithmetic. Single hash
+    aggregate with map-side partials; output is bounded by the bucket
+    count at any data scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 12)")
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -312,3 +312,68 @@ def time_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "time_cohort_retention",
+    oracle="""
+    WITH p AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT user_id, min(wk) AS cohort_wk FROM p GROUP BY user_id),
+    sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY cohort_wk)
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_wk, p.wk) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) / CAST(max(sz.cohort_size) AS DOUBLE), 6)
+               AS retention_rate
+    FROM p
+    JOIN f USING (user_id)
+    JOIN sz ON f.cohort_wk = sz.cohort_wk
+    GROUP BY f.cohort_wk, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/retention triangle: users are cohorted by the week of
+    their first purchase; each cell is how many of them purchased
+    again N whole weeks later, as a count and a rate of cohort size.
+    The classic training-data-pipeline "did the source keep
+    producing" curve (README.md:27 skill-bracket/timeline analyses are
+    this shape over the reference's tables).
+
+    Scale plan: the (user, week) activity set is `distinct`-reduced
+    map-side before any join; the first-touch aggregate shuffles on
+    user_id and the activity⨝first-touch join reuses that exact
+    partitioning (no second exchange under AQE); cohort sizes are a
+    weeks-sized table, explicitly broadcast. Nothing in the plan holds
+    more than (users × active-weeks) rows, and the output is bounded
+    by weeks² regardless of fact volume."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+    )
+    f = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sz = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        p.join(f, "user_id")
+        .join(F.broadcast(sz), "cohort_wk")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.round(
+                F.count(F.lit(1)) / F.max("cohort_size").cast("double"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
