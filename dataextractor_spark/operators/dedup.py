@@ -680,3 +680,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(list_aggregate(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   'string_agg', '|')) AS k
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 2 = 0),
+    marked AS (
+        SELECT corpus.k IS NOT NULL AS is_dup
+        FROM keyed LEFT JOIN corpus ON keyed.k = corpus.k
+        WHERE keyed.doc_id % 2 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM marked
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (odd doc_ids) is checked
+    against the existing corpus (even doc_ids) on a bag-of-words
+    content key — md5 of the sorted distinct token set — so reordered
+    or token-repeated rewrites of an already-held document are caught,
+    not just byte-identical ones. This is the admission-control step of
+    a continuously-fed training corpus: only `n_new` documents proceed
+    to the expensive near-dup/quality stages.
+
+    Scale plan: corpus side reduces to DISTINCT 32-char keys before
+    the join (one narrow column, not documents); the join shuffles on
+    the key hash — uniformly distributed by construction, so no skew
+    — and the batch side streams through it. The '|' joiner is safe
+    here (tokens are \\w+); the length-prefixed injective encoding
+    used by dedup_jaccard_pairs is the general-alphabet form."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(
+            "|", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+        )
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select(key.alias("k")).distinct()
+    batch = d.filter(F.col("doc_id") % 2 == 1).select(key.alias("k"))
+    marked = batch.join(
+        corpus.withColumn("is_dup", F.lit(1)), "k", "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dup"),
+        F.sum(1 - F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_new"),
+        F.round(
+            F.sum(F.coalesce("is_dup", F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -544,3 +544,71 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "n_occ", "tfidf", "rk")
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT shard, toks,
+               sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        FROM t
+    ),
+    c AS (
+        SELECT shard, (cum - toks) // 2048 AS chunk,
+               sum(toks) AS chunk_tokens, count(*) AS docs_in_chunk
+        FROM p GROUP BY shard, chunk
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(docs_in_chunk) AS BIGINT) AS n_docs,
+           round(avg(chunk_tokens / 2048.0), 6) AS avg_fill
+    FROM c GROUP BY shard ORDER BY shard
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents in
+    deterministic order and cut the token stream at context-window
+    (2048-token) boundaries; a document belongs to the chunk where it
+    starts, so chunks may overflow by at most one document (the
+    standard pack-then-truncate tradeoff). Emitted as a per-shard
+    packing summary (chunk count, docs packed, mean fill factor).
+
+    Scale plan: packing has NO cross-shard constraint, so the stream is
+    hash-sharded first (doc_id % 8 here; any width in production) and
+    each shard packs independently under
+    Window.partitionBy(shard).orderBy(doc_id) — one shuffle, no global
+    sort, executor-parallel. The global-window variant would serialize
+    the whole corpus through one task; per-shard is the 100 TB form."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = t.withColumn("cum", F.sum("toks").over(w)).withColumn(
+        "chunk", F.expr("CAST((cum - toks) DIV 2048 AS BIGINT)")
+    )
+    per_chunk = packed.groupBy("shard", "chunk").agg(
+        F.sum("toks").alias("chunk_tokens"),
+        F.count(F.lit(1)).alias("docs_in_chunk"),
+    )
+    return (
+        per_chunk.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("docs_in_chunk").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("chunk_tokens") / F.lit(2048.0)), 6).alias(
+                "avg_fill"
+            ),
+        )
+        .orderBy("shard")
+    )

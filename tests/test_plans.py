@@ -140,3 +140,40 @@ def test_trailing_window_runs_on_daily_aggregate(spark):
     agg_at = plan.find("HashAggregate")
     assert win_at != -1 and agg_at != -1
     assert win_at < agg_at, "window should consume the aggregate output"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filtering: a selective filter on the orders (creation)
+    side should inject a bloom filter onto the lineitem (application)
+    side BEFORE its shuffle — at 100 TB this drops most probe rows at
+    the scan instead of shuffling them into the join. Thresholds are
+    lowered because the test inputs are tiny; production sizes clear
+    the defaults on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
