@@ -44,16 +44,19 @@ HEADLINE = [
     "time_tumbling_window",
     "time_gapfill_locf",
     "funnel_view_click_purchase",
+    "time_cohort_retention",
     "scalar_json_funcs",
     "etl_flatten_array",
     "rest_publicmatches_pipeline",
     "dedup_exact",
     "dedup_jaccard_pairs",
+    "dedup_incremental_ingest",
     "sim_neardup_pairs",
     "curation_pipeline",
     "sim_topk_cosine",
     "text_token_stats",
     "text_repetition_ratio",
+    "text_pack_sequences",
     "multimodal_features",
     "udf_zscore",
 ]
