@@ -345,35 +345,106 @@ def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     producing" curve (README.md:27 skill-bracket/timeline analyses are
     this shape over the reference's tables).
 
-    Scale plan: the (user, week) activity set is `distinct`-reduced
-    map-side before any join; the first-touch aggregate shuffles on
-    user_id and the activity⨝first-touch join reuses that exact
-    partitioning (no second exchange under AQE); cohort sizes are a
-    weeks-sized table, explicitly broadcast. Nothing in the plan holds
-    more than (users × active-weeks) rows, and the output is bounded
-    by weeks² regardless of fact volume."""
+    Scale plan: the fact table is shuffled ONCE — a per-user
+    collect_set of active weeks (map-side partial, set bounded by the
+    calendar, not by event volume). Cohort = array_min of that set, so
+    no second fact aggregate and no fact-sized self-join; everything
+    after the first exchange is one row per user, then weeks² rows.
+    Cohort size is recovered WITHOUT a join: every cohort member is by
+    definition active at offset 0, so the rate divides by the
+    offset-0 cell via first() over a cohort-partitioned window on the
+    already-tiny triangle. Three of the four exchanges move
+    weeks²-sized data; output is bounded by weeks² at any fact
+    volume."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    p = (
+    per_user = (
         e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set(F.date_trunc("week", "ts")).alias("wks"))
+        .select(F.array_min("wks").alias("cohort_wk"), "wks")
     )
-    f = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    sz = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return (
-        p.join(f, "user_id")
-        .join(F.broadcast(sz), "cohort_wk")
+    triangle = (
+        per_user.select("cohort_wk", F.explode("wks").alias("wk"))
         .groupBy(
-            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "cohort_wk",
             F.expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)").alias(
                 "week_offset"
             ),
         )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_active"),
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("week_offset")
+    return (
+        triangle.select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
             F.round(
-                F.count(F.lit(1)) / F.max("cohort_size").cast("double"), 6
+                F.col("n_active")
+                / F.first("n_active").over(w).cast("double"),
+                6,
             ).alias("retention_rate"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "time_scd2_versions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events
+        WHERE event_type = 'signup'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           round(avg(date_diff('microsecond', ts, valid_to)
+                     / 3600000000.0), 6) AS avg_valid_hours
+    FROM s
+    """,
+)
+def time_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each user's 'signup'
+    events become versioned dimension rows with [valid_from, valid_to)
+    intervals via lead() over the user's event-time order (event_id
+    breaks timestamp ties deterministically); an open valid_to marks
+    the current version. Rolled up to version counts and mean validity
+    duration. This is how a mutable entity (player profile, document
+    source) becomes point-in-time joinable — the other half of the
+    as-of join in functions/asof.py.
+
+    Scale plan: one shuffle on user_id, then the lead() window runs
+    inside each partition with no frame buffering (lead is a
+    stream-through window); the rollup is a map-side-partial global
+    aggregate. No global sort anywhere."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "ts", F.lead("ts").over(w).alias("valid_to")
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_current"),
+        F.round(
+            F.avg(
+                (F.unix_micros("valid_to") - F.unix_micros("ts"))
+                / F.lit(3600000000.0)
+            ),
+            6,
+        ).alias("avg_valid_hours"),
     )
