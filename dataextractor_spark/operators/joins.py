@@ -453,3 +453,42 @@ def join_interval_overlap_activity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_literal_map_dim",
+    oracle="""
+    SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY region
+    """,
+)
+def join_literal_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension resolution WITHOUT a join operator: a tiny dimension
+    (region, 5 rows) is collected once on the driver and folded into
+    the plan as a literal map expression, so the lookup runs inside
+    whole-stage codegen on the fact side — no broadcast, no join node,
+    zero extra exchanges. This is the end state of the reference's
+    constants tables (lobby_types/game_modes/clusters,
+    opendotaapi.py:125-183): a dict the engine should treat as an
+    expression, not a relation. The driver-side collect is the
+    legitimate one — bounded by the dimension's domain (5 rows), never
+    by data volume; anything larger graduates to a broadcast join
+    (join_broadcast_dim)."""
+    from itertools import chain
+
+    region = load_table(spark, sf_dir, "region")
+    mapping = dict(
+        region.select("r_regionkey", "r_name").toLocalIterator()
+    )
+    lookup = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(mapping.items())]
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.select(lookup[F.col("n_regionkey")].alias("region"))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
+        .orderBy("region")
+    )

@@ -117,3 +117,57 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("column_name")
     )
+
+
+@query(
+    "profile_constraint_checks",
+    oracle="""
+    SELECT
+        CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+             AS BIGINT) AS null_fk,
+        CAST((SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS orphan_rows,
+        CAST((SELECT count(*) FROM (
+                  SELECT c_custkey FROM customer
+                  GROUP BY c_custkey HAVING count(*) > 1))
+             AS BIGINT) AS dup_keys,
+        CAST((SELECT count(*) FROM orders
+              WHERE o_totalprice <= 0) AS BIGINT) AS domain_violations
+    """,
+)
+def profile_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the four standard integrity checks a
+    pipeline runs before promoting a batch — NOT NULL on the join key,
+    referential integrity (orphan facts, via left-anti join), primary
+    key uniqueness, and a domain constraint. One summary row; a
+    non-zero cell fails promotion. The reference's only validation is
+    a null-guard before each S3 write (extract-data-dota.py:130…);
+    this is that idea made relational and exhaustive.
+
+    Scale plan: each check is an independent aggregate the scheduler
+    can run concurrently; the anti-join shuffles on the key with the
+    orders side reduced to its key column, and every count is
+    map-side partial. Nothing returns more than one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    null_fk = li.filter(F.col("l_orderkey").isNull()).count()
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .count()
+    )
+    dup_keys = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    domain = o.filter(F.col("o_totalprice") <= 0).count()
+    return spark.createDataFrame(
+        [(null_fk, orphans, dup_keys, domain)],
+        "null_fk long, orphan_rows long, dup_keys long, domain_violations long",
+    )
