@@ -177,3 +177,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cohort_retention_single_fact_shuffle(spark):
+    """The retention rewrite's contract: one fact-scale exchange (the
+    per-user set aggregate), no join node anywhere (cohort size comes
+    from the triangle's own offset-0 cell), pushed event_type filter,
+    3-column read."""
+    df = load_all()["time_cohort_retention"].fn(spark, SF_SMALL)
+    assert shuffle_exchange_count(df) <= 4
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan
+    assert "partial_collect_set" in plan  # map-side set aggregation
+    pf = " ".join(pushed_filters(df))
+    assert "event_type" in pf
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in read and "value" not in read
+
+
+def test_literal_map_dim_has_no_join(spark):
+    """Tiny-dim resolution folded into a map expression: the physical
+    plan must contain no join operator and no broadcast exchange."""
+    df = load_all()["join_literal_map_dim"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan and "BroadcastExchange" not in plan
