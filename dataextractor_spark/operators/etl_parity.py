@@ -220,3 +220,73 @@ def etl_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalize to long to match the oracle schema exactly
         .select(F.col("ship_year").cast("long").alias("ship_year"), "n", "sum_qty")
     )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON line-delimited source/sink roundtrip: documents → .json
+    files → read back with the EXPLICIT catalog schema (never sampled
+    inference — the reference's bounded-sample inference at
+    extract-data-dota.py:153 is its main correctness hazard) →
+    aggregate. The oracle aggregates the original parquet, so any
+    encode/decode loss (escaping, unicode, nulls) breaks the hash.
+    JSONL is splittable, so the read parallelizes per-file/per-split
+    at any scale; one file per input partition on the write."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_json_roundtrip"
+    )
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(d.schema).json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip with quoting/escaping proven by the
+    oracle hash (free text goes through quoted fields intact; header
+    carries names, catalog schema carries types — CSV itself is
+    typeless). multiLine=false stays splittable: embedded newlines
+    don't occur in this corpus, and the writer would quote them if
+    they did — at scale, prefer JSONL/Parquet for free text exactly
+    because multiLine CSV forfeits split parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    d.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.schema(d.schema)
+        .option("header", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.length("text")).cast("long").alias("total_len"),
+        )
+        .orderBy("source")
+    )
