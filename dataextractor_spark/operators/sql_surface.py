@@ -420,3 +420,68 @@ def sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same scan→filter→agg→sort spine
+    written as a |> chain. Parses to the identical Catalyst plan as
+    the classic form — the surface is syntax, not a new engine path —
+    which the oracle hash (classic ANSI on DuckDB) proves."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderpriority = '1-URGENT'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(o_totalprice), 2) AS rev
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    ).select("o_orderstatus", "n", "rev")
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) c
+    CROSS JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+        WHERE cc.c_mktsegment = c.c_mktsegment
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per market segment,
+    the per-group-top-N idiom in its SQL form (the window row_number
+    form is window_rank_topn — both engines must agree). Catalyst
+    decorrelates the lateral into a join + per-group limit; ties are
+    broken by o_orderkey so the result is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+            WHERE cc.c_mktsegment = c.c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
