@@ -290,3 +290,59 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_old_schema,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                          AND o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN o_orderkey % 2 = 1
+                     THEN o_totalprice ELSE 0 END), 2) AS new_rev
+    FROM orders
+    """,
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the storage layer: an old-schema batch
+    (no status column) and a new-schema batch (adds an urgent-flag
+    column) land in the same dataset directory; `mergeSchema=true`
+    reconciles them at read time — old rows surface NULL for columns
+    they predate, exactly the drift the reference's bounded-sample
+    inference (extract-data-dota.py:153) silently mistypes. The oracle
+    recomputes the per-batch facts from the source table, so both the
+    write split and the merged read are value-checked.
+
+    Scale note: merged-footer reconciliation costs one extra footer
+    read per file at planning time; production tables pin the contract
+    in a catalog (catalog.py) and use mergeSchema only during
+    migrations."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_schema_evo")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderstatus")
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_urgent_flag", F.col("o_orderpriority") == "1-URGENT"
+    )
+    old_batch.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old_schema"),
+        F.sum(F.when(F.col("o_urgent_flag"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_urgent_flag").isNotNull(), F.col("o_totalprice")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("new_rev"),
+    )
