@@ -612,3 +612,50 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (
+        SELECT t, count(*) AS f FROM tok GROUP BY t
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 6) AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: regress
+    ln(frequency) on ln(rank) and report the slope and R² — natural
+    text sits near slope −1, so the fit is a one-number corpus-health
+    diagnostic (boilerplate floods and synthetic word soup both show
+    up as flat or kinked fits; this fixture's shared-vocab soup reads
+    ≈−0.18, which is the point).
+
+    Scale note: token counting is a map-side-partial hash aggregate
+    over the corpus; everything after operates on the VOCABULARY
+    (orders of magnitude smaller than the corpus), so the ranking
+    sort and the regression aggregate are cheap at any corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "t")
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("fit_r2"),
+    )
