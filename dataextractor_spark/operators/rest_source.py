@@ -101,3 +101,30 @@ def rest_publicmatches_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_local", "yyyy-MM-dd HH:mm:ss").alias("start_local"),
         "dt",
     ).orderBy("match_id")
+
+
+@query(
+    "rest_datasource_scan",
+    oracle="""
+    SELECT CAST(200 AS INT) AS status,
+           CAST(13 AS BIGINT) AS n_endpoints,
+           CAST(13 AS BIGINT) AS total_attempts
+    """,
+)
+def rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource face of the REST connector:
+    spark.read.format("rest_fixture") plans one input partition per
+    endpoint (13-way concurrent fetch of the reference's full-load
+    set, vs its sequential loop extract-data-dota.py:126-199) and the
+    fixture transport makes the result exact: 13 endpoints, all HTTP
+    200, one attempt each — which the VALUES oracle pins."""
+    from dataextractor_spark.etl.pipeline import reference_fixtures
+    from dataextractor_spark.sources.rest_datasource import register
+
+    register(spark)
+    eps = ",".join(sorted(reference_fixtures()))
+    df = spark.read.format("rest_fixture").option("endpoints", eps).load()
+    return df.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+        F.sum("attempts").cast("long").alias("total_attempts"),
+    )

@@ -200,3 +200,38 @@ def test_reference_full_load_all_13(spark, tmp_path):
     teams = spark.read.parquet(str(tmp_path / "teams"))
     assert dict(teams.dtypes)["tag"] == "string"
     assert teams.filter("tag IS NULL").count() == 1
+
+
+def test_python_datasource_partition_per_endpoint(spark):
+    """format("rest_fixture") plans one input partition per endpoint
+    and returns one successful row per endpoint."""
+    from pyspark.sql import functions as F
+
+    from dataextractor_spark.etl.pipeline import reference_fixtures
+    from dataextractor_spark.sources.rest_datasource import register
+
+    register(spark)
+    eps = sorted(reference_fixtures())
+    df = (
+        spark.read.format("rest_fixture")
+        .option("endpoints", ",".join(eps))
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(eps)
+    assert df.rdd.getNumPartitions() == len(eps)
+    assert all(r.status == 200 and r.attempts == 1 for r in rows)
+    assert sorted(r.endpoint for r in rows) == eps
+    # body payloads are the same fixtures the mapInPandas path serves
+    fx = reference_fixtures()
+    assert all(r.body == fx[r.endpoint][1] for r in rows)
+
+
+def test_python_datasource_requires_endpoints(spark):
+    import pytest as _pytest
+
+    from dataextractor_spark.sources.rest_datasource import register
+
+    register(spark)
+    with _pytest.raises(Exception):
+        spark.read.format("rest_fixture").load().collect()
