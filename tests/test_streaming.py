@@ -244,3 +244,47 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = sorted(r.event_id for r in out.select("event_id").collect())
     want = sorted(r.event_id for r in events.select("event_id").collect())
     assert got == want
+
+
+def test_events_replay_datasource_full_drain(spark):
+    """Custom Python streaming source: row-position offsets drain the
+    whole fixture in deterministic micro-batches, and the streamed
+    content equals the batch table exactly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.sources.events_stream import register
+    from tests.conftest import SF_SMALL
+
+    register(spark)
+    df = (
+        spark.readStream.format("events_replay")
+        .option("path", SF_SMALL + "/events.parquet")
+        .option("batch_rows", "300")
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("ev_replay_t").start()
+    batch = load_table(spark, SF_SMALL, "events")
+    expected = batch.count()
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("ev_replay_t").count() < expected:
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("ev_replay_t")
+    assert got.count() == expected
+    assert got.select("event_id").distinct().count() == expected
+    # content equality: value sum and timestamp range match the batch
+    # table (ts_ns is epoch-nanos; catalog converts via micros)
+    b = batch.agg(
+        F.round(F.sum("value"), 2).alias("s"),
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    s = got.agg(
+        F.round(F.sum("value"), 2).alias("s"),
+        F.min(F.expr("ts_ns div 1000")).alias("lo"),
+        F.max(F.expr("ts_ns div 1000")).alias("hi"),
+    ).first()
+    assert (b.s, b.lo, b.hi) == (s.s, s.lo, s.hi)
