@@ -10,9 +10,10 @@ as idiomatic Catalyst plans:
 - bounded dims (nation/region, the constants-dict analogues) carry a
   broadcast hint from the catalog so a 100 TB fact table never
   shuffles for them;
-- the as-of join is expressed as range-join + max_by aggregation — at
-  cluster scale you'd pre-bucket both sides on the equi key to make
-  the range portion partition-local.
+- the as-of join uses the merge-based union + last(ignorenulls)
+  formulation (functions/asof.py) — one shuffle on the key, O(n log n)
+  per key regardless of history length; at cluster scale you'd
+  additionally pre-bucket both sides on the key to skip that shuffle.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dataextractor_spark.catalog import load_table
+from dataextractor_spark.functions.asof import asof_join
 from dataextractor_spark.registry import query
 
 
@@ -203,23 +205,38 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the latest order of that user
     at event time (match-event-vs-nearest-patch shape, SURVEY.md §2.2).
 
-    Spark has no native ASOF JOIN; we express it as an equi+range join
-    followed by a max aggregation — the range part is evaluated inside
-    the equi-join's sort-merge, so the shuffle is only on the user key.
-    At 100 TB you additionally bucket both sides on the key so the
-    as-of resolution is partition-local. DuckDB oracle is the
-    equivalent greatest-lower-bound aggregate.
+    Spark has no native ASOF JOIN; this uses the merge-based
+    formulation (functions/asof.py): union both sides into one stream,
+    one shuffle on the user key, and carry the latest order forward
+    with last(ignorenulls) over a key-partitioned window. Unlike the
+    expand-then-aggregate range join, work per key is O(n log n) in
+    that key's history — a key with a million earlier orders produces
+    a million window rows, not a million × events join blow-up. The
+    DuckDB oracle stays the equivalent greatest-lower-bound aggregate.
     """
-    e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # Cast the order date to timestamp (midnight, session tz) so both
+    # sides share one _ts axis — same implicit cast the range form used.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        "o_orderdate",
+    )
     return (
-        e.join(
+        asof_join(
+            e,
             o,
-            (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
-            "left",
+            left_key="user_id",
+            right_key="o_custkey",
+            left_ts="ts",
+            right_ts="o_ts",
+            value_cols=["o_orderdate"],
         )
-        .groupBy("event_id", "user_id")
-        .agg(F.max("o_orderdate").alias("asof_orderdate"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("asof_o_orderdate").alias("asof_orderdate"),
+        )
         .orderBy("event_id")
     )
 

@@ -40,6 +40,22 @@ def _planes_literal() -> F.Column:
     )
 
 
+#: rows-per-block bound for the exact block-matrix near-dup plan. Each
+#: block row carries ≤ this many vectors (collect_list), so its size is
+#: ≤ NEARDUP_BLOCK_ROWS · d · 8 bytes (~5 MB at d=64) no matter how big
+#: the corpus — B grows with n instead of row width.
+NEARDUP_BLOCK_ROWS = 10_000
+
+
+def neardup_bucket_count(n_vectors: int, target_rows: int = NEARDUP_BLOCK_ROWS) -> int:
+    """Bucket count B for the block-matrix plan: smallest B with
+    ceil(n/B) ≤ target_rows, floored at 8 so small corpora still
+    parallelize across B(B+1)/2 = 36 block-pair tasks."""
+    import math
+
+    return max(8, math.ceil(max(n_vectors, 1) / target_rows))
+
+
 def lsh_bucket(emb_col: str = "embedding") -> F.Column:
     """Sign-LSH bucket id: bit b = [embedding · plane_b > 0], packed to
     a long. Pure zip_with/aggregate expressions — executes in codegen."""
@@ -178,14 +194,23 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-similarity layout; LSH/IVF (sim_ann_*) prune blocks when
     even that is too much. Oracle unchanged: the direct all-pairs
     definition.
+
+    B is DERIVED from a cheap count so rows-per-block stays bounded
+    (≤ NEARDUP_BLOCK_ROWS vectors per collect_list row) — a fixed B
+    would make each block row Θ(n/B) vectors and OOM an executor at
+    corpus scale.
     """
     import numpy as np
     import pandas as pd
 
-    n_buckets = 8
     e = load_table(spark, sf_dir, "embeddings")
+    n_buckets = neardup_bucket_count(e.count())
     blocks = (
-        e.withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(n_buckets)).cast("int"))
+        e.withColumn(
+            # hash-based assignment: balanced even when ids are sparse
+            "bucket",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets)).cast("int"),
+        )
         .groupBy("bucket")
         .agg(
             F.collect_list("vec_id").alias("ids"),

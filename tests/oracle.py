@@ -47,11 +47,24 @@ def _norm_cell(v):
     return v
 
 
+def _sort_cell_key(x):
+    # Floats are rounded to the comparison tolerance grain (1e-6)
+    # INSIDE the sort key: two cells that differ below tolerance (but
+    # survive _norm_cell's 9-dp rounding) must not sort rows into
+    # different positions on the Spark vs oracle side, or the pairwise
+    # zip below would compare misaligned rows.
+    if isinstance(x, float):
+        x = round(x, 6)
+    elif isinstance(x, tuple):
+        return (x is None, str(type(x)), tuple(_sort_cell_key(y) for y in x))
+    return (x is None, str(type(x)), str(x))
+
+
 def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    out.sort(key=lambda r: tuple(_sort_cell_key(x) for x in r))
     return sorted_cols, out
 
 

@@ -201,3 +201,19 @@ def test_literal_map_dim_has_no_join(spark):
     df = load_all()["join_literal_map_dim"].fn(spark, SF_SMALL)
     plan = physical_plan(df, "simple")
     assert "Join" not in plan and "BroadcastExchange" not in plan
+
+
+def test_asof_join_is_merge_form_one_key_exchange(spark):
+    """join_asof_latest_order must run through the merge-based union +
+    last(ignorenulls) plan: no Join operator at all, exactly ONE hash
+    exchange (on the key, for the window) — the final orderBy's range
+    exchange is the only other shuffle."""
+    df = load_all()["join_asof_latest_order"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Window" in plan and "Union" in plan, plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "_key" in hash_exchanges[0]

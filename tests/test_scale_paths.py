@@ -189,3 +189,23 @@ def test_winnow_and_bigrams_handle_short_docs(spark):
     assert got[1] == []
     assert got[2] == ["two words"]
     assert got[3][:2] == ["a b", "b c"]
+
+
+def test_neardup_bucket_count_bounds_block_rows(spark):
+    """Block-matrix sizing contract: for any corpus size, the derived
+    bucket count keeps every block row at ≤ NEARDUP_BLOCK_ROWS vectors
+    (expected ceil(n/B)), so block-pair tasks have bounded memory."""
+    import math
+
+    from dataextractor_spark.operators.similarity import (
+        NEARDUP_BLOCK_ROWS,
+        neardup_bucket_count,
+    )
+
+    for n in (0, 1, 600, 6_000, 80_001, 10_000_000, 10**9):
+        b = neardup_bucket_count(n)
+        assert b >= 8
+        assert math.ceil(max(n, 1) / b) <= NEARDUP_BLOCK_ROWS, (n, b)
+    # B scales linearly with n past the floor — 100× data ⇒ ~100× B,
+    # not 100× row width
+    assert neardup_bucket_count(10_000_000) == 1000
