@@ -26,9 +26,12 @@ from dataextractor_spark.session import get_session
 #: rollup, percentiles, windows, session windows, JSON, dedup, vector
 #: top-k, text). Near-dup pairs are included since their rewrites
 #: (prefix-filtered AllPairs join, block-matrix cosine) made them
-#: scale-path operators rather than O(n²) demos; the iterative
-#: connected-components pass stays out (multi-job loops measure
-#: scheduling, not engine throughput).
+#: scale-path operators rather than O(n²) demos. The five riskiest
+#: plans (iterative connected components, MinHash-LSH banding, batched
+#: kNN, LATERAL decorrelation, global ntile) are benched too so a
+#: round-over-round regression in any of them is visible — components
+#: and LSH measure multi-job orchestration as well as throughput,
+#: which is the point: that loop IS their cost at scale.
 HEADLINE = [
     "flagship_pricing_summary",
     "join_star_revenue",
@@ -55,10 +58,15 @@ HEADLINE = [
     "curation_pipeline",
     "sim_topk_cosine",
     "text_token_stats",
-    "text_repetition_ratio",
+    "text_quality_score",
     "text_pack_sequences",
     "multimodal_features",
-    "udf_zscore",
+    "udf_zscore_median",
+    "dedup_components",
+    "dedup_minhash_lsh",
+    "sim_knn_batch",
+    "sql_lateral_topn",
+    "window_deciles",
 ]
 
 

@@ -186,15 +186,22 @@ def load_table(
     )
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-        # read natively; read it as raw nanos (legacy conf, runtime-
-        # settable) and convert losslessly with integer division — the
-        # data is µs-grained, and int64 `div` avoids the double-mantissa
-        # precision loss a float division would introduce.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark 4 refuses to read natively — the legacy conf surfaces it
+        # as raw int64 nanos) and plain TIMESTAMP(MICROS), depending on
+        # the fixture generator version. Handle both: read with the
+        # nanos-as-long conf on (harmless for µs files), then branch on
+        # the surfaced type. The nanos branch converts losslessly with
+        # integer division — int64 `div` avoids the double-mantissa
+        # precision loss a float division would introduce; the native
+        # branch just normalizes NTZ → session-tz timestamp (session tz
+        # is pinned UTC above, so the wall-clock values are identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if validate:

@@ -44,11 +44,14 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _certificate(edges: DataFrame) -> tuple:
+    # bit_xor (not sum) folds the 64-bit edge hashes: order-insensitive
+    # like sum, but closed over int64 — summing raw xxhash64 values
+    # overflows under ANSI mode (Spark 4 default).
     row = edges.agg(
         F.count(F.lit(1)),
         F.sum("src"),
         F.sum("dst"),
-        F.sum(F.xxhash64("src", "dst")),
+        F.bit_xor(F.xxhash64("src", "dst")),
     ).collect()[0]
     return tuple(row)
 

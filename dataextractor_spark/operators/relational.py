@@ -108,31 +108,6 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "projection_prune",
-    oracle="""
-    SELECT c_custkey, upper(c_mktsegment) AS segment, round(c_acctbal, 2) AS acctbal
-    FROM customer
-    WHERE c_acctbal > 9000
-    ORDER BY c_custkey
-    """,
-)
-def projection_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Narrow projection: the scan must read only 3 of customer's 5
-    columns (check ReadSchema in .explain) — reference never prunes
-    (SURVEY.md §4.1 'no column pruning')."""
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.filter(F.col("c_acctbal") > 9000)
-        .select(
-            "c_custkey",
-            F.upper("c_mktsegment").alias("segment"),
-            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
-        )
-        .orderBy("c_custkey")
-    )
-
-
-@query(
     "sort_limit_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
@@ -159,25 +134,6 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "distinct_dedup_rows",
-    oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus
-    FROM lineitem
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level distinct (dropDuplicates): partial de-dup map-side,
-    then a shuffle only of the surviving distinct keys."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_returnflag", "l_linestatus")
-        .dropDuplicates()
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@query(
     "union_except_intersect",
     oracle="""
     WITH big_spenders AS (
@@ -195,16 +151,21 @@ def distinct_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'except' AS set_op, count(*) AS n FROM
         (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM machinery)
+    UNION ALL
+    SELECT 'distinct_li_status' AS set_op, count(*) AS n FROM
+        (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     ORDER BY set_op
     """,
 )
 def union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set algebra over two customer segments (union/intersect/except).
-
-    Each set op is a shuffle on the key; counts keep the result tiny.
-    """
+    """Set algebra over two customer segments (union/intersect/except)
+    plus row-level distinct (dropDuplicates on lineitem status flags —
+    partial de-dup map-side, then a shuffle only of the surviving
+    distinct keys). Each set op is a shuffle on the key; counts keep
+    the result tiny."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
     big = (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.sum("o_totalprice").alias("spend"))
@@ -223,4 +184,10 @@ def union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = big.exceptAll(mach).distinct().agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("except").alias("set_op"), "n"
     )
-    return u.unionByName(i).unionByName(e).orderBy("set_op")
+    d = (
+        li.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("distinct_li_status").alias("set_op"), "n")
+    )
+    return u.unionByName(i).unionByName(e).unionByName(d).orderBy("set_op")

@@ -109,15 +109,20 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(avg(ln(l_extendedprice)), 6)                     AS avg_ln_price,
         round(sum(pow(l_tax, 2)), 6)                           AS sum_tax_sq,
         CAST(sum(CAST(l_linenumber AS BIGINT) % 2) AS BIGINT)  AS n_odd_lines,
-        round(max(greatest(l_discount, l_tax)), 2)             AS max_rate
+        round(max(greatest(l_discount, l_tax)), 2)             AS max_rate,
+        round(avg(CASE WHEN l_tax > 0.04 THEN 1.0 ELSE 0.0 END), 6)
+                                                               AS high_tax_rate
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math battery: abs/sqrt/ln/pow/mod/greatest under aggregation
-    (rates & ratios tier — win-rate arithmetic analogue)."""
+    """Math battery: abs/sqrt/ln/pow/mod/greatest under aggregation,
+    plus the rate-of-an-indicator pattern (avg of a 0/1 CASE — the
+    win-rate-per-hero arithmetic the reference's README promises,
+    README.md:23; the broadcast-dim-chain form of the same rate is
+    join_star_revenue, driver-green)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -133,6 +138,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_odd_lines"),
             F.round(F.max(F.greatest("l_discount", "l_tax")), 2).alias("max_rate"),
+            F.round(
+                F.avg(F.when(F.col("l_tax") > 0.04, 1.0).otherwise(0.0)), 6
+            ).alias("high_tax_rate"),
         )
         .orderBy("l_returnflag")
     )
@@ -179,62 +187,43 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "scalar_variant_funcs",
-    oracle="""
-    SELECT
-        event_type,
-        CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
-        CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
-                 THEN 1 ELSE 0 END) AS BIGINT)             AS n_big_k
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VariantType path for semi-structured data: parse_json →
-    variant_get with a typed path — the open-ended-schema alternative
-    to from_json for payloads whose shape isn't known up front (the
-    reference's 22 raw-passthrough getters, A13). Same answers as the
-    JSON-string path, proven by the shared oracle."""
-    e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "bigint")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.min(k).cast("long").alias("min_k"),
-            F.sum(F.when(k > 50, 1).otherwise(0)).cast("long").alias("n_big_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
     "scalar_json_funcs",
     oracle="""
     SELECT
         event_type,
         count(*)                                              AS n,
         round(avg(CAST(props->>'$.k' AS BIGINT)), 6)          AS avg_k,
-        CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)    AS max_k
+        CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)    AS max_k,
+        CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)    AS variant_min_k,
+        CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                 THEN 1 ELSE 0 END) AS BIGINT)                AS variant_n_big_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction from the semi-structured props column
-    (A13's raw-JSON payload tier): get_json_object path lookup with a
-    typed cast, aggregated per event type."""
+    """JSON + Variant scalar extraction from the semi-structured props
+    column (A13's raw-JSON payload tier), both engine paths in one
+    query: get_json_object string-path lookup (n/avg_k/max_k) AND the
+    Spark 4 VariantType path — parse_json → variant_get with a typed
+    path (variant_min_k/variant_n_big_k), the open-ended-schema
+    alternative to from_json for payloads whose shape isn't known up
+    front (the reference's 22 raw-passthrough getters, A13). One oracle
+    proves both paths agree with ANSI JSON semantics."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    kv = F.variant_get(F.parse_json("props"), "$.k", "bigint")
     return (
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(k), 6).alias("avg_k"),
             F.max(k).cast("long").alias("max_k"),
+            F.min(kv).cast("long").alias("variant_min_k"),
+            F.sum(F.when(kv > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("variant_n_big_k"),
         )
         .orderBy("event_type")
     )

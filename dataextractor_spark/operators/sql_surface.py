@@ -68,39 +68,12 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "subquery_scalar",
-    oracle="""
-    SELECT o_orderstatus,
-           count(*) AS n_above_avg,
-           round(min(o_totalprice), 2) AS min_above
-    FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-)
-def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery (orders above global average).
-    Catalyst evaluates the subquery once and broadcasts the scalar —
-    two passes over orders, no pairwise work, scale-safe."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderstatus,
-               count(*) AS n_above_avg,
-               round(min(o_totalprice), 2) AS min_above
-        FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-        GROUP BY o_orderstatus
-        ORDER BY o_orderstatus
-        """
-    )
-
-
-@query(
     "subquery_exists_correlated",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_customers
+    SELECT c_mktsegment, count(*) AS n_customers,
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+               AS n_orders_above_avg
     FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
@@ -113,12 +86,19 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS — Catalyst decorrelates it into a left-semi
-    join on the correlation key (one shuffle), never a per-row probe."""
+    """Correlated EXISTS + uncorrelated scalar subquery in one query.
+    Catalyst decorrelates the EXISTS into a left-semi join on the
+    correlation key (one shuffle, never a per-row probe); the nested
+    scalar subquery (orders above global average) is evaluated once and
+    broadcast as a literal — two extra narrow passes over orders, no
+    pairwise work, scale-safe."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT c_mktsegment, count(*) AS n_customers
+        SELECT c_mktsegment, count(*) AS n_customers,
+               (SELECT count(*) FROM orders
+                WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+                   AS n_orders_above_avg
         FROM customer c
         WHERE EXISTS (
             SELECT 1 FROM orders o
@@ -173,101 +153,45 @@ def subquery_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "pivot_status_by_priority",
+    "pivot_unpivot_roundtrip",
     oracle="""
-    SELECT o_orderpriority,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS F,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS O,
-           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS P
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
+    WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+         s AS (SELECT unnest(['F', 'O', 'P']) AS status),
+         agg AS (
+             SELECT o_orderpriority, o_orderstatus AS status,
+                    sum(o_totalprice) AS t
+             FROM orders GROUP BY 1, 2
+         )
+    SELECT p.o_orderpriority, s.status,
+           round(coalesce(agg.t, 0), 2) AS total
+    FROM p CROSS JOIN s
+    LEFT JOIN agg ON agg.o_orderpriority = p.o_orderpriority
+                 AND agg.status = s.status
+    ORDER BY p.o_orderpriority, s.status
     """,
 )
-def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide): spend per priority × status. Explicit pivot
-    values keep it one pass with no distinct-values pre-query — the
-    form you want at scale."""
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) then unpivot (wide→long) in one plan: spend
+    per priority × status pivots to explicit F/O/P columns (explicit
+    pivot values = one pass, no distinct-values pre-query — the form
+    you want at scale), then the native unpivot operator (an Expand
+    node — one pass, no join) melts it back to (priority, status,
+    total) rows, zero-filled for absent cells. The oracle computes the
+    same dense grid relationally, proving the roundtrip is lossless."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
-        .orderBy("o_orderpriority")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)))
     )
-
-
-@query(
-    "unpivot_measures",
-    oracle="""
-    SELECT l_returnflag, measure, round(sum(val), 2) AS total
-    FROM (
-        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
-        UNION ALL
-        SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
-        UNION ALL
-        SELECT l_returnflag, 'discount', l_discount FROM lineitem
-    )
-    GROUP BY l_returnflag, measure
-    ORDER BY l_returnflag, measure
-    """,
-)
-def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt (wide→long): three measure columns become
-    (measure, val) rows via the native unpivot operator (an Expand
-    node — one pass, no join)."""
-    li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.unpivot(
-            ["l_returnflag"],
-            ["l_quantity", "l_extendedprice", "l_discount"],
-            "measure",
-            "val",
+        wide.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "total")
+        .select(
+            "o_orderpriority",
+            "status",
+            F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
         )
-        .withColumn(
-            "measure",
-            F.when(F.col("measure") == "l_quantity", "quantity")
-            .when(F.col("measure") == "l_extendedprice", "price")
-            .otherwise("discount"),
-        )
-        .groupBy("l_returnflag", "measure")
-        .agg(F.round(F.sum("val"), 2).alias("total"))
-        .orderBy("l_returnflag", "measure")
-    )
-
-
-@query(
-    "rate_winrate_analog",
-    oracle="""
-    SELECT n_name,
-           count(*) AS n_orders,
-           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6)
-               AS finished_rate
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    ORDER BY n_name
-    """,
-)
-def rate_winrate_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Win-rate-per-hero analogue (README.md:23): rate = avg of a 0/1
-    indicator per group — finished-order rate per nation over the
-    broadcast dim chain."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(
-                F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 6
-            ).alias("finished_rate"),
-        )
-        .orderBy("n_name")
+        .orderBy("o_orderpriority", "status")
     )
 
 
@@ -284,43 +208,6 @@ def _zscore_udf():
     return z
 
 
-@query(
-    "udf_zscore",
-    oracle="""
-    WITH stats AS (
-        SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma
-        FROM orders
-    )
-    SELECT o_orderkey, round((o_totalprice - mu) / sigma, 6) AS zscore
-    FROM orders, stats
-    WHERE o_orderkey <= 1000
-    ORDER BY o_orderkey
-    """,
-)
-def udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar pandas UDF: z-score of order price against broadcast
-    global stats. The stats come from a tiny agg cross-joined in
-    (broadcast), so the UDF stage is a narrow Arrow pass."""
-    o = load_table(spark, sf_dir, "orders")
-    stats = F.broadcast(
-        o.agg(
-            F.avg("o_totalprice").alias("mu"),
-            F.stddev_samp("o_totalprice").alias("sigma"),
-        )
-    )
-    return (
-        o.filter(F.col("o_orderkey") <= 1000)
-        .crossJoin(stats)
-        .select(
-            "o_orderkey",
-            F.round(
-                _zscore_udf()(F.col("o_totalprice"), F.col("mu"), F.col("sigma")), 6
-            ).alias("zscore"),
-        )
-        .orderBy("o_orderkey")
-    )
-
-
 def _median_udf():
     """Grouped-aggregate pandas UDF (numpy median per group); lazy for
     the same session-at-import reason as _zscore_udf."""
@@ -335,23 +222,45 @@ def _median_udf():
 
 
 @query(
-    "udf_group_median",
+    "udf_zscore_median",
     oracle="""
+    WITH stats AS (
+        SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma
+        FROM orders
+    )
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
-    FROM orders
+           round(quantile_cont((o_totalprice - mu) / sigma, 0.5), 4)
+               AS median_zscore
+    FROM orders, stats
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
 )
-def udf_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-agg pandas UDF: per-status numpy median (≡ linear-
-    interpolated quantile_cont 0.5 — the oracle proves the UDF agrees
-    with the SQL definition)."""
+def udf_zscore_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sanctioned pandas-UDF shapes chained in one plan: a SCALAR
+    pandas UDF computes each order's z-score against broadcast global
+    stats (tiny agg cross-joined in — the UDF stage is a narrow Arrow
+    pass), then a GROUPED-AGGREGATE pandas UDF takes the numpy median
+    of those z-scores per status (≡ linear-interpolated quantile_cont
+    0.5 — the oracle proves both UDFs agree with the SQL definition).
+    A grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    (INVALID_PANDAS_UDF_PLACEMENT), so the median is the lone agg."""
     o = load_table(spark, sf_dir, "orders")
+    stats = F.broadcast(
+        o.agg(
+            F.avg("o_totalprice").alias("mu"),
+            F.stddev_samp("o_totalprice").alias("sigma"),
+        )
+    )
+    z = o.crossJoin(stats).select(
+        "o_orderstatus",
+        _zscore_udf()(F.col("o_totalprice"), F.col("mu"), F.col("sigma")).alias(
+            "zscore"
+        ),
+    )
     return (
-        o.groupBy("o_orderstatus")
-        .agg(F.round(_median_udf()("o_totalprice"), 4).alias("median_price"))
+        z.groupBy("o_orderstatus")
+        .agg(F.round(_median_udf()("zscore"), 4).alias("median_zscore"))
         .orderBy("o_orderstatus")
     )
 

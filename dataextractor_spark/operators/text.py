@@ -34,33 +34,56 @@ _STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
     WITH tok AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         FROM documents
+    ),
+    ws AS (
+        SELECT lang,
+               count(DISTINCT doc_id)       AS n_docs,
+               count(*)                     AS n_tokens,
+               count(DISTINCT t)            AS vocab,
+               round(avg(length(t)), 6)     AS avg_token_len
+        FROM tok
+        GROUP BY lang
+    ),
+    rx AS (
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+                   AS n_word_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+                   AS n_num_tokens
+        FROM documents
+        GROUP BY lang
     )
-    SELECT lang,
-           count(DISTINCT doc_id)       AS n_docs,
-           count(*)                     AS n_tokens,
-           count(DISTINCT t)            AS vocab,
-           round(avg(length(t)), 6)     AS avg_token_len
-    FROM tok
-    GROUP BY lang
-    ORDER BY lang
+    SELECT ws.lang, ws.n_docs, ws.n_tokens, ws.vocab, ws.avg_token_len,
+           rx.n_word_tokens, rx.n_num_tokens
+    FROM ws JOIN rx ON ws.lang = rx.lang
+    ORDER BY ws.lang
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting + vocabulary per language (token-
-    counting tier). Explode → hash agg; the shuffle carries only
-    (lang, token) pairs for the distinct, bounded by vocabulary."""
+    """Token counting per language, both tokenizer tiers in one result:
+    whitespace tokens + vocabulary (explode → hash agg; the shuffle
+    carries only (lang, token) pairs for the distinct, bounded by
+    vocabulary) and regex-class counts (the BPE-ish pre-tokenizer
+    shape: runs of letters vs digits — regexp_extract_all stays
+    JVM-side, no explode needed). The regex counts aggregate in the
+    same per-lang hash agg as the whitespace stats' first pass."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("t"))
-    return (
-        tok.groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("t").alias("vocab"),
-            F.round(F.avg(F.length("t")), 6).alias("avg_token_len"),
-        )
-        .orderBy("lang")
+    ws = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("vocab"),
+        F.round(F.avg(F.length("t")), 6).alias("avg_token_len"),
     )
+    rx = d.groupBy("lang").agg(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))))
+        .cast("long")
+        .alias("n_num_tokens"),
+    )
+    return ws.join(rx, "lang").orderBy("lang")
 
 
 @query(
@@ -75,7 +98,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
                 / len(string_split(text, ' ')) AS stop_ratio,
             len(list_distinct(string_split(text, ' ')))::DOUBLE
-                / len(string_split(text, ' ')) AS ttr
+                / len(string_split(text, ' ')) AS ttr,
+            list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                i -> string_split(text, ' ')[i] || ' '
+                     || string_split(text, ' ')[i + 1] || ' '
+                     || string_split(text, ' ')[i + 2]
+            ) AS tg
         FROM documents
     )
     SELECT source,
@@ -83,17 +112,31 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(n_words), 6)      AS avg_words,
            round(avg(n_chars_m), 6)    AS avg_chars,
            round(avg(stop_ratio), 6)   AS avg_stop_ratio,
-           round(avg(ttr), 6)          AS avg_ttr
+           round(avg(ttr), 6)          AS avg_ttr,
+           round(
+               avg(CASE WHEN len(tg) > 0
+                        THEN 1 - len(list_distinct(tg))::DOUBLE / len(tg)
+                   END),
+               6
+           ) AS avg_repetition
     FROM scored
     GROUP BY source
     ORDER BY source
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality signals per document (length, stopword ratio, type-token
-    ratio), aggregated per source — the filter-before-training tier.
-    All per-doc math is narrow (no shuffle); only source-level
-    averages aggregate."""
+    """Quality signals per document, aggregated per source — the
+    filter-before-training tier: length, stopword ratio, type-token
+    ratio, plus the trigram repetition ratio (fraction of token
+    TRIGRAMS that are repeats, 1 − |distinct|/|total| — the classic
+    templated/boilerplate signal for training-data curation).
+
+    Trigrams come from zip_with over three shifted slices of the token
+    array (never an index sequence — safe for short docs, and the
+    lambda touches only its own elements so the expression stays cheap
+    even if an optimizer rule inlines it). All per-doc math is narrow
+    (no shuffle); only source-level averages aggregate — at 100 TB
+    this pass is scan-bound, exactly what a quality filter should be."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
@@ -101,6 +144,20 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_words
     )
     ttr = F.size(F.array_distinct(words)).cast("double") / n_words
+    n3 = F.greatest(F.size(words) - 2, F.lit(0))
+    tg = F.zip_with(
+        F.zip_with(
+            F.slice(words, 1, n3),
+            F.slice(words, 2, n3),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice(words, 3, n3),
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    rep = F.when(
+        F.col("tg_total") > 0,
+        1 - F.col("tg_distinct").cast("double") / F.col("tg_total"),
+    )
     return (
         d.select(
             "source",
@@ -108,6 +165,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").alias("n_chars_m"),
             stop_ratio.alias("stop_ratio"),
             ttr.alias("ttr"),
+            F.size(tg).alias("tg_total"),
+            F.size(F.array_distinct(tg)).alias("tg_distinct"),
         )
         .groupBy("source")
         .agg(
@@ -116,6 +175,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
             F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
             F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+            F.round(F.avg(rep), 6).alias("avg_repetition"),
         )
         .orderBy("source")
     )
@@ -361,108 +421,6 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.select("doc_a", "doc_b", F.round(overlap, 4).alias("fp_overlap"))
         .filter(F.col("fp_overlap") >= 0.6)
         .orderBy("doc_a", "doc_b")
-    )
-
-
-@query(
-    "text_token_regex_count",
-    oracle="""
-    SELECT lang,
-           CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)  AS n_word_tokens,
-           CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)  AS n_num_tokens,
-           count(*)                                      AS n_docs
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex-class token counting (the BPE-ish pre-tokenizer shape:
-    split runs of letters vs digits) — regexp_extract_all stays
-    JVM-side."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))).alias(
-                "n_word_tokens"
-            ),
-            F.sum(F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))).alias(
-                "n_num_tokens"
-            ),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "text_repetition_ratio",
-    oracle="""
-    WITH t AS (
-        SELECT lang,
-               list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-                   i -> string_split(text, ' ')[i] || ' '
-                        || string_split(text, ' ')[i + 1] || ' '
-                        || string_split(text, ' ')[i + 2]
-               ) AS tg
-        FROM documents
-    )
-    SELECT lang,
-           count(*) FILTER (len(tg) > 0) AS n_docs,
-           round(
-               avg(CASE WHEN len(tg) > 0
-                        THEN 1 - len(list_distinct(tg))::DOUBLE / len(tg)
-                   END),
-               6
-           ) AS avg_repetition
-    FROM t
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition ratio — the classic templated/boilerplate quality
-    signal for training-data curation: per doc, the fraction of token
-    TRIGRAMS that are repeats (1 − |distinct|/|total|); reported as the
-    per-language average over docs long enough to have a trigram.
-
-    Trigrams come from zip_with over three shifted slices of the token
-    array (never an index sequence — safe for short docs, and the
-    lambda touches only its own elements so the expression stays cheap
-    even if an optimizer rule inlines it). One narrow pass + one tiny
-    per-lang aggregate: at 100 TB this is scan-bound, exactly what a
-    quality-filter pass should be.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
-    tg = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, n3),
-            F.slice(toks, 2, n3),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-        F.slice(toks, 3, n3),
-        lambda xy, z: F.concat_ws(" ", xy, z),
-    )
-    per_doc = d.select(
-        "lang",
-        F.size(tg).alias("total"),
-        F.size(F.array_distinct(tg)).alias("n_distinct"),
-    )
-    rep = F.when(
-        F.col("total") > 0,
-        1 - F.col("n_distinct").cast("double") / F.col("total"),
-    )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(rep).alias("n_docs"),
-            F.round(F.avg(rep), 6).alias("avg_repetition"),
-        )
-        .orderBy("lang")
     )
 
 

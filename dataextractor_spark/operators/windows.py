@@ -85,9 +85,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_lag_delta",
+    "window_moving_avg",
     oracle="""
     SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS mov_avg3,
            round(value - lag(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ), 2) AS delta,
@@ -98,43 +102,21 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, event_id
     """,
 )
-def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead analytics per user event stream (value deltas + next
-    event type)."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
-        F.lead("event_type").over(w).alias("next_type"),
-    ).orderBy("user_id", "event_id")
-
-
-@query(
-    "window_moving_avg",
-    oracle="""
-    SELECT user_id, event_id,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ), 6) AS mov_avg3
-    FROM events
-    ORDER BY user_id, event_id
-    """,
-)
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-row trailing moving average per user (bounded ROWS frame)."""
+    """Analytic-frame battery per user event stream, one window shuffle:
+    3-row trailing moving average (bounded ROWS frame), lag value delta,
+    and lead next-event-type. All three functions share the same
+    (partition, order) spec so Catalyst computes them in a single
+    Window node — one shuffle on user_id, one partition-local sort."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
+    spec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = spec.rowsBetween(-2, Window.currentRow)
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 6).alias("mov_avg3"),
+        F.round(F.avg("value").over(w3), 6).alias("mov_avg3"),
+        F.round(F.col("value") - F.lag("value").over(spec), 2).alias("delta"),
+        F.lead("event_type").over(spec).alias("next_type"),
     ).orderBy("user_id", "event_id")
 
 
