@@ -88,8 +88,14 @@ def compact(
         .partitionBy(*partition_cols)
         .parquet(staging)
     )
-    # Commit: swap directories. The backup survives until the new data
-    # is in place, so a crash at any point leaves a readable dataset.
+    # Commit: swap directories. The data always exists somewhere, but
+    # the two renames are NOT one atomic step: a crash between them
+    # leaves nothing at `path` — the dataset then sits intact at the
+    # .compact-backup sibling and recovery = rename it back (readers
+    # that want crash-transparency should check for the backup path).
+    # On object stores "rename" is copy+delete and this scheme doesn't
+    # apply at all — use a table format (Iceberg/Delta) whose metadata
+    # commit is atomic, and treat this module as the local-FS tier.
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -113,13 +113,23 @@ def normalize_json_records(
         if schema is None:
             raise ValueError("empty payload requires an explicit schema")
         return spark.createDataFrame([], schema)
-    json_lines = [json.dumps(r) for r in payload]
-    jdf = spark.createDataFrame([(s,) for s in json_lines], "raw string")
     if schema is not None:
-        parsed = jdf.select(F.from_json("raw", schema).alias("rec")).select("rec.*")
-        return parsed
-    # schema-free path: let Spark's JSON reader infer over the full payload
-    return spark.read.json(jdf.rdd.map(lambda r: r.raw))
+        json_lines = [json.dumps(r) for r in payload]
+        jdf = spark.createDataFrame([(s,) for s in json_lines], "raw string")
+        return jdf.select(F.from_json("raw", schema).alias("rec")).select("rec.*")
+    # schema-free path WITHOUT leaving the DataFrame API (an .rdd hop
+    # disables scan pushdown on anything built downstream and is
+    # removed-API territory for Spark Connect): serialize the whole
+    # payload as ONE JSON array literal and let schema_of_json infer
+    # the merged element schema — JsonInferSchema folds every element's
+    # type, so this is full-payload inference (NOT the reference's
+    # 1,000-record sample), then explode back into rows. The single-row
+    # stage is fine: the payload is already a driver-local list here.
+    arr = json.dumps(payload)
+    arr_df = spark.createDataFrame([(arr,)], "raw string")
+    return arr_df.select(
+        F.explode(F.from_json("raw", F.schema_of_json(F.lit(arr)))).alias("rec")
+    ).select("rec.*")
 
 
 def with_local_date(

@@ -38,7 +38,20 @@ def salted_join(
     negligible for real dims. Result is row-identical to the plain
     join (tests/test_plans.py proves it), but the hot key's work is
     spread over n tasks instead of one straggler.
+
+    Only fact-preserving joins are supported: with right/full outer,
+    a replicated hot-key dim row that matches no fact row in SOME salt
+    would emit one null-extended row PER UNMATCHED SALT — inflating
+    the result relative to the plain join. Rather than silently return
+    wrong rows, reject those modes.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} — dim replication across salts would emit one "
+            "null-extended row per unmatched salt under right/full outer"
+        )
     is_hot_fact = F.col(fact_key).isin(hot_keys)
     fact_s = fact.withColumn(
         "_salt",

@@ -487,24 +487,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # sketch-based → rows-only; validated in tests
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup candidates (shingle → minhash →
-    band → bucket-join), entirely in Catalyst expressions.
+#: LSH band buckets larger than this are excluded from the candidate
+#: self-join and reported as skipped mass instead. A bucket of k docs
+#: yields C(k,2) pairs, so one degenerate bucket (empty-text docs, a
+#: boilerplate flood) turns the O(n) banding plan quadratic; above the
+#: cap the bucket is (by construction) near-identical content better
+#: handled by exact dedup on the full text hash.
+LSH_BUCKET_CAP = 256
 
-    Signature: for permutation i, sig_i = min over tokens of
-    xxhash64(token, i) — 32 perms via a higher-order transform (no
-    Python, no UDF). Banding: 8 bands × 4 rows; docs sharing any
-    band hash become candidates (≈ Jaccard ≥ 0.8 sweet spot for this
-    b/r). Candidates are verified with the estimated signature
-    agreement. At 100 TB: candidate generation is a bucket groupBy —
-    O(n) shuffle of (band, hash) keys, never pairwise.
 
-    tests/test_dedup.py checks candidates ⊇ true pairs found by the
-    exact dedup_jaccard_pairs at its threshold (recall) — the
-    sketch-vs-exact contract.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """MinHash+LSH candidate pairs for a documents-shaped frame
+    (doc_id, lang, text) — the engine behind ``dedup_minhash_lsh``;
+    see its docstring for the algorithm and scale notes. Every row
+    carries the skip audit (skipped_buckets, skipped_docs) so callers
+    can see what the cap excluded."""
     # signatures via explode + 32 codegen'd min-aggregates: nested
     # higher-order lambdas (transform-of-transform) execute INTERPRETED
     # per element in Spark, so sig-as-HOF dominated runtime; exploding
@@ -543,15 +540,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = docs.withColumn("b", F.explode(bands)).select(
         "doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
     )
+    # bucket-size gate BEFORE the self-join: count each (band, bhash,
+    # lang) bucket, drop over-cap buckets from pairing (same shuffle
+    # key as the join, so the count reuses the exchange), and fold the
+    # skipped mass into an audit both as output columns and via the
+    # collected metric-free path (no collect — a 1-row agg broadcast).
+    sizes = banded.groupBy("band", "bhash", "lang").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    ok = sizes.filter(F.col("bucket_n") <= bucket_cap).select("band", "bhash", "lang")
+    skipped = F.broadcast(
+        sizes.filter(F.col("bucket_n") > bucket_cap).agg(
+            F.count(F.lit(1)).alias("skipped_buckets"),
+            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("skipped_docs"),
+        )
+    )
+    gated = banded.join(ok, ["band", "bhash", "lang"])
     # candidate pairs carry ONLY ids through the bucket join + distinct
     # (a near-dup-rich corpus makes buckets large; hauling the 32-long
     # signatures through every duplicate banded pair dominated runtime
     # — ids-first then two hash joins back to signatures is ~3× faster
     # at sf0.1 and shuffles 16 bytes/pair instead of ~540)
-    lhs = banded.select(
+    lhs = gated.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "band", "bhash"
     )
-    rhs = banded.select(
+    rhs = gated.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "band", "bhash"
     )
     cand_ids = (
@@ -580,8 +593,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.7)
+        .crossJoin(skipped)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_minhash_lsh")  # sketch-based → rows-only; validated in tests
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (shingle → minhash →
+    band → bucket-join), entirely in Catalyst expressions.
+
+    Signature: for permutation i, sig_i = min over tokens of
+    xxhash64(token, i) — 32 perms via a higher-order transform (no
+    Python, no UDF). Banding: 8 bands × 4 rows; docs sharing any
+    band hash become candidates (≈ Jaccard ≥ 0.8 sweet spot for this
+    b/r). Candidates are verified with the estimated signature
+    agreement. At 100 TB: candidate generation is a bucket groupBy —
+    O(n) shuffle of (band, hash) keys, never pairwise — and buckets
+    over LSH_BUCKET_CAP are excluded from pairing (with the skipped
+    mass reported in every row's audit columns), so one degenerate
+    bucket can't turn the plan quadratic (VERDICT.md round-1 item 6).
+
+    tests/test_dedup.py checks candidates ⊇ true pairs found by the
+    exact dedup_jaccard_pairs at its threshold (recall) — the
+    sketch-vs-exact contract; tests/test_scale_paths.py pins the
+    degenerate-corpus behavior (1.5k identical docs → 0 pairs, all
+    mass reported skipped).
+    """
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query("dedup_simhash")  # bit-sketch → rows-only; hamming checked in tests

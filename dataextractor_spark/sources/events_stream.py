@@ -60,13 +60,19 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         # side) file read happens on first poll only. Sorted by
         # event_id so offsets are stable across restarts.
         if self._rows is None:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             t = pq.read_table(self._path).sort_by("event_id")
+            # normalize to epoch-NANOS regardless of the file's unit
+            # (the fixture has shipped as both timestamp[ns] and
+            # timestamp[us]); a bare cast("int64") would silently keep
+            # whatever unit the file used.
+            ts_ns = t["ts"].cast(pa.timestamp("ns")).cast("int64")
             self._rows = list(
                 zip(
                     t["event_id"].to_pylist(),
-                    t["ts"].cast("int64").to_pylist(),
+                    ts_ns.to_pylist(),
                     t["user_id"].to_pylist(),
                     t["event_type"].to_pylist(),
                     t["value"].to_pylist(),

@@ -75,6 +75,12 @@ class TokenBucket:
         if self._tokens < 1.0:
             wait = (1.0 - self._tokens) / self.rate
             time.sleep(wait)
+            # the sleep earned exactly the deficit (one whole token,
+            # now spent). Restart accrual from the POST-sleep clock —
+            # leaving _last at the pre-sleep instant would re-credit
+            # the wait on the next call and transiently admit ~2× the
+            # configured rate.
+            self._last = time.monotonic()
             self._tokens = 0.0
         else:
             self._tokens -= 1.0

@@ -22,11 +22,18 @@ from dataextractor_spark.catalog import SCHEMAS, load_table
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-#: sentinel event appended after all real data: pushes the watermark
-#: past every real window so append mode emits them all by end of an
-#: AvailableNow replay. Consumers filter user_id < 0 / windows beyond
-#: the real time range.
-SENTINEL_TS = "2024-06-01 00:00:00"
+def sentinel_ts_for(events: DataFrame) -> str:
+    """Timestamp for the sentinel event appended after all real data:
+    pushes the watermark past every real window so append mode emits
+    them all by end of an AvailableNow replay. DERIVED from the staged
+    data (max ts + 60 days — far beyond any watermark+window spec used
+    here) rather than a constant, so a fixture whose time range grows
+    can never silently park the watermark short of the final windows.
+    Consumers filter event_type = 'sentinel' / user_id < 0."""
+    from datetime import timedelta
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    return (max_ts + timedelta(days=60)).strftime("%Y-%m-%d %H:%M:%S")
 
 
 def stage_stream_input(
@@ -69,7 +76,7 @@ def stage_stream_input(
             "event_id long, user_id long, event_type string, value double, props string",
         ).select(
             "event_id",
-            F.lit(SENTINEL_TS).cast("timestamp").alias("ts"),
+            F.lit(sentinel_ts_for(events)).cast("timestamp").alias("ts"),
             "user_id",
             "event_type",
             "value",

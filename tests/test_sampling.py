@@ -70,8 +70,10 @@ def test_watermark_drops_late_data(spark, tmp_path):
     events = load_table(spark, SF_SMALL, "events")
     events.coalesce(1).write.mode("append").parquet(d)
     _t.sleep(0.05)
+    from dataextractor_spark.streaming.windows import sentinel_ts_for
+
     sentinel = spark.createDataFrame(
-        [(-1, "2024-06-01 00:00:00", -1, "sentinel", 0.0, "{}")],
+        [(-1, sentinel_ts_for(events), -1, "sentinel", 0.0, "{}")],
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
              "user_id", "event_type", "value", "props")

@@ -209,3 +209,45 @@ def test_neardup_bucket_count_bounds_block_rows(spark):
     # B scales linearly with n past the floor — 100× data ⇒ ~100× B,
     # not 100× row width
     assert neardup_bucket_count(10_000_000) == 1000
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """A boilerplate flood (1.5k identical docs) must NOT produce a
+    quadratic bucket self-join: every band bucket exceeds
+    LSH_BUCKET_CAP, so the pair join sees zero rows and the skipped
+    mass is reported instead of silently dropped."""
+    from dataextractor_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        minhash_lsh_pairs,
+    )
+
+    n = 1500
+    assert n > LSH_BUCKET_CAP
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("the same boilerplate text repeated verbatim").alias("text"),
+    )
+    out = minhash_lsh_pairs(docs)
+    assert out.count() == 0
+    # the audit is visible even with no surviving pairs
+    audit = minhash_lsh_pairs(docs.limit(LSH_BUCKET_CAP + 1)).select(
+        "skipped_buckets", "skipped_docs"
+    )
+    assert "skipped_buckets" in audit.columns
+
+
+def test_lsh_cap_does_not_cost_recall_on_fixtures(spark):
+    """On the real fixture corpus no bucket is near the cap, so the
+    gate is a no-op there: pair sets with and without the cap match."""
+    from dataextractor_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, SF_SMALL, "documents")
+    capped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(d).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, bucket_cap=10**9).collect()
+    }
+    assert capped == uncapped
