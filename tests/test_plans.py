@@ -217,3 +217,33 @@ def test_asof_join_is_merge_form_one_key_exchange(spark):
     ]
     assert len(hash_exchanges) == 1, plan
     assert "_key" in hash_exchanges[0]
+
+
+def test_merged_window_analytics_single_window_node(spark):
+    """window_moving_avg carries moving-avg + lag + lead on the SAME
+    (partition, order) spec — Catalyst must fuse them into one Window
+    node (one shuffle on user_id, one partition-local sort), not one
+    per function."""
+    import re
+
+    df = load_all()["window_moving_avg"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    window_nodes = re.findall(r"^[\s+:*-]*Window\b", plan, flags=re.M)
+    assert len(window_nodes) == 1, plan
+    assert shuffle_exchange_count(df) <= 2  # window hash + final sort range
+
+
+def test_lsh_bucket_gate_reuses_bucket_exchange(spark):
+    """The bucket-size gate groups on the SAME (band, bhash, lang) key
+    the candidate join shuffles on, so the gate must not add a third
+    exchange over the banded relation (count-aggregate + join reuse one
+    partitioning)."""
+    from dataextractor_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, SF_SMALL, "documents")
+    # the full pair plan has: token explode agg (2), bucket count agg,
+    # gate join, pair self-join, dedup, sig joins — bound the total so
+    # the gate can't silently double the shuffle budget
+    n = shuffle_exchange_count(minhash_lsh_pairs(d))
+    n_uncapped = shuffle_exchange_count(minhash_lsh_pairs(d, bucket_cap=10**9))
+    assert n - n_uncapped <= 2, (n, n_uncapped)
