@@ -24,19 +24,39 @@ from dataextractor_spark.functions.vector import cosine_similarity
 from dataextractor_spark.registry import query
 
 #: fixed random hyperplanes for sign-LSH (seeded — deterministic across
-#: runs and engines). 8 planes → 256 buckets: sized so buckets stay
-#: non-trivially occupied at test scale (500-2k vectors); at corpus
-#: scale you'd raise planes ∝ log2(n) to keep Σ|bucket|² bounded.
-_N_PLANES = 8
+#: runs and engines). The pool holds the MAX usable planes; callers
+#: slice the first k, so a given plane's hash bit is stable as the
+#: corpus (and therefore k) grows.
+_MAX_PLANES = 24
+_N_PLANES = 8  # default for callers without a corpus count
 _DIM = 64
 _PLANES: list[list[float]] = (
-    np.random.RandomState(42).normal(size=(_N_PLANES, _DIM)).round(6).tolist()
+    np.random.RandomState(42).normal(size=(_MAX_PLANES, _DIM)).round(6).tolist()
 )
 
+#: target vectors per LSH bucket: small enough that a probe's
+#: candidate scan is trivial, large enough that buckets stay occupied.
+LSH_TARGET_BUCKET_ROWS = 32
 
-def _planes_literal() -> F.Column:
+
+def lsh_plane_count(
+    n_vectors: int, target_rows: int = LSH_TARGET_BUCKET_ROWS
+) -> int:
+    """Plane count k for sign-LSH, derived from the corpus size so the
+    EXPECTED bucket occupancy n/2^k stays near ``target_rows`` at any
+    scale (fixture or 100 TB) instead of hard-coding a fixtures-scale
+    constant: k = ceil(log2(n / target)), clamped to [4, _MAX_PLANES].
+    100× more vectors ⇒ ~6.6 more planes — bucket size is flat while
+    Σ|bucket|² stays bounded."""
+    import math
+
+    ratio = max(n_vectors, 1) / target_rows
+    return max(4, min(_MAX_PLANES, math.ceil(math.log2(max(ratio, 2.0)))))
+
+
+def _planes_literal(n_planes: int = _N_PLANES) -> F.Column:
     return F.array(
-        *[F.array(*[F.lit(float(v)) for v in plane]) for plane in _PLANES]
+        *[F.array(*[F.lit(float(v)) for v in plane]) for plane in _PLANES[:n_planes]]
     )
 
 
@@ -56,12 +76,14 @@ def neardup_bucket_count(n_vectors: int, target_rows: int = NEARDUP_BLOCK_ROWS) 
     return max(8, math.ceil(max(n_vectors, 1) / target_rows))
 
 
-def lsh_bucket(emb_col: str = "embedding") -> F.Column:
+def lsh_bucket(emb_col: str = "embedding", n_planes: int = _N_PLANES) -> F.Column:
     """Sign-LSH bucket id: bit b = [embedding · plane_b > 0], packed to
-    a long. Pure zip_with/aggregate expressions — executes in codegen."""
+    a long. Pure zip_with/aggregate expressions — executes in codegen.
+    Pass ``n_planes=lsh_plane_count(corpus_count)`` to size buckets for
+    the corpus at hand."""
     emb_d = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     bits = F.transform(
-        _planes_literal(),
+        _planes_literal(n_planes),
         lambda plane: F.when(
             F.aggregate(
                 F.zip_with(emb_d, plane, lambda x, y: x * y),
@@ -347,16 +369,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH.
 
-    Every vector gets a 16-bit bucket signature (seeded hyperplanes →
-    deterministic). A query probes ONLY its own bucket — at scale the
-    corpus is written bucket-partitioned, so a probe is a partition-
-    pruned scan of ~n/2^16 vectors instead of n. Here: bucket the
-    corpus, then exact-rank candidates sharing the bucket of each of
-    the first 5 query vectors. tests/test_similarity.py measures
-    recall vs the exact sim_knn_batch baseline.
+    Every vector gets a k-bit bucket signature (seeded hyperplanes →
+    deterministic), with k DERIVED from a corpus count so expected
+    bucket occupancy n/2^k sits near LSH_TARGET_BUCKET_ROWS at any
+    scale — the same count-then-size discipline as the block-matrix
+    near-dup plan, not a fixtures-scale constant. A query probes ONLY
+    its own bucket — at scale the corpus is written bucket-partitioned,
+    so a probe is a partition-pruned scan of ~n/2^k vectors instead of
+    n. Here: bucket the corpus, then exact-rank candidates sharing the
+    bucket of each of the first 5 query vectors.
+    tests/test_similarity.py measures recall vs the exact
+    sim_knn_batch baseline.
     """
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    e = corpus.withColumn(
+        "bucket", lsh_bucket("embedding", n_planes=lsh_plane_count(corpus.count()))
     )
     q = F.broadcast(
         e.filter(F.col("vec_id") < 5).select(

@@ -54,12 +54,17 @@ def test_ann_lsh_candidates_share_bucket(spark):
     """ANN contract: every candidate really shares the query's LSH
     bucket and its cosine equals the exact computation (the pruning is
     approximate; the scoring must not be)."""
-    from dataextractor_spark.operators.similarity import lsh_bucket
+    from dataextractor_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_plane_count,
+    )
 
     specs = load_all()
     ann = specs["sim_ann_lsh"].fn(spark, SF_SMALL)
-    e = load_table(spark, SF_SMALL, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
+    corpus = load_table(spark, SF_SMALL, "embeddings")
+    e = corpus.withColumn(
+        "bucket",
+        lsh_bucket("embedding", n_planes=lsh_plane_count(corpus.count())),
     )
     buckets = {r.vec_id: r.bucket for r in e.select("vec_id", "bucket").collect()}
     rows = ann.collect()
@@ -251,3 +256,24 @@ def test_lsh_cap_does_not_cost_recall_on_fixtures(spark):
         for r in minhash_lsh_pairs(d, bucket_cap=10**9).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_plane_count_tracks_corpus_size(spark):
+    """Plane count k keeps expected bucket occupancy n/2^k near the
+    target at every scale — the constant-bucket-size contract."""
+    from dataextractor_spark.operators.similarity import (
+        LSH_TARGET_BUCKET_ROWS,
+        _MAX_PLANES,
+        lsh_plane_count,
+    )
+
+    prev = 0
+    for n in (0, 100, 1000, 10**5, 10**7, 10**9, 10**12):
+        k = lsh_plane_count(n)
+        assert 4 <= k <= _MAX_PLANES
+        assert k >= prev  # monotone in corpus size
+        prev = k
+        if 2**4 < n / LSH_TARGET_BUCKET_ROWS and k < _MAX_PLANES:
+            # expected occupancy within [target/2, target] when unclamped
+            assert n / 2**k <= LSH_TARGET_BUCKET_ROWS
+            assert n / 2 ** (k - 1) > LSH_TARGET_BUCKET_ROWS
