@@ -73,7 +73,11 @@ def connected_components(
     a real cluster). Edge count is non-increasing after the first
     round, so per-round cost shrinks as components contract.
     """
-    e = _canonical(edges).localCheckpoint()
+    # lazy checkpoint: materialization happens inside the certificate
+    # collect that immediately follows — one job per round instead of
+    # two (eager checkpoint + collect), which halves the scheduling
+    # overhead that dominates small/shrinking edge sets
+    e = _canonical(edges).localCheckpoint(eager=False)
     prev = _certificate(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -101,7 +105,7 @@ def connected_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .union(mins2.select("src", F.col("m").alias("dst")))
         )
-        e = _canonical(small).localCheckpoint()
+        e = _canonical(small).localCheckpoint(eager=False)
 
         cert = _certificate(e)
         if cert == prev:

@@ -1,0 +1,150 @@
+"""Distributed k-means (Lloyd's algorithm) for IVF-style vector
+indexing — the unsupervised codebook behind `sim_ann_ivf_kmeans`.
+
+Spark-first formulation (no MLlib dependency, no driver-side vectors
+beyond the k×d codebook itself):
+
+- INIT: deterministic — the k seed vectors are the rows whose
+  ``xxhash64(id)`` ranks smallest (a reproducible uniform sample; no
+  rand(), so the fit is identical across runs, partitionings, and
+  cluster sizes).
+- ASSIGN: the codebook is k×d doubles (a few KB even at k=256, d=64) —
+  small enough to inline as a LITERAL array-of-arrays column, so
+  nearest-centroid assignment is ONE narrow codegen pass over the
+  corpus: transform over the centroid array computing squared L2, then
+  array_position of the min. No crossJoin, no shuffle, no UDF.
+- UPDATE: posexplode to (cell, pos, value) and hash-aggregate the per-
+  dimension means — one shuffle whose width is k·d regardless of
+  corpus size, re-assembled with sort+collect_list per cell.
+- Convergence: fixed ``max_iter`` sweeps (IVF codebooks don't need
+  exact convergence; each sweep is provably non-increasing in inertia,
+  asserted in tests).
+
+At 100 TB the per-iteration cost is one corpus scan + one k·d-wide
+shuffle — the textbook map-side-combine shape. The only driver-side
+state is the codebook collect between iterations, which is O(k·d) and
+independent of corpus size (same contract as a broadcast dim).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+#: target vectors per IVF cell: a probe scans ~this many candidates.
+IVF_TARGET_CELL_ROWS = 64
+
+
+def ivf_cell_count(n_vectors: int, target_rows: int = IVF_TARGET_CELL_ROWS) -> int:
+    """Cell count k derived from the corpus size: k = n/target clamped
+    to [4, 256] and to n (can't have more cells than vectors). The
+    classic IVF sizing k ≈ √n also works; n/target keeps probe cost
+    flat, which is the property the tests pin."""
+    k = math.ceil(max(n_vectors, 1) / target_rows)
+    return max(4, min(256, k, max(n_vectors, 1)))
+
+
+def _centroid_literal(centroids: list[list[float]]) -> F.Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def assign_cells(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Append a ``cell`` column: index (0-based) of the nearest
+    centroid by L2 distance, ties to the lowest index. One narrow
+    codegen pass — the codebook rides along as a literal."""
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(emb_d, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # array_position returns the FIRST index of the min → deterministic
+    # low-index tiebreak; 1-based, hence the -1.
+    cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    return vectors.withColumn("cell", cell)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    *,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fit k centroids over an array-typed vector column; returns the
+    codebook as a plain k×d list (driver-side O(k·d), like any
+    broadcast dim). Deterministic: hash-ranked seeding + mean updates.
+    Empty cells (possible when k is near n) keep their previous
+    centroid rather than being dropped, so the codebook size is stable.
+    """
+    seeds = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in seeds]
+    for _ in range(max_iter):
+        assigned = assign_cells(vectors.select(id_col, vec_col), centroids, vec_col)
+        flat = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        rows = (
+            flat.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("v").cast("double")))
+                    ),
+                    lambda s: s.v,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # per-(cell,pos) means, assembled per cell — but collect_list
+        # above gathers VALUES, not means; aggregate means first:
+        means = (
+            flat.groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = list(centroids)  # empty cells keep previous centroid
+        for r in means:
+            new[r["cell"]] = [float(v) for v in r["centroid"]]
+        centroids = new
+    return centroids
+
+
+def inertia(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> float:
+    """Σ over vectors of squared L2 distance to the assigned centroid
+    (the quantity Lloyd's sweeps never increase)."""
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(emb_d, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return float(
+        vectors.select(F.array_min(d2).alias("d2")).agg(F.sum("d2")).first()[0]
+    )
