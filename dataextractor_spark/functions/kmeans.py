@@ -98,20 +98,6 @@ def kmeans_fit(
         flat = assigned.select(
             "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
         )
-        rows = (
-            flat.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", F.col("v").cast("double")))
-                    ),
-                    lambda s: s.v,
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        # per-(cell,pos) means, assembled per cell — but collect_list
-        # above gathers VALUES, not means; aggregate means first:
         means = (
             flat.groupBy("cell", "pos")
             .agg(F.avg("v").alias("m"))

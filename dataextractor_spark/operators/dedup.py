@@ -499,9 +499,12 @@ LSH_BUCKET_CAP = 256
 def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH candidate pairs for a documents-shaped frame
     (doc_id, lang, text) — the engine behind ``dedup_minhash_lsh``;
-    see its docstring for the algorithm and scale notes. Every row
-    carries the skip audit (skipped_buckets, skipped_docs) so callers
-    can see what the cap excluded."""
+    see its docstring for the algorithm and scale notes. The skip
+    audit travels OUT-OF-BAND as exactly one sentinel row (null doc
+    ids; skipped_buckets = over-cap bucket count, skipped_docs =
+    DISTINCT docs those buckets held), so the audit survives even the
+    degenerate case the cap exists for — every bucket over cap and
+    zero surviving pairs. Pair rows carry nulls in the audit columns."""
     # signatures via explode + 32 codegen'd min-aggregates: nested
     # higher-order lambdas (transform-of-transform) execute INTERPRETED
     # per element in Spark, so sig-as-HOF dominated runtime; exploding
@@ -549,10 +552,19 @@ def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> Data
         F.count(F.lit(1)).alias("bucket_n")
     )
     ok = sizes.filter(F.col("bucket_n") <= bucket_cap).select("band", "bhash", "lang")
-    skipped = F.broadcast(
-        sizes.filter(F.col("bucket_n") > bucket_cap).agg(
-            F.count(F.lit(1)).alias("skipped_buckets"),
-            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("skipped_docs"),
+    over = sizes.filter(F.col("bucket_n") > bucket_cap).select("band", "bhash", "lang")
+    audit = (
+        banded.join(over, ["band", "bhash", "lang"])
+        .agg(
+            F.countDistinct("band", "bhash", "lang").alias("skipped_buckets"),
+            F.countDistinct("doc_id").alias("skipped_docs"),
+        )
+        .select(
+            F.lit(None).cast("long").alias("doc_a"),
+            F.lit(None).cast("long").alias("doc_b"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            "skipped_buckets",
+            "skipped_docs",
         )
     )
     gated = banded.join(ok, ["band", "bhash", "lang"])
@@ -590,11 +602,19 @@ def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> Data
         ).cast("double")
         / _N_PERM
     )
-    return (
+    pairs = (
         cand.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.7)
-        .crossJoin(skipped)
-        .orderBy("doc_a", "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.lit(None).cast("long").alias("skipped_buckets"),
+            F.lit(None).cast("long").alias("skipped_docs"),
+        )
+    )
+    return pairs.unionByName(audit).orderBy(
+        F.col("doc_a").asc_nulls_last(), "doc_b"
     )
 
 
@@ -611,10 +631,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement. At 100 TB: candidate generation is a bucket groupBy —
     O(n) shuffle of (band, hash) keys, never pairwise — and buckets
     over LSH_BUCKET_CAP are excluded from pairing (with the skipped
-    mass reported in every row's audit columns), so one degenerate
-    bucket can't turn the plan quadratic (VERDICT.md round-1 item 6).
+    mass reported in a single out-of-band audit row — null doc ids,
+    distinct-doc counts — that survives a zero-pair result), so one
+    degenerate bucket can't turn the plan quadratic (VERDICT.md
+    round-1 item 6).
 
-    tests/test_dedup.py checks candidates ⊇ true pairs found by the
+    tests/test_scale_paths.py checks candidates ⊇ true pairs found by the
     exact dedup_jaccard_pairs at its threshold (recall) — the
     sketch-vs-exact contract; tests/test_scale_paths.py pins the
     degenerate-corpus behavior (1.5k identical docs → 0 pairs, all

@@ -146,28 +146,42 @@ def profile_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a null-guard before each S3 write (extract-data-dota.py:130…);
     this is that idea made relational and exhaustive.
 
-    Scale plan: each check is an independent aggregate the scheduler
-    can run concurrently; the anti-join shuffles on the key with the
-    orders side reduced to its key column, and every count is
-    map-side partial. Nothing returns more than one row."""
+    Scale plan: ONE lazy plan (a single job), not four driver-side
+    actions — each check reduces to a 1-row aggregate and the four
+    are stitched with broadcast cross-joins, so the scheduler runs
+    the scans concurrently and the query honors the same
+    plan-not-program contract as every other registry entry. The
+    anti-join shuffles on the key with the orders side reduced to its
+    key column; every count is map-side partial."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
 
-    null_fk = li.filter(F.col("l_orderkey").isNull()).count()
+    null_fk = li.agg(
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_fk")
+    )
     orphans = (
         li.select("l_orderkey")
         .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
-        .count()
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
     )
     dup_keys = (
         c.groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).alias("dup_keys"))
     )
-    domain = o.filter(F.col("o_totalprice") <= 0).count()
-    return spark.createDataFrame(
-        [(null_fk, orphans, dup_keys, domain)],
-        "null_fk long, orphan_rows long, dup_keys long, domain_violations long",
+    domain = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("domain_violations")
+    )
+    return (
+        null_fk.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dup_keys))
+        .crossJoin(F.broadcast(domain))
+        .select(
+            F.coalesce("null_fk", F.lit(0)).alias("null_fk"),
+            "orphan_rows",
+            "dup_keys",
+            F.coalesce("domain_violations", F.lit(0)).alias("domain_violations"),
+        )
     )

@@ -365,6 +365,60 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_ivf_kmeans")  # approximate → rows-only; contracts in tests
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF with a LEARNED k-means codebook (functions/kmeans) —
+    the unsupervised sibling of ``sim_ann_ivf``'s label-derived cells,
+    i.e. what a real vector store does when no labels exist.
+
+    k = ivf_cell_count(n) is derived from a corpus COUNT (same
+    count-then-size discipline as the LSH plane pool); ``kmeans_fit``
+    runs Lloyd sweeps whose only driver-side state is the k×d codebook
+    (broadcast-dim-sized), assignment is one narrow codegen pass with
+    the codebook inlined as a literal, and a probe scans ONLY its own
+    cell. tests/test_scale_paths.py pins determinism, non-increasing
+    inertia across sweeps, the codebook-size contract, and the
+    candidate⊆query-cell invariant.
+    """
+    from pyspark.sql import Window
+
+    from dataextractor_spark.functions.kmeans import (
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    codebook = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    assigned = assign_cells(e, codebook)
+    q = F.broadcast(
+        assigned.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cell").alias("qcell"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.join(
+            q,
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
+
+
 @query("sim_ann_lsh")  # approximate → rows-only check; recall tested vs exact
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane (sign) LSH.
@@ -378,7 +432,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a probe is a partition-pruned scan of ~n/2^k vectors instead of
     n. Here: bucket the corpus, then exact-rank candidates sharing the
     bucket of each of the first 5 query vectors.
-    tests/test_similarity.py measures recall vs the exact
+    tests/test_scale_paths.py measures recall vs the exact
     sim_knn_batch baseline.
     """
     corpus = load_table(spark, sf_dir, "embeddings")

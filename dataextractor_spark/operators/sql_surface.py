@@ -269,17 +269,25 @@ def udf_zscore_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the 100 TB path for order statistics (fixed
     memory, no global sort); accuracy vs the exact percentile is
-    asserted in tests/test_scale_paths.py."""
+    asserted in tests/test_scale_paths.py. The four quantiles come out
+    as SCALAR columns (p25..p90), not an array: scalar columns are
+    hashable by any downstream harness and pivot-friendly."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    pcts = (
         o.groupBy("o_orderstatus")
         .agg(
             F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000).alias(
-                "approx_pcts"
+                "pcts"
             )
         )
-        .orderBy("o_orderstatus")
     )
+    return pcts.select(
+        "o_orderstatus",
+        F.round(F.element_at("pcts", 1), 2).alias("p25"),
+        F.round(F.element_at("pcts", 2), 2).alias("p50"),
+        F.round(F.element_at("pcts", 3), 2).alias("p75"),
+        F.round(F.element_at("pcts", 4), 2).alias("p90"),
+    ).orderBy("o_orderstatus")
 
 
 @query(

@@ -137,13 +137,55 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile bucketing of order prices (distribution analysis,
-    README.md:32). Note: global ntile is a single-partition sort —
-    fine for a bounded result here; at 100 TB use approx_percentile
-    cutpoints + a broadcast range join instead (see agg_percentiles)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    README.md:32) — EXACT ntile semantics without the global
+    single-partition sort a bare ``ntile(10) OVER (ORDER BY …)``
+    compiles to.
+
+    Scale shape (the classic two-pass distributed ranking):
+    1. ``repartitionByRange`` on the sort key — sampled range
+       boundaries, every partition holds a contiguous key range;
+    2. per-partition ``row_number`` (window PARTITIONed by the range
+       partition id — bounded, parallel sorts);
+    3. per-partition counts → exclusive prefix offsets via a tiny
+       triangular self-join on the ≤n_partitions-row count table
+       (broadcast; no unpartitioned window anywhere in the plan);
+    4. global rank = offset + local row_number, folded through the
+       exact ntile formula: with n rows, the first n mod 10 tiles get
+       ceil(n/10) rows, the rest floor(n/10).
+    Identical result to the oracle's ntile, but the heavy data only
+    ever sees a range exchange + partition-local sorts — the plan
+    survives a fact table 1000× this size. tests/test_scale_paths.py
+    pins equivalence against the naive global-ntile form."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    k = 10
+    parts = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    rhs = counts.select(F.col("pid").alias("pid_b"), F.col("cnt").alias("cnt_b"))
+    offsets = (
+        counts.join(F.broadcast(rhs), F.col("pid_b") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("cnt_b"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    lw = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        parts.withColumn("lrn", F.row_number().over(lw))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("off") + F.col("lrn"))
+    )
+    q = F.floor(F.col("n_total") / k)
+    r = F.col("n_total") % k
+    big = (q + 1) * r  # rows held by the ceil-sized tiles
+    decile = (
+        F.when(F.col("rnk") <= big, F.ceil(F.col("rnk") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rnk") - big) / F.greatest(q, F.lit(1))))
+        .cast("long")
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
+        ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -47,34 +47,159 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Explicit registry emission order. Downstream consumers (including
+#: the external correctness runner) may evaluate a PREFIX of the
+#: registry per run, so the order is a deliberate verification
+#: schedule, not an accident of import statements: queries whose plans
+#: changed this round, brand-new queries, and queries that have never
+#: had an external-oracle row come FIRST; families re-verified most
+#: recently go LAST. Every registered query MUST appear here exactly
+#: once (load_all asserts both directions), so adding a query without
+#: scheduling it is an error, and reordering is a one-list edit.
+PRIORITY_ORDER: tuple[str, ...] = (
+    # -- changed this round / new / previously failing --
+    "agg_approx_percentile",      # r2 FAIL: array col → now scalar p25..p90
+    "window_deciles",             # plan rewritten: two-pass ranked ntile
+    "profile_constraint_checks",  # plan rewritten: one lazy job
+    "dedup_minhash_lsh",          # audit now out-of-band sentinel row
+    "sim_ann_ivf_kmeans",         # new: learned-codebook IVF
+    "rest_paged_scan",            # new: cursor-paginated REST fetch
+    # -- never externally verified --
+    "sort_limit_topk",
+    "union_except_intersect",
+    "sample_stratified",
+    "profile_table",
+    # -- r2-modified or r1-stale families: joins, dedup, aggregates --
+    "join_asof_latest_order",     # merge-form rewrite (r2) never re-checked
+    "join_star_revenue",
+    "join_broadcast_dim",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_theta_size_bands",
+    "join_full_outer_daily_activity",
+    "join_right_outer_order_counts",
+    "join_cross_grid_revenue",
+    "join_selfpair_parts",
+    "join_interval_overlap_activity",
+    "join_literal_map_dim",
+    "dedup_exact",
+    "dedup_canonical_pick",
+    "dedup_jaccard_pairs",
+    "dedup_shingle_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_incremental_ingest",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_heatmap_bins",
+    "agg_having",
+    "agg_mode_median",
+    "funnel_view_click_purchase",
+    "agg_conditional_filter",
+    "agg_string_listagg",
+    "agg_corr_covar",
+    "agg_histogram",
+    # -- r1-stale ETL rows (prefix budget: first six; rest below) --
+    "etl_flatten_array",
+    "etl_dict_unpivot",
+    "etl_epoch_tz",
+    "etl_json_normalize",
+    "etl_partitioned_sink",
+    "source_json_roundtrip",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "etl_epoch_roundtrip",
+    "source_csv_roundtrip",
+    "etl_schema_evolution",
+    "scalar_map_funcs",
+    "point_lookup_by_key",
+    "join_stream_dim_enrich",
+    "embedding_normalize",
+    "curation_pipeline",
+    "flagship_pricing_summary",
+    "filter_predicates",
+    # -- verified green in round 2: re-check last --
+    "sim_topk_cosine",
+    "sim_knn_batch",
+    "sim_neardup_pairs",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_label_centroids",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_bigram_top20",
+    "text_winnow_fingerprint",
+    "text_tfidf_top_terms",
+    "text_pack_sequences",
+    "text_zipf_slope",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_percent_rank_cume",
+    "window_first_last_nth",
+    "time_tumbling_window",
+    "time_sliding_window",
+    "time_session_window",
+    "time_user_activity",
+    "time_gapfill_locf",
+    "time_trailing_week_revenue",
+    "time_cohort_retention",
+    "time_scd2_versions",
+    "rest_publicmatches_pipeline",
+    "rest_datasource_scan",
+    "sql_shipping_priority",
+    "subquery_exists_correlated",
+    "subquery_not_in_null_semantics",
+    "pivot_unpivot_roundtrip",
+    "udf_zscore_median",
+    "sql_recursive_months",
+    "sql_pipe_syntax",
+    "sql_lateral_topn",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "multimodal_features",
+    "multimodal_framesample",
+    "multimodal_resize",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
-    return the full registry.
-
-    Import order IS registration order, and downstream consumers
-    (including the external correctness runner) may evaluate a prefix
-    of the registry per run — so modules register in verification-
-    priority order: families whose queries have not yet been checked
-    against the external oracle come first, already-proven families
-    (aggregates/dedup/enrichment/etl/joins, all green in round 1)
-    re-register at the back. Rotate as coverage fills in.
-    """
+    return the registry ordered by ``PRIORITY_ORDER`` — the explicit
+    verification schedule (see its comment). Import order is NOT
+    semantically load-bearing; the assert keeps the schedule and the
+    registrations in lockstep."""
     # Imports live here (not module top) so importing the registry stays
     # cheap and cycles are impossible.
-    from dataextractor_spark.operators import similarity  # noqa: F401
-    from dataextractor_spark.operators import text  # noqa: F401
-    from dataextractor_spark.operators import windows  # noqa: F401
-    from dataextractor_spark.operators import windows_time  # noqa: F401
-    from dataextractor_spark.operators import rest_source  # noqa: F401
-    from dataextractor_spark.operators import sql_surface  # noqa: F401
-    from dataextractor_spark.operators import scalars  # noqa: F401
-    from dataextractor_spark.operators import multimodal  # noqa: F401
-    from dataextractor_spark.operators import relational  # noqa: F401
-    from dataextractor_spark.operators import sampling  # noqa: F401
     from dataextractor_spark.operators import aggregates  # noqa: F401
     from dataextractor_spark.operators import dedup  # noqa: F401
     from dataextractor_spark.operators import enrichment  # noqa: F401
     from dataextractor_spark.operators import etl_parity  # noqa: F401
     from dataextractor_spark.operators import joins  # noqa: F401
+    from dataextractor_spark.operators import multimodal  # noqa: F401
+    from dataextractor_spark.operators import relational  # noqa: F401
+    from dataextractor_spark.operators import rest_source  # noqa: F401
+    from dataextractor_spark.operators import sampling  # noqa: F401
+    from dataextractor_spark.operators import scalars  # noqa: F401
+    from dataextractor_spark.operators import similarity  # noqa: F401
+    from dataextractor_spark.operators import sql_surface  # noqa: F401
+    from dataextractor_spark.operators import text  # noqa: F401
+    from dataextractor_spark.operators import windows  # noqa: F401
+    from dataextractor_spark.operators import windows_time  # noqa: F401
 
-    return dict(_REGISTRY)
+    missing = set(PRIORITY_ORDER) - set(_REGISTRY)
+    unscheduled = set(_REGISTRY) - set(PRIORITY_ORDER)
+    assert not missing and not unscheduled, (
+        f"PRIORITY_ORDER out of sync: missing={sorted(missing)} "
+        f"unscheduled={sorted(unscheduled)}"
+    )
+    return {name: _REGISTRY[name] for name in PRIORITY_ORDER}

@@ -135,6 +135,79 @@ def http_transport_factory(
     return factory
 
 
+def page_requests(
+    endpoint: str,
+    n_pages: int,
+    *,
+    page_param: str = "page",
+    start: int = 0,
+    params: tuple[tuple[str, str], ...] = (),
+    id_prefix: str = "page",
+) -> list[RestRequest]:
+    """Offset/page-number pagination as a REQUEST FAN-OUT: for APIs
+    whose pages are independently addressable (?page=k), the whole
+    range is a list of requests ``fetch`` executes in parallel across
+    executors — pagination at cluster speed, not protocol speed."""
+    return [
+        RestRequest(
+            endpoint,
+            f"{id_prefix}{p}",
+            tuple(sorted((*params, (page_param, str(p))))),
+        )
+        for p in range(start, start + n_pages)
+    ]
+
+
+#: cursor policy: (status, body, params_used) → params for the NEXT
+#: page, or None to stop. Pure function of the page just fetched.
+CursorFn = Callable[[int, "str | None", Mapping[str, str]], "Mapping[str, str] | None"]
+
+
+def fetch_cursor(
+    spark: SparkSession,
+    endpoint: str,
+    transport_factory: TransportFactory,
+    *,
+    next_params: CursorFn,
+    first_params: Mapping[str, str] | None = None,
+    max_pages: int = 64,
+    max_retries: int = 3,
+    backoff_s: float = 1.0,
+    rate_limit: float = 0.0,
+) -> DataFrame:
+    """Bounded cursor-chain pagination (the keyset / less_than_id
+    style the OpenDota publicMatches API uses).
+
+    A cursor chain is serial BY PROTOCOL — page k's params come from
+    page k-1's body — so the walk runs on the driver with the same
+    bounded-retry/backoff/rate-limit policy as the distributed path,
+    and stops at ``max_pages`` (never the reference's unbounded
+    recursion, opendotaapi.py:79-82) or when ``next_params`` returns
+    None. The collected pages (RESULT_SCHEMA rows, request_id =
+    "page<k>") become a DataFrame, so everything downstream
+    (normalize → flatten → sink) is distributed.
+
+    Scale note: cursor latency is O(pages) on any cluster size. For
+    bulk crawls, shard the keyspace: run one bounded chain per
+    disjoint id-range (or use ``page_requests`` + ``fetch`` when pages
+    are independently addressable) so chains proceed in parallel."""
+    transport = transport_factory()
+    bucket = TokenBucket(rate=rate_limit)
+    rows: list[tuple] = []
+    params: dict[str, str] = dict(first_params or {})
+    for k in range(max_pages):
+        req = RestRequest(endpoint, f"page{k}", tuple(sorted(params.items())))
+        row = _fetch_one(
+            transport, bucket, req, max_retries=max_retries, backoff_s=backoff_s
+        )
+        rows.append(row)
+        nxt = next_params(row[2], row[3], dict(params))
+        if nxt is None:
+            break
+        params = dict(nxt)
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
 def _fetch_one(
     transport: Transport,
     bucket: TokenBucket,

@@ -235,3 +235,71 @@ def test_python_datasource_requires_endpoints(spark):
     register(spark)
     with _pytest.raises(Exception):
         spark.read.format("rest_fixture").load().collect()
+
+
+def test_fetch_cursor_walks_keyset_and_stops(spark):
+    """Cursor pagination: every page's cursor comes from the previous
+    body, the empty page ends the walk, and each cursor is visited
+    exactly once (VERDICT r2 item 7)."""
+    from dataextractor_spark.operators.rest_source import (
+        _PAGE_SIZE,
+        _paged_fixtures,
+    )
+    from dataextractor_spark.sources.rest import fetch_cursor
+
+    calls: list[str] = []
+    fx = FixtureTransport(_paged_fixtures())
+
+    def spy(url, params):
+        key = url
+        if params:
+            key += "?" + "&".join(f"{k}={v}" for k, v in sorted(params.items()))
+        calls.append(key)
+        return fx(url, params)
+
+    def next_params(status, body, params):
+        recs = json.loads(body) if status == 200 and body else []
+        if len(recs) < _PAGE_SIZE:
+            return None
+        return {"less_than_match_id": str(min(r["match_id"] for r in recs))}
+
+    out = fetch_cursor(
+        spark, "/publicMatches", lambda: spy, next_params=next_params
+    ).collect()
+    assert [r.request_id for r in out] == ["page0", "page1", "page2", "page3"]
+    assert all(r.status == 200 for r in out)
+    assert json.loads(out[-1].body) == []  # empty probe recorded, then stop
+    assert len(calls) == len(set(calls)) == 4  # no cursor fetched twice
+
+
+def test_fetch_cursor_bounded_by_max_pages(spark):
+    """An endpoint that never exhausts must stop at max_pages — the
+    bounded replacement for the reference's unbounded 429 recursion."""
+    from dataextractor_spark.sources.rest import fetch_cursor
+
+    body = json.dumps([{"match_id": 1}])
+    out = fetch_cursor(
+        spark,
+        "/infinite",
+        lambda: (lambda url, params: (200, body)),
+        next_params=lambda s, b, p: {"page": str(int(p.get("page", "0")) + 1)},
+        max_pages=5,
+    ).collect()
+    assert len(out) == 5
+
+
+def test_page_requests_fan_out(spark):
+    """Offset pagination is a request fan-out: page_requests builds the
+    range, fetch executes it distributed, every page lands."""
+    from dataextractor_spark.sources.rest import page_requests
+
+    reqs = page_requests("/items", 3, params=(("limit", "2"),))
+    fx = FixtureTransport(
+        {
+            f"/items?limit=2&page={p}": (200, json.dumps([{"p": p}]))
+            for p in range(3)
+        }
+    )
+    out = fetch(spark, reqs, lambda: fx).collect()
+    assert sorted(r.request_id for r in out) == ["page0", "page1", "page2"]
+    assert all(r.status == 200 for r in out)

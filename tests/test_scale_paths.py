@@ -233,13 +233,17 @@ def test_lsh_degenerate_bucket_capped(spark):
         F.lit("en").alias("lang"),
         F.lit("the same boilerplate text repeated verbatim").alias("text"),
     )
-    out = minhash_lsh_pairs(docs)
-    assert out.count() == 0
-    # the audit is visible even with no surviving pairs
-    audit = minhash_lsh_pairs(docs.limit(LSH_BUCKET_CAP + 1)).select(
-        "skipped_buckets", "skipped_docs"
-    )
-    assert "skipped_buckets" in audit.columns
+    from dataextractor_spark.operators.dedup import _BANDS
+
+    out = minhash_lsh_pairs(docs).collect()
+    # zero pairs survive, but the out-of-band audit row does — and it
+    # reports the actual skipped mass (one over-cap bucket per band,
+    # each holding all n DISTINCT docs).
+    assert len(out) == 1
+    audit = out[0]
+    assert audit.doc_a is None and audit.doc_b is None
+    assert audit.skipped_buckets == _BANDS
+    assert audit.skipped_docs == n
 
 
 def test_lsh_cap_does_not_cost_recall_on_fixtures(spark):
@@ -277,3 +281,90 @@ def test_lsh_plane_count_tracks_corpus_size(spark):
             # expected occupancy within [target/2, target] when unclamped
             assert n / 2**k <= LSH_TARGET_BUCKET_ROWS
             assert n / 2 ** (k - 1) > LSH_TARGET_BUCKET_ROWS
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    """Lloyd's sweeps never increase inertia (each assignment and each
+    mean update is individually optimal), and the whole fit — hash-
+    ranked seeding, literal-codebook assignment, mean updates — is a
+    pure function of the input: two fits agree bit-for-bit."""
+    from dataextractor_spark.functions.kmeans import inertia, kmeans_fit
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k = 8
+    prev = float("inf")
+    for sweeps in (0, 1, 2, 4):
+        cb = kmeans_fit(e, k, max_iter=sweeps, id_col="vec_id")
+        assert len(cb) == k  # codebook size stable (empty cells kept)
+        cur = inertia(e, cb)
+        assert cur <= prev + 1e-9
+        prev = cur
+    again = kmeans_fit(e, k, max_iter=4, id_col="vec_id")
+    assert again == kmeans_fit(e, k, max_iter=4, id_col="vec_id")
+
+
+def test_kmeans_ivf_candidates_share_cell(spark):
+    """sim_ann_ivf_kmeans probe invariant: every candidate sits in its
+    query's k-means cell (the partition-pruning contract), and cell
+    count tracks the corpus size via ivf_cell_count."""
+    from dataextractor_spark.functions.kmeans import (
+        IVF_TARGET_CELL_ROWS,
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+
+    for n, lo, hi in ((1, 4, 4), (1000, 4, 16), (10**9, 256, 256)):
+        assert lo <= ivf_cell_count(n) <= hi
+        assert ivf_cell_count(n) >= min(
+            4, max(n, 1)
+        )  # never more cells than clamp allows
+
+    specs = load_all()
+    out = specs["sim_ann_ivf_kmeans"].fn(spark, SF_SMALL)
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count(), IVF_TARGET_CELL_ROWS)
+    cells = {
+        r.vec_id: r.cell
+        for r in assign_cells(
+            e, kmeans_fit(e, k, max_iter=4, id_col="vec_id")
+        ).collect()
+    }
+    rows = out.collect()
+    assert rows, "probe returned no candidates"
+    for r in rows:
+        assert r.cell == cells[r.query_id]
+        assert r.cell == cells[r.vec_id]
+
+
+def test_two_pass_deciles_equal_global_ntile(spark):
+    """The distributed two-pass ranked ntile (range partition → local
+    row_number → offset) must equal the naive single-partition
+    ``ntile(10) OVER (ORDER BY …)`` exactly — same tiles, same bucket
+    stats — including on sizes not divisible by 10 (the ceil/floor
+    tile-size split) and sub-10-row inputs (q = 0)."""
+    from pyspark.sql import Window
+
+    from dataextractor_spark.operators.windows import window_deciles
+
+    got = [tuple(r) for r in window_deciles(spark, SF_SMALL).collect()]
+    o = load_table(spark, SF_SMALL, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = [
+        tuple(r)
+        for r in (
+            o.select(
+                "o_totalprice", F.ntile(10).over(w).cast("long").alias("decile")
+            )
+            .groupBy("decile")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("o_totalprice"), 2).alias("lo"),
+                F.round(F.max("o_totalprice"), 2).alias("hi"),
+            )
+            .orderBy("decile")
+            .collect()
+        )
+    ]
+    assert got == want
+    assert sum(r[1] for r in got) == o.count()  # every row landed in a tile
