@@ -67,7 +67,17 @@ HEADLINE = [
     "sim_knn_batch",
     "sql_lateral_topn",
     "window_deciles",
+    "profile_constraint_checks",
+    "rest_paged_scan",
+    "sim_ann_ivf_kmeans",
 ]
+
+#: interleaved repetitions: the whole headline list runs N times
+#: round-robin and each query keeps its MIN. Interleaving decorrelates
+#: environment drift (page cache, JIT, co-tenant contention) from any
+#: single query — a machine-wide slow patch inflates one rep of MANY
+#: queries instead of all reps of one, so the min survives it.
+N_REPS = 3
 
 
 def main() -> None:
@@ -91,17 +101,15 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn
-        # best-of-2: first run pays one-time whole-stage-codegen
-        # compilation; the min reflects steady-state engine throughput
-        best = float("inf")
-        for _ in range(2):
+    best: dict[str, float] = {}
+    for _rep in range(N_REPS):
+        for name in HEADLINE:
+            fn = specs[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, float("inf")), dt)
+    timings = {name: round(best[name], 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     print(

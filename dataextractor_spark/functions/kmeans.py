@@ -45,9 +45,30 @@ def ivf_cell_count(n_vectors: int, target_rows: int = IVF_TARGET_CELL_ROWS) -> i
     return max(4, min(256, k, max(n_vectors, 1)))
 
 
-def _centroid_literal(centroids: list[list[float]]) -> F.Column:
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+def _centroid_sql(centroids: list[list[float]]) -> str:
+    """The k×d codebook as a SQL array-of-arrays literal. Built as
+    TEXT, not nested Column objects: constructing the k·d-node Column
+    tree through py4j cost ~0.9 s of driver time PER SWEEP (the
+    dominant cost of a fixture-scale fit); one expression string
+    parses JVM-side in milliseconds and produces the identical plan."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _d2_sql(centroids: list[list[float]], vec_col: str) -> str:
+    """Squared-L2 distances to every centroid, as one SQL expression
+    (transform over the codebook literal; aggregate+zip_with inside —
+    all Catalyst, no Python in the scan)."""
+    return (
+        f"transform({_centroid_sql(centroids)}, c -> aggregate("
+        f"zip_with(transform({vec_col}, x -> cast(x as double)), c, "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x))"
     )
 
 
@@ -56,20 +77,13 @@ def assign_cells(
 ) -> DataFrame:
     """Append a ``cell`` column: index (0-based) of the nearest
     centroid by L2 distance, ties to the lowest index. One narrow
-    codegen pass — the codebook rides along as a literal."""
-    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    d2 = F.transform(
-        _centroid_literal(centroids),
-        lambda c: F.aggregate(
-            F.zip_with(emb_d, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    codegen pass — the codebook rides along as a literal.
+    array_position returns the FIRST index of the min → deterministic
+    low-index tiebreak; 1-based, hence the -1."""
+    d2 = _d2_sql(centroids, vec_col)
+    return vectors.withColumn(
+        "cell", F.expr(f"cast(array_position({d2}, array_min({d2})) - 1 as int)")
     )
-    # array_position returns the FIRST index of the min → deterministic
-    # low-index tiebreak; 1-based, hence the -1.
-    cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
-    return vectors.withColumn("cell", cell)
 
 
 def kmeans_fit(
@@ -122,15 +136,9 @@ def inertia(
 ) -> float:
     """Σ over vectors of squared L2 distance to the assigned centroid
     (the quantity Lloyd's sweeps never increase)."""
-    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    d2 = F.transform(
-        _centroid_literal(centroids),
-        lambda c: F.aggregate(
-            F.zip_with(emb_d, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    d2 = _d2_sql(centroids, vec_col)
     return float(
-        vectors.select(F.array_min(d2).alias("d2")).agg(F.sum("d2")).first()[0]
+        vectors.select(F.expr(f"array_min({d2})").alias("d2"))
+        .agg(F.sum("d2"))
+        .first()[0]
     )

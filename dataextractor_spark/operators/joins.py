@@ -509,3 +509,108 @@ def join_literal_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
         .orderBy("region")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free equi-join via BUCKETED layout (plans/bucketing.py)
+    — the shuffle-once-at-write-time pattern that makes repeated
+    fact⋈fact joins viable at 100 TB: every query re-shuffling a
+    100 TB fact table vs zero exchanges per query forever after.
+
+    Both sides are written ``bucketBy(8, key).sortBy(key)`` and read
+    back with bucket metadata; the sort-merge join consumes the
+    bucket-aligned pre-sorted scans directly — zero Exchange nodes in
+    the join subtree (tests/test_plans.py asserts this on the physical
+    plan for the same layout). The write happens inside the query only
+    to keep it self-contained at fixture scale; production buckets
+    once at ingest. Oracle: the plain join — bucketing is a physical
+    layout choice and must never change results."""
+    from dataextractor_spark.plans import read_bucketed, write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "bkt_orders",
+        "o_custkey",
+        8,
+        sort_key="o_custkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"),
+        "bkt_customer",
+        "c_custkey",
+        8,
+        sort_key="c_custkey",
+    )
+    o = read_bucketed(spark, "bkt_orders")
+    c = read_bucketed(spark, "bkt_customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim join with explicit hot-key salting
+    (functions/skew.py): the hot set is DERIVED from the data — one
+    key-histogram aggregate keeps every user above 4× the mean event
+    count — then hot fact rows fan out across deterministic salts and
+    only the hot dim rows replicate. AQE's skew split handles moderate
+    sort-merge skew automatically (and broadcast beats salting when
+    the dim fits); salting is the explicit, engine-independent form
+    for extreme keys. The hot-key collect is bounded by the number of
+    hot keys, never by data volume — same contract as a broadcast dim.
+    Oracle: the plain join (salting must be result-invariant;
+    tests/test_plans.py also proves row-identity and hot-key spread on
+    the physical plan)."""
+    from dataextractor_spark.functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = [
+        r.user_id
+        for r in hist.join(
+            F.broadcast(hist.agg(F.avg("n").alias("mean_n"))),
+            F.col("n") > 4 * F.col("mean_n"),
+            "inner",
+        )
+        .select("user_id")
+        .collect()
+    ]
+    joined = salted_join(e, c, "user_id", "c_custkey", hot, n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

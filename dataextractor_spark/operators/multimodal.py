@@ -230,30 +230,53 @@ def decode_features(
 ) -> DataFrame:
     """Per-payload feature extraction as ONE mapInPandas stage.
 
-    backend="fake": deterministic features computed from raw bytes
-    (length + first byte) — exercises the full Arrow round trip.
-    backend="pil": the real-library path; import-gated and raising
-    NotImplementedError in this container (clearly-marked stub).
+    backend="fake": deterministic features computed from raw CONTAINER
+    bytes (length + first byte) — exercises the full Arrow round trip
+    with no decode dependency.
+    backend="pil": the real-library path — image payloads are decoded
+    with Pillow (BMP/JPEG/PNG/… — whatever the installed PIL build
+    supports) and the features come from the DECODED RGB raster
+    (raster byte count + first raster byte), same output schema.
+    Import-gated: when Pillow is absent (this container) the backend
+    raises NotImplementedError up front rather than mid-scan.
+    tests/test_multimodal.py proves fake/pil agreement on BMP via an
+    importorskip'd test (runs wherever Pillow exists).
     """
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if backend == "pil":
+            from io import BytesIO
+
+            try:
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - env-specific
+                raise NotImplementedError(
+                    "backend='pil' requires Pillow, not installed in "
+                    "this container; use backend='fake'"
+                ) from exc
+
+            def feat(payload: bytes, kind: str) -> tuple[int, int]:
+                if kind != "image":
+                    return len(payload), payload[0] if len(payload) else -1
+                with Image.open(BytesIO(bytes(payload))) as im:
+                    raster = im.convert("RGB").tobytes()
+                return len(raster), raster[0] if raster else -1
+
+        else:
+
+            def feat(payload: bytes, kind: str) -> tuple[int, int]:
+                return len(payload), payload[0] if len(payload) else -1
+
         for pdf in batches:
-            if backend == "pil":
-                try:
-                    import PIL  # noqa: F401
-                except ImportError as exc:  # pragma: no cover - env-specific
-                    raise NotImplementedError(
-                        "real image decode requires PIL, not installed in "
-                        "this container; use backend='fake'"
-                    ) from exc
-                raise NotImplementedError("PIL decode path not implemented")
+            kinds = [m["kind"] for m in pdf["media"]]
+            pairs = [feat(p, k) for p, k in zip(pdf["payload"], kinds)]
             rows = {
                 "doc_id": pdf["doc_id"],
-                "kind": [m["kind"] for m in pdf["media"]],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "first_byte": [p[0] if len(p) else -1 for p in pdf["payload"]],
+                "kind": kinds,
+                "n_bytes": [n for n, _ in pairs],
+                "first_byte": [b for _, b in pairs],
                 "decode_backend": backend,
             }
             yield pd.DataFrame(rows)

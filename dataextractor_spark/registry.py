@@ -64,6 +64,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",          # audit now out-of-band sentinel row
     "sim_ann_ivf_kmeans",         # new: learned-codebook IVF
     "rest_paged_scan",            # new: cursor-paginated REST fetch
+    "join_bucketed_colocated",    # new: zero-exchange bucketed join
+    "join_salted_skew",           # new: explicit skew-salt join
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -109,9 +111,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "etl_partitioned_sink",
     "source_json_roundtrip",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "etl_epoch_roundtrip",
     "source_csv_roundtrip",
     "etl_schema_evolution",

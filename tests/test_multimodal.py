@@ -53,13 +53,47 @@ def test_fake_decode_roundtrip(spark, media):
         assert feats[r.doc_id].decode_backend == "fake"
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed — gate n/a")
 def test_real_backend_is_gated(media):
-    """The compressed-codec path is a clearly-marked stub here."""
+    """Without Pillow the pil backend must fail loudly up front, not
+    silently fall back or die mid-scan."""
     with pytest.raises(Exception) as ei:
         decode_features(media, backend="pil").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_pil_backend_decodes_real_raster(real_media):
+    """Where Pillow IS installed, backend='pil' really decodes: image
+    features come from the decoded RGB raster (PIL's BMP decoder vs
+    our pure-Python one must agree), non-image payloads fall back to
+    raw-byte features. importorskip'd in containers without Pillow."""
+    pytest.importorskip("PIL")
+    feats = {
+        r.doc_id: r
+        for r in decode_features(real_media, backend="pil").collect()
+    }
+    for r in real_media.collect():
+        f = feats[r.doc_id]
+        assert f.decode_backend == "pil"
+        if r.media.kind == "image":
+            w, h, rows = _decode_bmp(bytes(r.payload))
+            assert f.n_bytes == w * h * 3
+            # PIL raster is RGB; BMP stores BGR → first raster byte is
+            # the top-left pixel's red channel
+            assert f.first_byte == rows[0][2]
+        else:
+            assert f.n_bytes == len(r.payload)
 
 
 # --- pure-codec unit coverage (no Spark) ------------------------------

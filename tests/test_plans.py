@@ -247,3 +247,27 @@ def test_lsh_bucket_gate_reuses_bucket_exchange(spark):
     n = shuffle_exchange_count(minhash_lsh_pairs(d))
     n_uncapped = shuffle_exchange_count(minhash_lsh_pairs(d, bucket_cap=10**9))
     assert n - n_uncapped <= 2, (n, n_uncapped)
+
+
+def test_bucketed_colocated_query_shuffle_budget(spark):
+    """The registered bucketed-join query: the join consumes bucket-
+    aligned scans, so the ONLY exchanges in the whole plan belong to
+    the 5-group aggregate and the final orderBy — never the join key."""
+    df = load_all()["join_bucketed_colocated"].fn(spark, SF_SMALL)
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_custkey" not in line and "c_custkey" not in line, line
+    # and the bare bucketed join has zero exchanges outright
+    o = read_bucketed(spark, "bkt_orders")
+    c = read_bucketed(spark, "bkt_customer")
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    assert shuffle_exchange_count(j) == 0, physical_plan(j, "simple")
+
+
+def test_salted_skew_query_salts_join_key(spark):
+    """The registered skew query: the salt column must actually reach
+    the join keys (otherwise it's a plain join with extra steps)."""
+    df = load_all()["join_salted_skew"].fn(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "_salt" in plan, "salt column absent from the physical plan"
