@@ -582,3 +582,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("agg_hll_sketch_merge")  # sketch-based → rows-only; merge≡direct in tests
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches (Apache DataSketches HLL) — the
+    pre-aggregation pattern that makes distinct counts FREE at query
+    time at 100 TB: build per-(status, month) sketches once at ingest
+    (a sketch table, bytes per group instead of the raw key stream),
+    then answer any coarser rollup by UNIONING sketches — no rescan of
+    the fact table, and sketch union is exact w.r.t. the sketch (union
+    of sketches ≡ sketch of union, pinned in tests/test_scale_paths).
+    approx_count_distinct (agg_approx_distinct) gives one-shot
+    estimates; hll_sketch_agg is the layered form real warehouses
+    materialize."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey", 14).alias("sk"))
+    return (
+        monthly.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_month_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("agg_frequent_items")  # one-pass sketch → rows-only; superset in tests
+def agg_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters in ONE pass with bounded memory
+    (``DataFrame.stat.freqItems``, the Karp/Misra–Gries family): every
+    value occurring in > 1/k of rows is guaranteed present (possible
+    false positives, no false negatives — the useful direction for
+    hot-key/hot-token detection feeding the skew-salting and LSH-cap
+    operators). The 100 TB alternative — exact groupBy+filter — costs
+    a full key shuffle; the sketch costs one scan and k counters per
+    partition. tests/test_scale_paths.py pins the superset contract
+    against the exact heavy-hitter set; output is the sketch result
+    sorted, with membership of the exact hitters marked."""
+    e = load_table(spark, sf_dir, "events")
+    k = 20  # report values above 1/20 of the stream
+    sketch_items = e.select("event_type").stat.freqItems(["event_type"], 1 / k)
+    items = sketch_items.select(
+        F.explode("event_type_freqItems").alias("event_type")
+    )
+    n_total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        items.join(exact, "event_type", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n") * k > F.col("n_total")).alias("above_threshold"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+    )

@@ -66,6 +66,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "rest_paged_scan",            # new: cursor-paginated REST fetch
     "join_bucketed_colocated",    # new: zero-exchange bucketed join
     "join_salted_skew",           # new: explicit skew-salt join
+    "agg_hll_sketch_merge",       # new: mergeable distinct sketches
+    "agg_frequent_items",         # new: one-pass heavy hitters
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -104,14 +106,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "agg_conditional_filter",
     "agg_string_listagg",
-    "agg_corr_covar",
-    "agg_histogram",
-    # -- r1-stale ETL rows (prefix budget: first six; rest below) --
+    # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_corr_covar",
+    "agg_histogram",
     "etl_partitioned_sink",
     "source_json_roundtrip",
     "etl_epoch_roundtrip",

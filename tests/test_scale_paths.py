@@ -368,3 +368,51 @@ def test_two_pass_deciles_equal_global_ntile(spark):
     ]
     assert got == want
     assert sum(r[1] for r in got) == o.count()  # every row landed in a tile
+
+
+def test_hll_sketch_union_equals_direct_sketch(spark):
+    """The sketch-table contract: union of per-month sketches must give
+    the SAME estimate as one sketch built directly over all rows (union
+    of sketches ≡ sketch of union — what makes pre-aggregated sketch
+    tables answer coarser rollups without rescanning), and the estimate
+    must sit within HLL error of the exact distinct."""
+    o = load_table(spark, SF_SMALL, "orders")
+    merged = {
+        r.o_orderstatus: r.approx_customers
+        for r in load_all()["agg_hll_sketch_merge"].fn(spark, SF_SMALL).collect()
+    }
+    direct = {
+        r.o_orderstatus: r.est
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 14)).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for s, est in merged.items():
+        assert abs(est - exact[s]) / exact[s] < 0.02
+
+
+def test_frequent_items_superset_of_exact_hitters(spark):
+    """Misra–Gries guarantee: every value above the 1/k frequency
+    threshold appears in the sketch output (no false negatives)."""
+    e = load_table(spark, SF_SMALL, "events")
+    k = 20
+    n_total = e.count()
+    exact_hot = {
+        r.event_type
+        for r in e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > n_total)
+        .collect()
+    }
+    got = load_all()["agg_frequent_items"].fn(spark, SF_SMALL).collect()
+    sketch_set = {r.event_type for r in got}
+    assert exact_hot <= sketch_set
+    flagged = {r.event_type for r in got if r.above_threshold}
+    assert flagged == exact_hot
