@@ -70,6 +70,10 @@ HEADLINE = [
     "profile_constraint_checks",
     "rest_paged_scan",
     "sim_ann_ivf_kmeans",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "agg_hll_sketch_merge",
+    "agg_frequent_items",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -146,13 +146,14 @@ def profile_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     a null-guard before each S3 write (extract-data-dota.py:130…);
     this is that idea made relational and exhaustive.
 
-    Scale plan: ONE lazy plan (a single job), not four driver-side
-    actions — each check reduces to a 1-row aggregate and the four
-    are stitched with broadcast cross-joins, so the scheduler runs
-    the scans concurrently and the query honors the same
-    plan-not-program contract as every other registry entry. The
-    anti-join shuffles on the key with the orders side reduced to its
-    key column; every count is map-side partial."""
+    Scale plan: ONE lazy plan behind a single action, not four
+    driver-side .count() calls — each check reduces to a 1-row
+    aggregate and the four are stitched with broadcast cross-joins
+    (the broadcast builds surface as sub-jobs, but scheduling is the
+    engine's, and the scans can run concurrently), so the query
+    honors the same plan-not-program contract as every other registry
+    entry. The anti-join shuffles on the key with the orders side
+    reduced to its key column; every count is map-side partial."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")

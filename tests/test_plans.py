@@ -271,3 +271,14 @@ def test_salted_skew_query_salts_join_key(spark):
     df = load_all()["join_salted_skew"].fn(spark, SF_SMALL)
     plan = physical_plan(df)
     assert "_salt" in plan, "salt column absent from the physical plan"
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """The partitioned sink's read-back must prune at the DIRECTORY
+    level: the year predicate appears under PartitionFilters (listing
+    prune), not as a data filter over all files."""
+    df = load_all()["etl_partitioned_sink"].fn(spark, SF_SMALL)
+    plan = physical_plan(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "ship_year" in seg, seg
