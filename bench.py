@@ -74,6 +74,7 @@ HEADLINE = [
     "join_salted_skew",
     "agg_hll_sketch_merge",
     "agg_frequent_items",
+    "text_chunk_documents",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

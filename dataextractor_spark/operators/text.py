@@ -617,3 +617,72 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 40
+    ),
+    par AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT))
+                   AS n_chunks
+        FROM tok
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(range(0, n_chunks)) AS chunk_id,
+               toks, n_chunks
+        FROM par
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)],
+                               ' ')) AS chunk_md5
+    FROM ch
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the pretraining step
+    between cleaning and packing: every document becomes ceil((n-o)/s)
+    chunks of ≤32 tokens with an 8-token overlap (stride 24), so no
+    span longer than the window is ever lost at a boundary.
+
+    One narrow pass: split → sequence(0, n_chunks-1) → explode →
+    slice — no shuffle at all until the display sort; at 100 TB the
+    chunker is embarrassingly parallel and the output feeds
+    text_pack_sequences. Chunk CONTENT (not just counts) is pinned by
+    md5 per chunk against the oracle's identical slicing; the trailing
+    chunk is naturally shorter (slice clamps on both engines). Display
+    bounded to doc_id < 40 per the registry's no-row-dump convention;
+    the chunker itself has no such limit."""
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.size(toks) - overlap) / F.lit(float(stride))),
+    )
+    exploded = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id").cast("int") * stride + 1, chunk
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
