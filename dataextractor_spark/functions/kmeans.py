@@ -93,12 +93,22 @@ def kmeans_fit(
     max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    wide_agg_max_dim: int = 128,
 ) -> list[list[float]]:
     """Fit k centroids over an array-typed vector column; returns the
     codebook as a plain k×d list (driver-side O(k·d), like any
     broadcast dim). Deterministic: hash-ranked seeding + mean updates.
     Empty cells (possible when k is near n) keep their previous
     centroid rather than being dropped, so the codebook size is stable.
+
+    Mean update has two physical forms, same result (equivalence
+    pinned in tests/test_scale_paths.py):
+    - d ≤ ``wide_agg_max_dim``: ONE groupBy(cell) with d avg(vec[i])
+      aggregate expressions — single shuffle of k×d partials, no row
+      explosion (the posexplode form multiplies scan rows ×d before
+      the partial agg collapses them);
+    - larger d: posexplode to (cell, pos, v) + per-(cell,pos) avg —
+      expression count stays O(1) however wide the vectors get.
     """
     seeds = (
         vectors.select(id_col, vec_col)
@@ -107,26 +117,36 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(v) for v in r[vec_col]] for r in seeds]
+    d_dim = len(centroids[0]) if centroids else 0
+    # constant across sweeps — build the wide agg expressions once
+    wide_aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+        for i in range(d_dim if d_dim <= wide_agg_max_dim else 0)
+    ]
     for _ in range(max_iter):
         assigned = assign_cells(vectors.select(id_col, vec_col), centroids, vec_col)
-        flat = assigned.select(
-            "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
-        )
-        means = (
-            flat.groupBy("cell", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("centroid")
-            )
-            .collect()
-        )
         new = list(centroids)  # empty cells keep previous centroid
-        for r in means:
-            new[r["cell"]] = [float(v) for v in r["centroid"]]
+        if wide_aggs:
+            for r in assigned.groupBy("cell").agg(*wide_aggs).collect():
+                new[r["cell"]] = [float(r[f"m{i}"]) for i in range(d_dim)]
+        else:
+            flat = assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            means = (
+                flat.groupBy("cell", "pos")
+                .agg(F.avg("v").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s.m,
+                    ).alias("centroid")
+                )
+                .collect()
+            )
+            for r in means:
+                new[r["cell"]] = [float(v) for v in r["centroid"]]
         centroids = new
     return centroids
 

@@ -9,6 +9,7 @@ registry entries demonstrate them on the driver tables.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -345,4 +346,48 @@ def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("new_rev"),
+    )
+
+
+@query(
+    "source_corrupt_records",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_good,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(60 AS BIGINT) AS good_value_sum
+    """,
+)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input isolation on a JSONL scan — what the reference's
+    silent `except → None` (A23, opendotaapi.py:121-123) SHOULD be: a
+    known fraction of bad lines must neither kill the batch (FAILFAST)
+    nor vanish (DROPMALFORMED); PERMISSIVE mode + columnNameOfCorrupt-
+    Record quarantines them as rows so the pipeline can count, alert
+    on, and replay them. The VALUES oracle pins the exact good/corrupt
+    split and that good-row values survive parsing intact. Same plan
+    at 100 TB: per-record isolation is scan-local, no extra pass."""
+    lines = [
+        '{"id": 1, "value": 10}',
+        '{"id": 2, "value": 20}',
+        "{not json at all",
+        '{"id": 3, "value": 30}',
+        '{"id": "not-a-number", "value": 5}',
+    ]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_corrupt_jsonl")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    df = spark.read.schema("id BIGINT, value BIGINT, _bad STRING").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_bad").json(path)
+    # PERMISSIVE keeps whatever fields of a bad record DID parse (the
+    # type-mismatch line yields value=5 with _bad set) — downstream
+    # aggregates must gate on the quarantine column, not per-field nulls
+    return df.agg(
+        F.count("id").alias("n_good"),
+        F.count("_bad").alias("n_corrupt"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("value"))), F.lit(0)
+        ).alias("good_value_sum"),
     )

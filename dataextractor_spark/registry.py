@@ -69,6 +69,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_hll_sketch_merge",       # new: mergeable distinct sketches
     "agg_frequent_items",         # new: one-pass heavy hitters
     "text_chunk_documents",       # new: overlap chunking, md5-pinned
+    "source_corrupt_records",     # new: PERMISSIVE quarantine contract
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -105,13 +106,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_having",
     "agg_mode_median",
     "funnel_view_click_purchase",
-    "agg_conditional_filter",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_conditional_filter",
     "agg_string_listagg",
     "agg_corr_covar",
     "agg_histogram",

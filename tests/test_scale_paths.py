@@ -416,3 +416,17 @@ def test_frequent_items_superset_of_exact_hitters(spark):
     assert exact_hot <= sketch_set
     flagged = {r.event_type for r in got if r.above_threshold}
     assert flagged == exact_hot
+
+
+def test_kmeans_mean_update_paths_agree(spark):
+    """The wide-agg and posexplode mean updates are two physical plans
+    for one logical operator: identical codebooks (up to float-merge
+    noise) from the same input."""
+    from dataextractor_spark.functions.kmeans import kmeans_fit
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    wide = kmeans_fit(e, 8, max_iter=2, id_col="vec_id")
+    narrow = kmeans_fit(e, 8, max_iter=2, id_col="vec_id", wide_agg_max_dim=0)
+    assert len(wide) == len(narrow) == 8
+    for cw, cn in zip(wide, narrow):
+        assert max(abs(a - b) for a, b in zip(cw, cn)) < 1e-9
