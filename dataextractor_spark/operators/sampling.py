@@ -186,3 +186,71 @@ def profile_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("domain_violations", F.lit(0)).alias("domain_violations"),
         )
     )
+
+
+@query(
+    "sample_uniform_k",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 25
+    """,
+)
+def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform sample: rank rows by md5(key) and
+    take the first k. md5 of the key string is a seedless, ENGINE-
+    PORTABLE permutation — the same 25 documents come back from Spark,
+    DuckDB, or any engine with md5, on any partitioning, forever —
+    which is what makes eval sets auditable (contrast rand(seed),
+    which changes with file splits, and xxhash64, which no other
+    engine implements). Physical plan is TakeOrderedAndProject:
+    per-partition top-k then a k-row merge — no global sort, no full
+    shuffle, O(k) driver memory at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "sample_split_groupsafe",
+    oracle="""
+    WITH tagged AS (
+        SELECT source, doc_id,
+               CASE WHEN md5(source) < '2' THEN 'eval' ELSE 'train' END
+                   AS split
+        FROM documents
+    )
+    SELECT split,
+           count(*)                AS n_docs,
+           count(DISTINCT source)  AS n_sources
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split is a pure function of
+    the GROUP key (source), so every document of a source lands on the
+    same side — near-duplicates within a source can never straddle the
+    boundary and leak eval content into training. md5(source) < '2'
+    puts ≈2/16 of sources in eval (hex order makes the threshold a
+    one-character comparison, portable to any engine). Narrow
+    expression, no shuffle before the final 2-group aggregate;
+    tests/test_sampling.py asserts no source straddles the split."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(F.md5("source") < "2", F.lit("eval")).otherwise(
+        F.lit("train")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split")
+    )

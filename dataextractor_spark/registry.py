@@ -70,6 +70,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_frequent_items",         # new: one-pass heavy hitters
     "text_chunk_documents",       # new: overlap chunking, md5-pinned
     "source_corrupt_records",     # new: PERMISSIVE quarantine contract
+    "sample_uniform_k",           # new: md5-ranked portable k-sample
+    "sample_split_groupsafe",     # new: leakage-safe group split
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -104,14 +106,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_percentiles",
     "agg_heatmap_bins",
     "agg_having",
-    "agg_mode_median",
-    "funnel_view_click_purchase",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_mode_median",
+    "funnel_view_click_purchase",
     "agg_conditional_filter",
     "agg_string_listagg",
     "agg_corr_covar",

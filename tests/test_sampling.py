@@ -106,3 +106,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(jan5) == 1 and len(jan5_batch) == 1
     assert jan5[0].n == jan5_batch[0].n
     assert jan5[0].sum_value == jan5_batch[0].sum_value  # 1e6 not included
+
+
+def test_groupsafe_split_never_straddles_sources(spark):
+    """Every source must land wholly on one side of the split (the
+    leakage-safety property), and both splits must be non-empty at
+    this source count."""
+    from pyspark.sql import functions as F
+
+    from dataextractor_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, SF_SMALL, "documents")
+    split = F.when(F.md5("source") < "2", F.lit("eval")).otherwise(F.lit("train"))
+    per_source = (
+        d.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in per_source)
+    sides = {
+        r.split
+        for r in d.select(split.alias("split")).distinct().collect()
+    }
+    assert sides == {"train", "eval"}
+
+
+def test_uniform_k_sample_is_engine_portable(spark):
+    """The md5-ranked k-sample must be identical across engines: Spark
+    result == DuckDB running the same ranking on the same parquet."""
+    import duckdb
+
+    from dataextractor_spark.registry import load_all
+    from tests.conftest import SF_SMALL
+
+    spec = load_all()["sample_uniform_k"]
+    got = sorted(tuple(r) for r in spec.fn(spark, SF_SMALL).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want and len(got) == 25
