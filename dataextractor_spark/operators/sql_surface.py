@@ -402,3 +402,55 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@query(
+    "udtf_bigram_explode",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 10
+    ),
+    n AS (
+        SELECT doc_id, unnest(range(0, greatest(len(toks) - 1, 0))) AS i,
+               toks
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS pos,
+           toks[i + 1] || ' ' || toks[i + 2] AS bigram
+    FROM n
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) consumed via
+    LATERAL — the third leg of the UDF surface next to the scalar and
+    grouped-agg pandas UDFs (udf_zscore_median): one input row yields
+    n output rows from arbitrary Python. The oracle is the identical
+    expansion in pure SQL, which is also the honest engineering note:
+    when the expansion IS expressible with explode/sequence (as here),
+    the built-in runs in codegen and the UDTF is the slow path — a
+    UDTF earns its place only for logic Catalyst can't express
+    (tokenizers with state, external library calls). Bounded to
+    doc_id < 10 per the registry's no-row-dump convention."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, bigram STRING")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 10
+    ).createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT s.doc_id, b.pos, b.bigram
+        FROM docs_udtf_src s, LATERAL bigrams_udtf(s.text) b
+        ORDER BY s.doc_id, b.pos
+        """
+    )

@@ -72,6 +72,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "source_corrupt_records",     # new: PERMISSIVE quarantine contract
     "sample_uniform_k",           # new: md5-ranked portable k-sample
     "sample_split_groupsafe",     # new: leakage-safe group split
+    "udtf_bigram_explode",        # new: Python UDTF via LATERAL
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -105,19 +106,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_stats",
     "agg_percentiles",
     "agg_heatmap_bins",
-    "agg_having",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_having",
+    "agg_histogram",
     "agg_mode_median",
     "funnel_view_click_purchase",
     "agg_conditional_filter",
     "agg_string_listagg",
     "agg_corr_covar",
-    "agg_histogram",
     "etl_partitioned_sink",
     "source_json_roundtrip",
     "etl_epoch_roundtrip",
