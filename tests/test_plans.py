@@ -282,3 +282,32 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "ship_year" in seg, seg
+
+
+def test_registry_has_no_cartesian_products(spark):
+    """Whole-registry plan audit: a CartesianProduct node (non-broadcast
+    cross join — |left|×|right| work AND memory) must never appear in
+    any registered query. Intentional cross joins in the registry are
+    all broadcast-sized (dim grids, 1-row aggregates) and compile to
+    BroadcastNestedLoopJoin; anything compiling to CartesianProduct is
+    a scale regression by definition."""
+    offenders = []
+    for name, spec in load_all().items():
+        if physical_plan(spec.fn(spark, SF_SMALL)).count("CartesianProduct"):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_docstring_test_references_exist():
+    """Every `tests/test_*.py` a package docstring cites must exist —
+    the dangling-reference class of rot, caught at CI time."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    missing = []
+    for py in (root / "dataextractor_spark").rglob("*.py"):
+        for ref in re.findall(r"tests/(test_\w+)\.py", py.read_text()):
+            if not (root / "tests" / f"{ref}.py").exists():
+                missing.append((str(py.relative_to(root)), ref))
+    assert not missing, missing
