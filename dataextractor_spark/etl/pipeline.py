@@ -89,46 +89,74 @@ def full_load(
     *,
     raise_on_failure: bool = True,
     rate_limit_per_partition: float = 0.0,
+    max_concurrency: int = 1,
 ) -> LoadReport:
     """Run every dataset: fetch → normalize → transform → overwrite
     Parquet at ``{out_base}/{name}`` (fixed per-dataset location ≙ the
     reference's fixed S3 keys, extract-data-dota.py:131-199, so
     monthly reruns stay idempotent).
 
-    Independent datasets are independent Spark jobs; on a cluster you
-    run them under fair-scheduler pools for concurrency — the plan
-    shape needs no change.
+    Independent datasets are independent Spark ACTIONS, and Spark's
+    scheduler accepts jobs from multiple driver threads — so
+    ``max_concurrency > 1`` submits up to that many dataset loads at
+    once from a thread pool (the fix for the reference's strictly
+    sequential 13-dataset loop, extract-data-dota.py:126-199). Each
+    dataset keeps its own failure isolation; with
+    ``raise_on_failure``, in-flight datasets finish before the first
+    error re-raises (no half-written partial batch beyond the failed
+    dataset itself). On a cluster, pair with fair-scheduler pools so
+    concurrent jobs share executors proportionally.
     """
-    report = LoadReport()
-    for spec in datasets:
-        try:
-            raw = fetch(
-                spark,
-                spec.requests,
-                transport_factory,
-                rate_limit_per_partition=rate_limit_per_partition,
+
+    def load_one(spec: DatasetSpec) -> int:
+        raw = fetch(
+            spark,
+            spec.requests,
+            transport_factory,
+            rate_limit_per_partition=rate_limit_per_partition,
+        )
+        bad = raw.filter(F.col("status") != 200)
+        n_bad = bad.count()
+        if n_bad:
+            sample = [r.error for r in bad.select("error").head(3)]
+            raise RuntimeError(
+                f"{n_bad} failed requests for {spec.name!r}; e.g. {sample}"
             )
-            bad = raw.filter(F.col("status") != 200)
-            n_bad = bad.count()
-            if n_bad:
-                sample = [r.error for r in bad.select("error").head(3)]
-                raise RuntimeError(
-                    f"{n_bad} failed requests for {spec.name!r}; e.g. {sample}"
-                )
-            df = normalize_payloads(raw, spec)
-            if spec.transform is not None:
-                df = spec.transform(df)
-            writer = df.write.mode("overwrite")
-            if spec.partition_by:
-                writer = writer.partitionBy(*spec.partition_by)
-            writer.parquet(f"{out_base}/{spec.name}")
-            report.ok[spec.name] = spark.read.parquet(f"{out_base}/{spec.name}").count()
-        except Exception as exc:
-            # per-dataset isolation (A19's null-guards) minus the
-            # reference's silent swallow (A23): record AND surface.
-            report.failed[spec.name] = f"{type(exc).__name__}: {exc}"
-            if raise_on_failure:
-                raise
+        df = normalize_payloads(raw, spec)
+        if spec.transform is not None:
+            df = spec.transform(df)
+        writer = df.write.mode("overwrite")
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.parquet(f"{out_base}/{spec.name}")
+        return spark.read.parquet(f"{out_base}/{spec.name}").count()
+
+    report = LoadReport()
+    if max_concurrency <= 1:
+        for spec in datasets:
+            try:
+                report.ok[spec.name] = load_one(spec)
+            except Exception as exc:
+                # per-dataset isolation (A19's null-guards) minus the
+                # reference's silent swallow (A23): record AND surface.
+                report.failed[spec.name] = f"{type(exc).__name__}: {exc}"
+                if raise_on_failure:
+                    raise
+        return report
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        futures = {spec.name: pool.submit(load_one, spec) for spec in datasets}
+        first_error: Exception | None = None
+        for name, fut in futures.items():  # insertion order → deterministic report
+            try:
+                report.ok[name] = fut.result()
+            except Exception as exc:
+                report.failed[name] = f"{type(exc).__name__}: {exc}"
+                first_error = first_error or exc
+    if first_error is not None and raise_on_failure:
+        raise first_error
     return report
 
 

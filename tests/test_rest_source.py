@@ -303,3 +303,26 @@ def test_page_requests_fan_out(spark):
     out = fetch(spark, reqs, lambda: fx).collect()
     assert sorted(r.request_id for r in out) == ["page0", "page1", "page2"]
     assert all(r.status == 200 for r in out)
+
+
+def test_full_load_concurrent_equals_sequential(spark, tmp_path):
+    """max_concurrency>1 submits dataset loads from driver threads;
+    results (row counts per dataset, parquet contents) must be
+    identical to the sequential run, with isolation preserved."""
+    from dataextractor_spark.etl.pipeline import reference_datasets, reference_fixtures
+
+    specs = reference_datasets()
+    transport = FixtureTransport(reference_fixtures())
+    seq = full_load(spark, specs, lambda: transport, str(tmp_path / "seq"))
+    conc = full_load(
+        spark, specs, lambda: transport, str(tmp_path / "conc"), max_concurrency=4
+    )
+    assert seq.ok == conc.ok and not conc.failed
+    for name in conc.ok:
+        a = sorted(
+            map(tuple, spark.read.parquet(f"{tmp_path}/seq/{name}").collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(f"{tmp_path}/conc/{name}").collect())
+        )
+        assert a == b, name
