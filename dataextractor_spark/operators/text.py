@@ -686,3 +686,61 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+#: GPT-2-family pretokenizer shape: contraction suffixes, space-prefixed
+#: word / number / punctuation runs. Char-class only (no backrefs, no
+#: lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+'))
+                   AS t
+        FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id)               AS n_docs,
+           count(*)                             AS n_pretokens,
+           count(DISTINCT t)                    AS vocab,
+           round(count(*) * 1.0
+                 / count(DISTINCT doc_id), 6)   AS avg_per_doc
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization (the GPT-2 regex family) — the token
+    COUNTING a training-data pipeline budgets with, as a pure codegen
+    regexp_extract_all: contraction suffixes, space-prefixed word /
+    number / punctuation runs. The pattern is deliberately char-class
+    only so Spark's Java regex and the oracle's RE2 produce the same
+    pretokens (pinned by the hash match), and the space-prefix
+    convention means token counts here track what a real BPE encoder
+    would see. One narrow pass + a lang-sized aggregate shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f'regexp_extract_all(text, "{_BPE_PRETOKEN_RE}", 0)')
+        ).alias("t"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.countDistinct("t").alias("vocab"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("doc_id"), 6
+            ).alias("avg_per_doc"),
+        )
+        .orderBy("lang")
+    )

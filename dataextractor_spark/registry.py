@@ -73,6 +73,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sample_uniform_k",           # new: md5-ranked portable k-sample
     "sample_split_groupsafe",     # new: leakage-safe group split
     "udtf_bigram_explode",        # new: Python UDTF via LATERAL
+    "text_bpe_pretokenize",       # new: GPT-2-style pretoken counts
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -105,13 +106,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_stats",
     "agg_percentiles",
-    "agg_heatmap_bins",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_heatmap_bins",
     "agg_having",
     "agg_histogram",
     "agg_mode_median",

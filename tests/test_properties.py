@@ -126,3 +126,49 @@ def test_cosine_similarity_bounds(spark, vecs):
             assert -1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9
             if r.ia == r.ib:
                 assert abs(r.cos - 1.0) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_chunking_reconstructs_token_stream(spark, tokens):
+    """Overlap-chunking invariant: dropping the first `overlap` tokens
+    of every chunk after the first and concatenating reproduces the
+    original token sequence exactly — no span lost or duplicated at
+    any boundary, for any document length (including docs shorter
+    than one window)."""
+    from pyspark.sql import functions as F
+
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    text = " ".join(tokens)
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    toks = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.size(toks) - overlap) / F.lit(float(stride))),
+    )
+    rows = (
+        d.select(
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "i",
+            F.slice(F.col("toks"), F.col("i").cast("int") * stride + 1, chunk).alias(
+                "piece"
+            ),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    rebuilt = []
+    for r in rows:
+        piece = list(r.piece)
+        rebuilt.extend(piece if r.i == 0 else piece[overlap:])
+    assert rebuilt == tokens
