@@ -391,3 +391,82 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_bad").isNull(), F.col("value"))), F.lit(0)
         ).alias("good_value_sum"),
     )
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    inserts AS (
+        SELECT o_orderkey + 100000000 AS o_orderkey,
+               round(o_totalprice / 2, 2) AS price
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+        SELECT b.o_orderkey,
+               COALESCE(u.new_price, b.o_totalprice) AS price,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN 'updated' ELSE 'unchanged' END AS action
+        FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+        UNION ALL
+        SELECT o_orderkey, price, 'inserted' FROM inserts
+    )
+    SELECT action,
+           count(*)                 AS n_rows,
+           round(sum(price), 2)     AS total_price,
+           min(o_orderkey)          AS min_key,
+           max(o_orderkey)          AS max_key
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics — the lakehouse step up from the
+    reference's idempotent full overwrite (A18, fixed S3 keys at
+    extract-data-dota.py:131-199): apply an update batch + an insert
+    batch to a base table in one declarative plan (MATCHED → update,
+    NOT MATCHED → insert), with per-action accounting. The batches
+    are derived deterministically from the base so the oracle can
+    replay the identical merge.
+
+    Plan shape (what Delta/Iceberg MERGE compiles to, minus the file
+    rewrite): one equi-join of base↔updates on the key + a union of
+    the insert set. At 100 TB the join shuffles only the UPDATE KEYS
+    (tiny side broadcast when small; AQE decides), never rewrites
+    untouched rows, and the whole thing stays one lazy plan — in a
+    real lake sink this feeds foreachBatch dynamic-partition
+    overwrite (streaming/sinks.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice") / 2, 2).alias("price"),
+        F.lit("inserted").alias("action"),
+    )
+    merged = (
+        o.join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("new_price", "o_totalprice").alias("price"),
+            F.when(F.col("new_price").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("unchanged"))
+            .alias("action"),
+        )
+        .unionByName(inserts)
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("action")
+    )

@@ -454,3 +454,35 @@ def udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, b.pos
         """
     )
+
+
+_SCALAR_CORR_SQL = """
+SELECT p.p_brand,
+       p.p_partkey,
+       p.p_name,
+       p.p_retailprice AS top_price
+FROM part p
+WHERE p.p_retailprice = (SELECT max(p2.p_retailprice)
+                         FROM part p2
+                         WHERE p2.p_brand = p.p_brand)
+ORDER BY p.p_brand, p.p_partkey
+"""
+
+
+@query("subquery_scalar_correlated", oracle=_SCALAR_CORR_SQL)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (the TPC-H Q2 'min-cost supplier'
+    shape: row qualifies iff its value equals a per-group extreme
+    computed by a subquery referencing the outer row). Completes the
+    subquery surface next to EXISTS (subquery_exists_correlated) and
+    NOT IN (subquery_not_in_null_semantics).
+
+    Catalyst de-correlates this to a per-brand max aggregate joined
+    back on p_brand — the rewrite a user would hand-write with
+    groupBy+join, but derived by the optimizer from declarative SQL
+    (RewriteCorrelatedScalarSubquery). At 100 TB that is one map-side
+    partial agg over brands (tiny) broadcast back over the scan — no
+    per-row re-execution, which is what a naive engine would do with
+    a correlated subquery. Identical text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_CORR_SQL)

@@ -744,3 +744,189 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: PII patterns — char-class only so Spark's Java regex and DuckDB's
+#: RE2 match identically (no lookaround, no \d shorthand).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_PHONE_RE = r"\+1-555-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, source, raw,
+               regexp_replace(
+                   regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones
+        FROM seeded
+    )
+    SELECT source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_emails) AS BIGINT)     AS emails_found,
+           CAST(sum(n_phones) AS BIGINT)     AS phones_found,
+           CAST(sum(CASE WHEN redacted <> raw THEN 1 ELSE 0 END) AS BIGINT)
+                                             AS docs_changed,
+           min(md5(redacted))                AS content_pin
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before anything else: find + replace email/phone
+    spans, count what was hit, and keep an md5 pin of the redacted
+    content so the oracle proves the REPLACEMENT text (not just the
+    counts) is byte-identical across engines.
+
+    The corpus is synthetic word-soup with no real PII, so each doc is
+    deterministically seeded with one email + one phone derived from
+    doc_id — the redactor must then find exactly one of each (the
+    oracle pins emails_found == n_docs per source). Patterns are
+    char-class-only so Java regex (Spark) and RE2 (DuckDB) agree.
+
+    Scale shape: one narrow regexp pass per doc (whole-stage codegen,
+    no Python), then a source-sized aggregate — scan-bound at 100 TB,
+    exactly like the quality filters it precedes."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = d.select(
+        "source",
+        raw.alias("raw"),
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    # patterns go through F.lit (never an F.expr SQL string literal:
+    # the SQL parser would eat the \+ escape before the regex engine)
+    red = red.withColumn(
+        "n_emails",
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), F.lit(0))),
+    ).withColumn(
+        "n_phones",
+        F.size(F.regexp_extract_all("raw", F.lit(_PHONE_RE), F.lit(0))),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_found"),
+            F.sum("n_phones").alias("phones_found"),
+            F.sum(
+                (F.col("redacted") != F.col("raw")).cast("long")
+            ).alias("docs_changed"),
+            F.min(F.md5("redacted")).alias("content_pin"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_gopher_filters",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nw,
+               (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' ')) AS mwl,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS ttr,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) AS stops
+        FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               (nw BETWEEN 30 AND 80)        AS ok_len,
+               (mwl BETWEEN 3.0 AND 10.0)    AS ok_mwl,
+               (ttr >= 0.35)                 AS ok_ttr,
+               (stops >= 1)                  AS ok_stop
+        FROM s
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT ok_len  THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_len,
+           CAST(sum(CASE WHEN NOT ok_mwl  THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_mean_wlen,
+           CAST(sum(CASE WHEN NOT ok_ttr  THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_ttr,
+           CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopword,
+           CAST(sum(CASE WHEN ok_len AND ok_mwl AND ok_ttr AND ok_stop
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN ok_len AND ok_mwl AND ok_ttr AND ok_stop
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS pass_rate
+    FROM g
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality GATE — the per-rule reject funnel
+    (Rae et al. 2021 §A1.1 'quality filtering' heuristics, re-derived
+    for this corpus): word-count band, mean-word-length band,
+    type-token ratio floor, and a stopword-presence floor. Where
+    text_quality_score reports continuous signals, this query makes
+    the keep/drop DECISION and accounts per-rule rejects per language
+    — what a curation run actually reports to its operator.
+
+    Thresholds are corpus-calibrated to discriminate (30≤nw≤80 keeps
+    ~59%, ttr≥0.35 ~80%, stops≥1 ~95%; mean-word-length is non-binding
+    on this synthetic corpus but kept because real corpora bind on it).
+    Mean word length is computed arithmetically ((chars−spaces)/words)
+    rather than via a HOF so both engines share exact float inputs.
+
+    Scale shape: narrow per-doc booleans (codegen, no shuffle) into a
+    lang-sized aggregate; the gate adds nothing beyond the scan the
+    quality scorer already pays."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    mwl = (F.length("text") - (nw - 1)).cast("double") / nw
+    ttr = F.size(F.array_distinct(words)).cast("double") / nw
+    stops = F.size(F.filter(words, lambda t: t.isin(*_STOPWORDS)))
+    g = d.select(
+        "lang",
+        nw.between(30, 80).alias("ok_len"),
+        mwl.between(3.0, 10.0).alias("ok_mwl"),
+        (ttr >= 0.35).alias("ok_ttr"),
+        (stops >= 1).alias("ok_stop"),
+    )
+    all_ok = (
+        F.col("ok_len") & F.col("ok_mwl") & F.col("ok_ttr") & F.col("ok_stop")
+    )
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("ok_len")).cast("long")).alias("fail_len"),
+            F.sum((~F.col("ok_mwl")).cast("long")).alias("fail_mean_wlen"),
+            F.sum((~F.col("ok_ttr")).cast("long")).alias("fail_ttr"),
+            F.sum((~F.col("ok_stop")).cast("long")).alias("fail_stopword"),
+            F.sum(all_ok.cast("long")).alias("n_pass"),
+            F.round(
+                F.sum(all_ok.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -74,6 +74,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sample_split_groupsafe",     # new: leakage-safe group split
     "udtf_bigram_explode",        # new: Python UDTF via LATERAL
     "text_bpe_pretokenize",       # new: GPT-2-style pretoken counts
+    "text_pii_redact",            # new: PII find/replace, content-pinned
+    "text_gopher_filters",        # new: per-rule quality reject funnel
+    "subquery_scalar_correlated", # new: TPC-H-Q2-shape scalar subquery
+    "etl_merge_upsert",           # new: MERGE semantics, per-action audit
+    "graph_pagerank",             # new: fixed-sweep PageRank, unrolled oracle
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -99,11 +104,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_stats",
     "agg_percentiles",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
@@ -112,6 +112,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "etl_epoch_tz",
     "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # (pure-built-in aggregate rows displaced by the round-3 additions:
+    # unchanged since r1, pytest-green at sf0.1 — lowest re-check risk)
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
     "agg_heatmap_bins",
     "agg_having",
     "agg_histogram",
@@ -194,6 +201,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dataextractor_spark.operators import dedup  # noqa: F401
     from dataextractor_spark.operators import enrichment  # noqa: F401
     from dataextractor_spark.operators import etl_parity  # noqa: F401
+    from dataextractor_spark.operators import graph_ops  # noqa: F401
     from dataextractor_spark.operators import joins  # noqa: F401
     from dataextractor_spark.operators import multimodal  # noqa: F401
     from dataextractor_spark.operators import relational  # noqa: F401

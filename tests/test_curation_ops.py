@@ -1,0 +1,102 @@
+"""Contract tests for the round-3 curation/graph additions beyond
+what the DuckDB oracle already pins (tests/test_correctness.py runs
+every registered query against its oracle; these assert the semantic
+invariants the oracle comparison alone can't express).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataextractor_spark.functions.pagerank import pagerank
+from dataextractor_spark.registry import load_all
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_pagerank_mass_conserved_and_hubs(spark, registry):
+    """With no dangling nodes, total rank mass is exactly the initial
+    1.0 each sweep redistributes; and the 50×-fewer supplier nodes
+    must each carry more rank than any part node (hub effect)."""
+    out = registry["graph_pagerank"].fn(spark, SF_SMALL).collect()
+    by_type = {r["node_type"]: r for r in out}
+    assert set(by_type) == {"part", "supplier"}
+    total = by_type["part"]["rank_mass"] + by_type["supplier"]["rank_mass"]
+    assert abs(total - 1.0) < 1e-4
+    assert by_type["supplier"]["min_rank"] > by_type["part"]["max_rank"]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular symmetric graph (a cycle), PageRank is exactly
+    the uniform distribution at every sweep — a closed-form pin of
+    the damping/normalization arithmetic."""
+    n = 12
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % n)) for i in range(n)]
+        + [(str((i + 1) % n), str(i)) for i in range(n)],
+        "src string, dst string",
+    )
+    ranks = pagerank(edges, iterations=4).collect()
+    assert len(ranks) == n
+    for r in ranks:
+        assert abs(r["rank"] - 1.0 / n) < 1e-12
+
+
+def test_pii_redaction_hits_every_doc(spark, registry):
+    """Each doc is seeded with exactly one email + one phone, so the
+    redactor must report emails_found == phones_found == n_docs and
+    every doc changed — zero misses, zero spurious extra matches."""
+    rows = registry["text_pii_redact"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["emails_found"] == r["n_docs"]
+        assert r["phones_found"] == r["n_docs"]
+        assert r["docs_changed"] == r["n_docs"]
+
+
+def test_gopher_gate_partitions_corpus(spark, registry):
+    """The gate's funnel must account for every document (n_pass ≤
+    n_docs, per-rule fails ≤ n_docs) and actually discriminate on
+    this corpus (some pass, some fail overall)."""
+    rows = registry["text_gopher_filters"].fn(spark, SF_SMALL).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_pass = sum(r["n_pass"] for r in rows)
+    assert 0 < n_pass < n_docs
+    for r in rows:
+        for c in ("fail_len", "fail_mean_wlen", "fail_ttr", "fail_stopword"):
+            assert 0 <= r[c] <= r["n_docs"]
+
+
+def test_merge_upsert_accounting(spark, registry):
+    """updated+unchanged must equal the base row count (MERGE never
+    drops or duplicates base rows), and inserted keys are disjoint
+    from the base key space (the +1e8 offset)."""
+    from dataextractor_spark.catalog import load_table
+
+    base_n = load_table(spark, SF_SMALL, "orders").count()
+    rows = {r["action"]: r for r in
+            registry["etl_merge_upsert"].fn(spark, SF_SMALL).collect()}
+    assert rows["updated"]["n_rows"] + rows["unchanged"]["n_rows"] == base_n
+    assert rows["inserted"]["min_key"] >= 100000000
+    assert rows["updated"]["max_key"] < 100000000
+
+
+def test_scalar_subquery_rows_are_group_maxima(spark, registry):
+    """Every returned part's price equals its brand's max price."""
+    from dataextractor_spark.catalog import load_table
+
+    out = registry["subquery_scalar_correlated"].fn(spark, SF_SMALL)
+    brand_max = (
+        load_table(spark, SF_SMALL, "part")
+        .groupBy("p_brand")
+        .agg(F.max("p_retailprice").alias("mx"))
+    )
+    bad = out.join(brand_max, "p_brand").filter(
+        F.col("top_price") != F.col("mx")
+    )
+    assert bad.count() == 0
