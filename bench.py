@@ -75,6 +75,8 @@ HEADLINE = [
     "agg_hll_sketch_merge",
     "agg_frequent_items",
     "text_chunk_documents",
+    "graph_pagerank",
+    "text_pii_redact",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -311,3 +311,23 @@ def test_docstring_test_references_exist():
             if not (root / "tests" / f"{ref}.py").exists():
                 missing.append((str(py.relative_to(root)), ref))
     assert not missing, missing
+
+
+def test_scalar_subquery_decorrelates_to_join(spark):
+    """Catalyst must rewrite the correlated scalar subquery
+    (subquery_scalar_correlated) into a group-max joined back on the
+    correlation key — a BroadcastHashJoin in the physical plan, and
+    NO per-outer-row subquery execution node."""
+    df = load_all()["subquery_scalar_correlated"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "SubqueryExec" not in plan, plan
+
+
+def test_pagerank_plan_has_no_cartesian(spark):
+    """PageRank's per-sweep joins must stay keyed (hash/broadcast) —
+    the only nested-loop nodes allowed are the 1-row broadcast joins
+    carrying the node-count scalar."""
+    df = load_all()["graph_pagerank"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
