@@ -77,6 +77,8 @@ HEADLINE = [
     "text_chunk_documents",
     "graph_pagerank",
     "text_pii_redact",
+    "dedup_span_extract",
+    "text_decontaminate",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -784,3 +784,110 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dedup_span_extract",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+7], ' ')) AS h
+        FROM toks, unnest(range(1, len(w) - 6)) AS t(pos)
+        WHERE len(w) >= 8
+    ),
+    rare AS (
+        SELECT * FROM (
+            SELECT sh.*, count(*) OVER (PARTITION BY h) AS freq FROM sh
+        ) q WHERE freq <= 50
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b
+                   ORDER BY pos_a) AS grp
+        FROM pairs
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               min(pos_a) AS start_a, min(pos_b) AS start_b,
+               count(*) + 7 AS span_tokens
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, start_a, start_b, span_tokens
+    FROM spans
+    ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
+    LIMIT 20
+    """,
+)
+def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-SPAN extraction — exact substring dedup in
+    the sense of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): find the longest runs of tokens shared
+    verbatim between document pairs, not just which pairs are similar.
+    Where dedup_jaccard_pairs answers "are these near-duplicates",
+    this answers "WHICH 93-token block do they share" — the operator
+    that drives span-level cutting rather than whole-doc dropping.
+
+    Shape: 8-gram shingles (doc, pos, md5) → frequency cap (shingles
+    seen >50× are boilerplate; joining them explodes quadratically —
+    same degenerate-bucket discipline as the LSH cap) → equi-join on
+    the 32-char digest (never the raw text) → gaps-and-islands per
+    (pair, diagonal): consecutive matching positions on one diagonal
+    collapse to a maximal span of count+k-1 tokens.
+
+    At 100 TB: one narrow shingling pass, one shuffle on the digest
+    (the frequency window shares it), a window partitioned by
+    (pair, diagonal) — high-cardinality keys, bounded partitions —
+    and the span aggregate. The frequency cap bounds the join fanout
+    by 50²/shingle worst-case; everything downstream of the join is
+    sized by true duplication, not corpus size."""
+    from pyspark.sql import Window
+
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select("doc_id", w.alias("w")).filter(F.size("w") >= k)
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("pos"), k))).alias("h"),
+    )
+    rare = sh.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("freq") <= 50)
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(iw)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+    )
+    return (
+        spans.select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+        .orderBy(
+            F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+        )
+        .limit(20)
+    )

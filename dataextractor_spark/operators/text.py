@@ -930,3 +930,99 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(w[pos:pos+7], ' ')) AS h
+        FROM toks, unnest(range(1, len(w) - 6)) AS t(pos)
+        WHERE len(w) >= 8
+    ),
+    eval_h AS (
+        SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0
+    ),
+    train AS (
+        SELECT DISTINCT doc_id, lang FROM sh WHERE doc_id % 17 <> 0
+    ),
+    hits AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN eval_h e ON s.h = e.h
+        WHERE s.doc_id % 17 <> 0
+    )
+    SELECT t.lang,
+           count(*) AS n_train,
+           CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS contamination_rate
+    FROM train t LEFT JOIN hits ON t.doc_id = hits.doc_id
+    GROUP BY t.lang
+    ORDER BY t.lang
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram overlap check every
+    serious training run does before touching eval numbers (GPT-3
+    appendix C / PaLM-style 8-gram collision test): a train document
+    is contaminated if ANY of its 8-grams appears in the held-out
+    set. The held-out set here is the deterministic doc_id%17 slice
+    so the oracle can replay the identical split.
+
+    Distinct from dedup: the comparison is CROSS-corpus (train vs
+    eval), the decision is one-sided (drop/flag train docs, never
+    eval), and the right plan is a SEMI-join against the eval gram
+    set — no pair enumeration at all.
+
+    At 100 TB: shingle both sides (narrow), distinct the eval grams
+    (eval sets are benchmark-sized — thousands of docs — so this side
+    stays small; Spark broadcasts it when it fits, and the left-semi
+    join never materializes matches), then per-doc any-hit and a
+    lang-sized rollup. Runtime is dominated by the train-side scan,
+    which is the floor for any decontamination pass."""
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    sh = (
+        d.select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias(
+                "pos"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("pos"), k))).alias("h"),
+        )
+    )
+    eval_h = sh.filter(F.col("doc_id") % 17 == 0).select("h").distinct()
+    train = sh.filter(F.col("doc_id") % 17 != 0)
+    hits = (
+        train.join(eval_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_docs = train.select("doc_id", "lang").distinct()
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("lang")
+    )

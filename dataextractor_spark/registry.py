@@ -79,6 +79,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "subquery_scalar_correlated", # new: TPC-H-Q2-shape scalar subquery
     "etl_merge_upsert",           # new: MERGE semantics, per-action audit
     "graph_pagerank",             # new: fixed-sweep PageRank, unrolled oracle
+    "dedup_span_extract",         # new: maximal duplicated-span islands
+    "text_decontaminate",         # new: train/eval 8-gram overlap gate
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -104,8 +106,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    "agg_stats",
-    "agg_percentiles",
     # -- r1-stale ETL rows (prefix budget: first four; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
@@ -114,6 +114,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # ---- 50-entry prefix boundary (typical per-run budget) ----
     # (pure-built-in aggregate rows displaced by the round-3 additions:
     # unchanged since r1, pytest-green at sf0.1 — lowest re-check risk)
+    "agg_stats",
+    "agg_percentiles",
     "agg_count_distinct",
     "agg_approx_distinct",
     "agg_rollup",

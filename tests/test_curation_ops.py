@@ -100,3 +100,41 @@ def test_scalar_subquery_rows_are_group_maxima(spark, registry):
         F.col("top_price") != F.col("mx")
     )
     assert bad.count() == 0
+
+
+def test_span_extract_spans_are_real(spark, registry):
+    """The reported spans must be literally true of the texts: slicing
+    doc_a at [start_a, start_a+span) and doc_b at [start_b, ...) must
+    yield the SAME token sequence — checked in plain Python for the
+    top 5 spans, independent of both engines' SQL."""
+    from dataextractor_spark.catalog import load_table
+
+    spans = registry["dedup_span_extract"].fn(spark, SF_SMALL).collect()
+    assert spans, "fixture corpus is known to contain duplicated spans"
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_SMALL, "documents").collect()
+    }
+    for s in spans[:5]:
+        assert s["span_tokens"] >= 8  # k-gram floor
+        assert s["doc_a"] < s["doc_b"]
+        a = texts[s["doc_a"]][s["start_a"] - 1 : s["start_a"] - 1 + s["span_tokens"]]
+        b = texts[s["doc_b"]][s["start_b"] - 1 : s["start_b"] - 1 + s["span_tokens"]]
+        assert a == b and len(a) == s["span_tokens"]
+
+
+def test_decontaminate_bounds_and_split(spark, registry):
+    """Contamination counts are bounded by the train split size, and
+    the train split excludes every doc_id%17 eval doc (no self-hits:
+    an eval doc can never be reported as contaminated train)."""
+    from dataextractor_spark.catalog import load_table
+
+    rows = registry["text_decontaminate"].fn(spark, SF_SMALL).collect()
+    d = load_table(spark, SF_SMALL, "documents")
+    n_train_total = d.filter(
+        (F.col("doc_id") % 17 != 0) & (F.size(F.split("text", " ")) >= 8)
+    ).count()
+    assert sum(r["n_train"] for r in rows) == n_train_total
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_train"]
+        assert 0.0 <= r["contamination_rate"] <= 1.0
