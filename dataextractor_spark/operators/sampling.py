@@ -254,3 +254,84 @@ def sample_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "sample_mixture_weights",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_avail,
+               CAST(floor(
+                   (1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 4)
+                   * 120.0 / 50) AS BIGINT) AS quota
+        FROM documents
+    )
+    SELECT source,
+           min(n_avail)  AS n_avail,
+           min(quota)    AS quota,
+           count(*)      AS n_taken,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS sample_pin
+    FROM ranked
+    WHERE rn <= quota
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — the data-MIXING step between
+    curation and training (the DoReMi/Pile-style knob: each source
+    contributes a weighted quota of documents, not its natural
+    share). Weights are derived deterministically from the source id
+    (1 + src_num mod 4, normalized over a 120-doc budget) so the
+    oracle replays the identical spec; within each source the quota
+    is filled by the same seedless md5(doc_id) permutation as
+    sample_uniform_k — engine-portable, partitioning-independent, and
+    auditable (sample_pin hashes the exact selected id set, so the
+    hash match proves both engines chose the SAME documents, not just
+    the same counts).
+
+    Scale shape: one window partitioned by source (rank + count share
+    the exchange) and a source-sized rollup. A pathologically large
+    single source makes its partition the straggler; the documented
+    fix at that scale is a two-pass threshold (approx-quantile of the
+    md5 rank at quota/n, filter, exact top-up) — same selection, no
+    per-source full sort. The fixture's bounded sources don't need
+    it."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "[0-9]+", 0).cast("int")
+    quota = F.floor((1 + src_num % 4) * 120.0 / 50).cast("long")
+    w = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        quota.alias("quota"),
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_avail"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.min("n_avail").alias("n_avail"),
+            F.min("quota").alias("quota"),
+            F.count(F.lit(1)).alias("n_taken"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("sample_pin"),
+        )
+        .orderBy("source")
+    )

@@ -81,6 +81,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_pagerank",             # new: fixed-sweep PageRank, unrolled oracle
     "dedup_span_extract",         # new: maximal duplicated-span islands
     "text_decontaminate",         # new: train/eval 8-gram overlap gate
+    "sample_mixture_weights",     # new: domain-mixture quota resampling
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -106,12 +107,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    # -- r1-stale ETL rows (prefix budget: first four; rest below) --
+    # -- r1-stale ETL rows (prefix budget: first three; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
-    "etl_json_normalize",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "etl_json_normalize",
     # (pure-built-in aggregate rows displaced by the round-3 additions:
     # unchanged since r1, pytest-green at sf0.1 — lowest re-check risk)
     "agg_stats",

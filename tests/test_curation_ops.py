@@ -138,3 +138,15 @@ def test_decontaminate_bounds_and_split(spark, registry):
     for r in rows:
         assert 0 <= r["n_contaminated"] <= r["n_train"]
         assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_mixture_sampling_fills_quotas(spark, registry):
+    """Every source must contribute exactly its weighted quota (the
+    fixture's sources are large enough), quotas follow the 1+n%4
+    weight cycle over the 120-doc budget, and no source is dropped."""
+    rows = registry["sample_mixture_weights"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_taken"] == r["quota"] <= r["n_avail"]
+    assert sorted({r["quota"] for r in rows}) == [2, 4, 7, 9]
+    assert sum(r["n_taken"] for r in rows) == 110
