@@ -504,3 +504,39 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 5).alias("centroid_norm"))
         .orderBy("label")
     )
+
+
+@query("sim_pq_compress")  # learned codebooks → rows-only check
+def sim_pq_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression audit (functions/pq.py —
+    Jégou et al. 2011): 4 subspaces × 16 learned centroids encode each
+    64-dim float vector as 4 bytes (64× smaller), and this query
+    reports what that costs per label: mean/max reconstruction error
+    and how many distinct codes the label's vectors occupy.
+
+    Everything after the fit is ONE narrow pass — the m sub-codebooks
+    are SQL literals, codes and reconstruction error come from the
+    same transform/aggregate expressions, and only the label-sized
+    rollup shuffles. Fit cost is m small k-means runs whose driver
+    state is ksub·d floats total. At 10⁹ vectors the encode pass is
+    scan-bound and the code column is what an IVF+PQ index would
+    actually store. Contract tests (tests/test_curation_ops.py) pin
+    determinism, code ranges, the recon_err ≡ Σ sub-inertia identity,
+    and that learned codebooks beat seed-only ones."""
+    from dataextractor_spark.functions.pq import pq_encode, pq_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(e, m=4, ksub=16, dim=64, max_iter=4)
+    enc = pq_encode(e, books)
+    return (
+        enc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("recon_err"), 6).alias("avg_recon_err"),
+            F.round(F.max("recon_err"), 6).alias("max_recon_err"),
+            F.countDistinct(
+                F.concat_ws("-", F.col("code").cast("array<string>"))
+            ).alias("codes_used"),
+        )
+        .orderBy("label")
+    )

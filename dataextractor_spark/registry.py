@@ -82,6 +82,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_span_extract",         # new: maximal duplicated-span islands
     "text_decontaminate",         # new: train/eval 8-gram overlap gate
     "sample_mixture_weights",     # new: domain-mixture quota resampling
+    "sim_pq_compress",            # new: product-quantization audit (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -107,11 +108,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    # -- r1-stale ETL rows (prefix budget: first three; rest below) --
+    # -- r1-stale ETL rows (prefix budget: first two; rest below) --
     "etl_flatten_array",
     "etl_dict_unpivot",
-    "etl_epoch_tz",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "etl_epoch_tz",
     "etl_json_normalize",
     # (pure-built-in aggregate rows displaced by the round-3 additions:
     # unchanged since r1, pytest-green at sf0.1 — lowest re-check risk)

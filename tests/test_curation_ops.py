@@ -150,3 +150,45 @@ def test_mixture_sampling_fills_quotas(spark, registry):
         assert r["n_taken"] == r["quota"] <= r["n_avail"]
     assert sorted({r["quota"] for r in rows}) == [2, 4, 7, 9]
     assert sum(r["n_taken"] for r in rows) == 110
+
+
+def test_pq_codes_and_error_identity(spark):
+    """PQ invariants on the real corpus: codes are m ints in
+    [0, ksub); the per-corpus total reconstruction error equals the
+    sum of the m sliced sub-problems' k-means inertias (the defining
+    identity of product quantization); and a learned codebook never
+    reconstructs worse than its seed-only (0-sweep) starting point."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.functions.kmeans import inertia
+    from dataextractor_spark.functions.pq import pq_encode, pq_fit
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    m, ksub, dim = 4, 16, 64
+    books = pq_fit(e, m=m, ksub=ksub, dim=dim, max_iter=2)
+    enc = pq_encode(e, books)
+    rows = enc.select("code", "recon_err").collect()
+    for r in rows:
+        assert len(r["code"]) == m
+        assert all(0 <= c < ksub for c in r["code"])
+        assert r["recon_err"] >= 0.0
+
+    total_err = sum(r["recon_err"] for r in rows)
+    ds = dim // m
+    inertia_sum = sum(
+        inertia(
+            e.select(F.slice("embedding", j * ds + 1, ds).alias("sub")),
+            books[j],
+            vec_col="sub",
+        )
+        for j in range(m)
+    )
+    assert abs(total_err - inertia_sum) < 1e-6 * max(total_err, 1.0)
+
+    seed_books = pq_fit(e, m=m, ksub=ksub, dim=dim, max_iter=0)
+    seed_err = (
+        pq_encode(e, seed_books).agg(F.sum("recon_err")).first()[0]
+    )
+    assert total_err <= seed_err + 1e-9
+
+    books2 = pq_fit(e, m=m, ksub=ksub, dim=dim, max_iter=2)
+    assert books2 == books  # deterministic fit
