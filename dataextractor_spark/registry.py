@@ -83,6 +83,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_decontaminate",         # new: train/eval 8-gram overlap gate
     "sample_mixture_weights",     # new: domain-mixture quota resampling
     "sim_pq_compress",            # new: product-quantization audit (rows-only)
+    "sim_pq_adc_search",          # new: ADC top-k over PQ codes (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -108,10 +109,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    # -- r1-stale ETL rows (prefix budget: first two; rest below) --
+    # -- r1-stale ETL rows (prefix budget: first one; rest below) --
     "etl_flatten_array",
-    "etl_dict_unpivot",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
     # (pure-built-in aggregate rows displaced by the round-3 additions:

@@ -192,3 +192,34 @@ def test_pq_codes_and_error_identity(spark):
 
     books2 = pq_fit(e, m=m, ksub=ksub, dim=dim, max_iter=2)
     assert books2 == books  # deterministic fit
+
+
+def test_pq_adc_equals_reconstruction_distance(spark, registry):
+    """ADC's defining identity: the reported distance for (query,
+    candidate) must equal the exact L2² between the query's raw vector
+    and the candidate's PQ RECONSTRUCTION (sub-centroids selected by
+    its codes) — recomputed here in plain Python for every reported
+    pair."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.functions.pq import pq_encode, pq_fit
+
+    m, ksub, dim = 4, 16, 64
+    ds = dim // m
+    e = load_table(spark, SF_SMALL, "embeddings")
+    books = pq_fit(e, m=m, ksub=ksub, dim=dim, max_iter=4)
+    codes = {
+        r["vec_id"]: r["code"] for r in pq_encode(e, books).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+
+    out = registry["sim_pq_adc_search"].fn(spark, SF_SMALL).collect()
+    assert out and len({r["query_id"] for r in out}) == 3
+    for r in out:
+        qv = vecs[r["query_id"]]
+        recon = [
+            v
+            for j in range(m)
+            for v in books[j][codes[r["vec_id"]][j]]
+        ]
+        d2 = sum((float(a) - b) ** 2 for a, b in zip(qv, recon))
+        assert abs(d2 - r["adc_dist"]) < 1e-4, (r, d2)
