@@ -79,6 +79,8 @@ HEADLINE = [
     "text_pii_redact",
     "dedup_span_extract",
     "text_decontaminate",
+    "sim_semantic_dedup",
+    "text_unigram_logprob",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -593,3 +593,83 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+#: cosine threshold for semantic dedup — matches sim_neardup_pairs'
+#: calibration (above this corpus's noise floor; max observed pair
+#: cosine ~0.51 at fixture scale).
+SEMDEDUP_TAU = 0.45
+
+
+@query("sim_semantic_dedup")  # learned clustering → rows-only; contracts in tests
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup sense (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicate pairs WITHIN each cluster only — the clustering
+    turns an O(n²) all-pairs problem into Σ|cell|² work where |cell|
+    is held near a constant by the codebook sizing.
+
+    Rule (deterministic exemplar choice): a vector is PRUNED iff some
+    lower-id vector in the same cell has cosine ≥ SEMDEDUP_TAU with it;
+    each pruned row reports its strongest witness (highest cosine,
+    ties to the lowest keeper id). The kept set therefore contains no
+    within-cell pair at or above the threshold — pinned against a
+    brute-force numpy reimplementation in tests/test_scale_paths.py,
+    along with determinism and the witness-in-same-cell invariant.
+
+    Scale shape: codebook fit = functions/kmeans (k·d-wide shuffles,
+    O(k·d) driver state); assignment = one narrow codegen pass with the
+    codebook inlined as a literal; the within-cell self-join is keyed
+    on cell, so the pair count is Σ|cell|² ≈ n·IVF_TARGET_CELL_ROWS —
+    linear in the corpus, never quadratic. A degenerate hot cell would
+    need the same cap-and-audit gate dedup_minhash_lsh applies to hot
+    LSH buckets; at fixture scale the kmeans cells stay near target
+    occupancy (asserted by the IVF cell tests).
+    """
+    from pyspark.sql import Window
+
+    from dataextractor_spark.functions.kmeans import (
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    codebook = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    assigned = assign_cells(e, codebook).select("vec_id", "embedding", "cell")
+    keep = assigned.select(
+        "cell",
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("keep_v"),
+    )
+    cand = assigned.select(
+        "cell",
+        F.col("vec_id").alias("prune_id"),
+        F.col("embedding").alias("prune_v"),
+    )
+    pairs = (
+        keep.join(cand, "cell")
+        .filter(F.col("keep_id") < F.col("prune_id"))
+        .select(
+            "cell",
+            "keep_id",
+            "prune_id",
+            F.round(cosine_similarity("keep_v", "prune_v"), 5).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("prune_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("prune_id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("keep_id").alias("dup_of"),
+            "cos_sim",
+        )
+        .orderBy("vec_id")
+    )

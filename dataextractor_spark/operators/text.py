@@ -1026,3 +1026,83 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    tok_f AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    lm AS (
+        SELECT t, count(*)::DOUBLE AS c FROM tok_f GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n FROM lm),
+    scored AS (
+        SELECT tok_f.doc_id,
+               count(*) AS n_tokens,
+               avg(ln(lm.c / tot.n)) AS alp_raw
+        FROM tok_f JOIN lm ON tok_f.t = lm.t CROSS JOIN tot
+        GROUP BY tok_f.doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(alp_raw, 5) AS avg_logprob,
+           round(exp(-round(alp_raw, 5)), 2) AS ppl
+    FROM scored
+    ORDER BY avg_logprob ASC, doc_id
+    LIMIT 15
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, CCNet-style (Wenzek et al.
+    2020 train a KenLM and drop high-perplexity documents): score every
+    document by its mean token log-probability under a unigram LM
+    fitted on the corpus itself, and surface the 15 most surprising
+    (lowest mean log-prob = highest perplexity) documents — the ones a
+    perplexity gate would cut first. The unigram LM is the
+    SQL-expressible core of the technique; the filtering contract
+    (fit corpus LM → score docs → threshold) is identical for any
+    higher-order model.
+
+    Plan shape at 100 TB: tokenize is a narrow explode; the LM fit is
+    one vocabulary-bounded hash aggregate; scoring re-keys the token
+    stream by word to pick up counts (AQE broadcasts the LM side when
+    the vocabulary is small, falls back to a shuffle join when it
+    isn't — both are word-keyed, never doc-quadratic), then one
+    doc-keyed aggregate; top-15 compiles to TakeOrderedAndProject.
+    No Python anywhere. MLE probabilities need no smoothing here
+    because the LM is fit on the very corpus being scored (every
+    token has a nonzero count by construction).
+
+    ppl is derived from the ALREADY-ROUNDED mean log-prob so both
+    engines exponentiate bit-identical inputs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(lm, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("c") / F.col("n"))).alias("alp_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round("alp_raw", 5).alias("avg_logprob"),
+            F.round(F.exp(-F.round("alp_raw", 5)), 2).alias("ppl"),
+        )
+        .orderBy(F.col("avg_logprob").asc(), "doc_id")
+        .limit(15)
+    )

@@ -84,6 +84,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sample_mixture_weights",     # new: domain-mixture quota resampling
     "sim_pq_compress",            # new: product-quantization audit (rows-only)
     "sim_pq_adc_search",          # new: ADC top-k over PQ codes (rows-only)
+    "sim_semantic_dedup",         # new: SemDeDup cluster-then-prune (rows-only)
+    "text_unigram_logprob",       # new: CCNet-style LM perplexity gate
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -108,10 +110,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_shingle_jaccard",
     "dedup_components",
     "dedup_simhash",
-    "dedup_incremental_ingest",
-    # -- r1-stale ETL rows (prefix budget: first one; rest below) --
-    "etl_flatten_array",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "dedup_incremental_ingest",
+    # -- r1-stale ETL rows --
+    "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",

@@ -430,3 +430,67 @@ def test_kmeans_mean_update_paths_agree(spark):
     assert len(wide) == len(narrow) == 8
     for cw, cn in zip(wide, narrow):
         assert max(abs(a - b) for a, b in zip(cw, cn)) < 1e-9
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """sim_semantic_dedup ≡ the brute-force definition: recompute the
+    k-means assignment, then in plain numpy prune every vector with a
+    lower-id same-cell neighbor at cosine ≥ SEMDEDUP_TAU (rounded to
+    5 dp like the plan does) and pick the same strongest witness.
+    Also pins determinism and the kept-set-has-no-dup-pair property."""
+    import numpy as np
+
+    from dataextractor_spark.functions.kmeans import (
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+    from dataextractor_spark.operators.similarity import SEMDEDUP_TAU
+
+    specs = load_all()
+    out = specs["sim_semantic_dedup"].fn(spark, SF_SMALL).collect()
+    out_again = specs["sim_semantic_dedup"].fn(spark, SF_SMALL).collect()
+    assert out == out_again  # learned codebook is deterministic
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    cb = kmeans_fit(e, k, max_iter=4, id_col="vec_id")
+    rows = assign_cells(e, cb).collect()
+    ids = np.array([r.vec_id for r in rows])
+    cells = np.array([r.cell for r in rows])
+    vecs = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, cells, vecs = ids[order], cells[order], vecs[order]
+
+    expected = {}  # vec_id -> (cell, dup_of, cos_sim)
+    for c in np.unique(cells):
+        m = cells == c
+        cid, cv = ids[m], vecs[m]
+        norm = np.linalg.norm(cv, axis=1)
+        cos = np.round((cv @ cv.T) / np.outer(norm, norm), 5)
+        for j in range(len(cid)):
+            best = None
+            for i in range(j):  # lower-id candidates only (ids sorted)
+                if cos[i, j] >= SEMDEDUP_TAU:
+                    key = (-cos[i, j], cid[i])
+                    if best is None or key < best[0]:
+                        best = (key, (int(c), int(cid[i]), float(cos[i, j])))
+            if best is not None:
+                expected[int(cid[j])] = best[1]
+
+    got = {r.vec_id: (r.cell, r.dup_of, r.cos_sim) for r in out}
+    assert got == expected
+    assert expected, "fixture corpus should contain semantic duplicates"
+
+    # kept set contains no within-cell pair at/above the threshold
+    pruned = set(got)
+    for c in np.unique(cells):
+        m = cells == c
+        cid, cv = ids[m], vecs[m]
+        keep = np.array([i not in pruned for i in cid])
+        if keep.sum() < 2:
+            continue
+        kv, kn = cv[keep], np.linalg.norm(cv[keep], axis=1)
+        cos = np.round((kv @ kv.T) / np.outer(kn, kn), 5)
+        np.fill_diagonal(cos, 0.0)
+        assert cos.max() < SEMDEDUP_TAU
