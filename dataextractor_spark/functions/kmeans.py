@@ -72,18 +72,78 @@ def _d2_sql(centroids: list[list[float]], vec_col: str) -> str:
     )
 
 
+#: k·d above which assignment switches from the literal-expression
+#: path to the Arrow-batched numpy path. The literal path's cost is
+#: dominated by per-JOB analysis of a k·d-literal expression tree
+#: (measured ~0.8 s per sweep at k·d=2048 on a 2k-row corpus — plan
+#: overhead, not compute), so past ~1k literals the vectorized batch
+#: path wins regardless of corpus size.
+ASSIGN_LITERAL_MAX_KD = 1024
+
+
 def assign_cells(
-    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Append a ``cell`` column: index (0-based) of the nearest
-    centroid by L2 distance, ties to the lowest index. One narrow
-    codegen pass — the codebook rides along as a literal.
-    array_position returns the FIRST index of the min → deterministic
-    low-index tiebreak; 1-based, hence the -1."""
-    d2 = _d2_sql(centroids, vec_col)
-    return vectors.withColumn(
-        "cell", F.expr(f"cast(array_position({d2}, array_min({d2})) - 1 as int)")
+    centroid by L2 distance, ties to the lowest index.
+
+    Two physical forms, selected by codebook size (``method='auto'``;
+    equivalence on the fixture corpus pinned in test_scale_paths):
+
+    - ``literal``: the codebook rides along as a SQL literal and the
+      distances evaluate as one narrow expression pass — zero Python,
+      ideal while k·d is small. The d2 array is materialized ONCE in
+      a temp column (array_position + array_min share it) so the
+      k·d-literal tree appears a single time in the plan.
+    - ``pandas``: Arrow-batched numpy — d2 via the expansion
+      |x|² + |c|² − 2·x·cᵀ (one matmul per batch, O(batch·k) memory),
+      argmin for the first-min index. Same low-index tiebreak:
+      duplicate centroids produce bitwise-identical d2 columns, and
+      argmin returns the first. This path's plan is tiny however big
+      the codebook gets, and the per-batch matmul replaces k·d
+      interpreted higher-order-function evaluations per row.
+    """
+    if method == "auto":
+        kd = len(centroids) * (len(centroids[0]) if centroids else 0)
+        method = "pandas" if kd > ASSIGN_LITERAL_MAX_KD else "literal"
+    if method == "literal":
+        d2 = _d2_sql(centroids, vec_col)
+        return (
+            vectors.withColumn("_d2", F.expr(d2))
+            .withColumn(
+                "cell",
+                F.expr("cast(array_position(_d2, array_min(_d2)) - 1 as int)"),
+            )
+            .drop("_d2")
+        )
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cb = np.asarray(centroids, dtype=np.float64)
+    cb_norm2 = (cb**2).sum(axis=1)
+    out_schema = StructType(
+        list(vectors.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
+
+    def assign(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out["cell"] = np.empty(0, dtype=np.int32)
+                yield out
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = (x**2).sum(axis=1)[:, None] + cb_norm2[None, :] - 2.0 * (x @ cb.T)
+            out["cell"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return vectors.mapInPandas(assign, out_schema)
 
 
 def kmeans_fit(

@@ -618,15 +618,20 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     along with determinism and the witness-in-same-cell invariant.
 
     Scale shape: codebook fit = functions/kmeans (k·d-wide shuffles,
-    O(k·d) driver state); assignment = one narrow codegen pass with the
-    codebook inlined as a literal; the within-cell self-join is keyed
-    on cell, so the pair count is Σ|cell|² ≈ n·IVF_TARGET_CELL_ROWS —
-    linear in the corpus, never quadratic. A degenerate hot cell would
-    need the same cap-and-audit gate dedup_minhash_lsh applies to hot
-    LSH buckets; at fixture scale the kmeans cells stay near target
-    occupancy (asserted by the IVF cell tests).
+    O(k·d) driver state); assignment = one pass (literal expression or
+    Arrow-batched numpy, auto-selected by codebook size); the pruning
+    itself reuses the block-matrix layout of sim_neardup_pairs — ONE
+    cell-keyed shuffle gathers each cell's vectors into a single row,
+    and one numpy pass per cell computes its full cosine matrix, so
+    the work is Σ|cell|² ≈ n·IVF_TARGET_CELL_ROWS — linear in the
+    corpus, never quadratic, and the corpus is shuffled once (a
+    self-join would scan and shuffle it twice). Cell rows are bounded
+    by the codebook sizing (n/k ≈ 64 target vectors); a degenerate hot
+    cell would need the same cap-and-audit gate dedup_minhash_lsh
+    applies to hot LSH buckets.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
     from dataextractor_spark.functions.kmeans import (
         assign_cells,
@@ -638,38 +643,43 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = ivf_cell_count(e.count())
     codebook = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
     assigned = assign_cells(e, codebook).select("vec_id", "embedding", "cell")
-    keep = assigned.select(
-        "cell",
-        F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("keep_v"),
+    cells = assigned.groupBy("cell").agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("embedding").alias("vecs"),
     )
-    cand = assigned.select(
-        "cell",
-        F.col("vec_id").alias("prune_id"),
-        F.col("embedding").alias("prune_v"),
-    )
-    pairs = (
-        keep.join(cand, "cell")
-        .filter(F.col("keep_id") < F.col("prune_id"))
-        .select(
-            "cell",
-            "keep_id",
-            "prune_id",
-            F.round(cosine_similarity("keep_v", "prune_v"), 5).alias("cos_sim"),
+
+    def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_c, out_d, out_s = [], [], [], []
+        for _, row in pdf.iterrows():
+            ids = np.asarray(row["ids"], dtype=np.int64)
+            if len(ids) < 2:
+                continue
+            order = np.argsort(ids)  # collect_list order is arbitrary
+            ids = ids[order]
+            m = np.asarray(
+                [np.asarray(v) for v in row["vecs"]], dtype=np.float64
+            )[order]
+            norm = np.linalg.norm(m, axis=1)
+            cos = np.round((m @ m.T) / np.outer(norm, norm), 5)
+            for j in range(1, len(ids)):
+                cands = np.nonzero(cos[:j, j] >= SEMDEDUP_TAU)[0]
+                if len(cands) == 0:
+                    continue
+                # strongest witness: highest cosine, ties to lowest id
+                best = cands[np.argmax(cos[cands, j])]
+                out_v.append(ids[j])
+                out_c.append(int(row["cell"]))
+                out_d.append(ids[best])
+                out_s.append(float(cos[best, j]))
+        return pd.DataFrame(
+            {"vec_id": out_v, "cell": out_c, "dup_of": out_d, "cos_sim": out_s}
         )
-        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
-    )
-    w = Window.partitionBy("prune_id").orderBy(
-        F.col("cos_sim").desc(), F.col("keep_id")
-    )
+
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("prune_id").alias("vec_id"),
-            F.col("cell").cast("long").alias("cell"),
-            F.col("keep_id").alias("dup_of"),
-            "cos_sim",
+        cells.groupBy("cell")
+        .applyInPandas(
+            lambda key, pdf: prune_cell(pdf),
+            "vec_id BIGINT, cell BIGINT, dup_of BIGINT, cos_sim DOUBLE",
         )
         .orderBy("vec_id")
     )

@@ -494,3 +494,34 @@ def test_semantic_dedup_matches_bruteforce(spark):
         cos = np.round((kv @ kv.T) / np.outer(kn, kn), 5)
         np.fill_diagonal(cos, 0.0)
         assert cos.max() < SEMDEDUP_TAU
+
+
+def test_assign_cells_paths_agree(spark):
+    """The literal-expression and Arrow-batched numpy assignment paths
+    produce the identical cell for every fixture vector (same distance
+    minimizer, same low-index tiebreak), and 'auto' picks the literal
+    path below ASSIGN_LITERAL_MAX_KD and the pandas path above it."""
+    from dataextractor_spark.functions.kmeans import (
+        ASSIGN_LITERAL_MAX_KD,
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    cb = kmeans_fit(e, k, max_iter=2, id_col="vec_id")
+    lit = {
+        r.vec_id: r.cell
+        for r in assign_cells(e, cb, method="literal").collect()
+    }
+    pan = {
+        r.vec_id: r.cell
+        for r in assign_cells(e, cb, method="pandas").collect()
+    }
+    assert lit == pan
+    kd = len(cb) * len(cb[0])
+    auto_is_literal = kd <= ASSIGN_LITERAL_MAX_KD
+    # auto must agree with whichever path it selects (and both agree)
+    auto = {r.vec_id: r.cell for r in assign_cells(e, cb).collect()}
+    assert auto == (lit if auto_is_literal else pan)
