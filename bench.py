@@ -81,6 +81,8 @@ HEADLINE = [
     "text_decontaminate",
     "sim_semantic_dedup",
     "text_unigram_logprob",
+    "sample_shard_shuffle",
+    "etl_zorder_layout",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -470,3 +470,100 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+def _interleave_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    """Morton/z-order code for two pre-scaled integer columns in
+    [0, 2^bits): bit i of x lands at position 2i+1, bit i of y at 2i.
+    Pure integer arithmetic (floor-divide by power-of-two literals —
+    exact in doubles at these magnitudes, then % 2), so the SAME text
+    evaluates identically as a Spark expression and as DuckDB SQL —
+    no engine-specific bit operators."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(cast(floor({xcol} / {2 ** i}.0) as bigint) % 2) * {2 ** (2 * i + 1)}"
+        )
+        terms.append(
+            f"(cast(floor({ycol} / {2 ** i}.0) as bigint) % 2) * {2 ** (2 * i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_EXPR = _interleave_sql("px", "sx")
+
+_ZORDER_ORACLE = f"""
+    WITH mx AS (
+        SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem
+    ),
+    scaled AS (
+        SELECT cast(floor(l_partkey * 256.0 / (pmax + 1)) as bigint) AS px,
+               cast(floor(l_suppkey * 256.0 / (smax + 1)) as bigint) AS sx,
+               l_partkey, l_suppkey
+        FROM lineitem CROSS JOIN mx
+    ),
+    coded AS (
+        SELECT l_partkey, l_suppkey,
+               cast(floor({_Z_EXPR} / 4096.0) as bigint) AS zbucket
+        FROM scaled
+    )
+    SELECT zbucket,
+           count(*)        AS n_rows,
+           min(l_partkey)  AS p_min,
+           max(l_partkey)  AS p_max,
+           min(l_suppkey)  AS s_min,
+           max(l_suppkey)  AS s_max
+    FROM coded
+    GROUP BY zbucket
+    ORDER BY zbucket
+"""
+
+
+@query("etl_zorder_layout", oracle=_ZORDER_ORACLE)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering for multi-dimensional data
+    skipping — the lakehouse layout trick (Delta/Iceberg OPTIMIZE
+    ZORDER BY) expressed as plain Spark: interleave the bits of two
+    scaled join/filter keys into one sort key, lay files out along it,
+    and every file's (min, max) footer range is narrow on BOTH
+    dimensions at once — a predicate on EITHER key prunes ~√B of B
+    files, where a single-key sort only ever prunes on its one key.
+
+    The query materializes the audit a layout manager would check:
+    per z-bucket (the file surrogate — top 4 z-bits → 16 buckets) the
+    row count and both per-dimension min/max ranges. Each dimension's
+    per-bucket span is ~¼ of its domain at 16 buckets (√16 = 4
+    distinct quarter-ranges per dim), which is the data-skipping
+    property. The z-code is one narrow integer expression (generated
+    arithmetic, identical text in both engines — no UDF, no bit ops);
+    key scaling uses one broadcast 1-row max; the only shuffle is the
+    16-group aggregate. At 100 TB the same expression feeds
+    repartitionByRange(zcode) + sortWithinPartitions before the
+    parquet sink — layout cost is one range shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    scaled = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("cast(floor(l_partkey * 256.0 / (pmax + 1)) as bigint)").alias("px"),
+        F.expr("cast(floor(l_suppkey * 256.0 / (smax + 1)) as bigint)").alias("sx"),
+    )
+    return (
+        scaled.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"cast(floor({_Z_EXPR} / 4096.0) as bigint)").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+        )
+        .orderBy("zbucket")
+    )

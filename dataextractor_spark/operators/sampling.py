@@ -335,3 +335,98 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_shard_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    blocks AS (
+        SELECT substring(k, 1, 1) AS shard,
+               substring(k, 2, 2) AS block,
+               count(*)                      AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)  AS n_chars,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY k, doc_id)) AS bpin
+        FROM keyed
+        GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT)   AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           md5(string_agg(bpin, ',' ORDER BY block)) AS order_pin
+    FROM blocks
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle into training shards — the step a
+    training pipeline runs last: every document gets a pseudo-random
+    shard (first hex char of md5(doc_id) → 16 shards) and a
+    pseudo-random position within its shard (full md5 rank), with the
+    whole permutation ENGINE-PORTABLE (no rand(), no partitioning
+    dependence — the same property sample_uniform_k exploits, extended
+    from membership to total order).
+
+    The result is the shuffle AUDIT: per shard, counts plus an
+    ``order_pin`` — md5 over the ordered permutation — computed
+    HIERARCHICALLY: documents roll up into 256 blocks per shard (next
+    two hex chars), each block pins its ordered id list, and the shard
+    pin hashes the 256 ordered block pins. No aggregation state ever
+    holds more than one block's ids (n/4096 of the corpus) or one
+    shard's 256 block pins — unlike a flat per-shard listagg, whose
+    state would grow O(corpus/16). Because the block key is a PREFIX
+    of the rank key, ordering blocks then ids-within-block equals the
+    global intra-shard order, so the two-level pin commits to exactly
+    the order a sharded writer (partitionBy(shard) +
+    sortWithinPartitions(k)) would lay down. Both shuffles are
+    hash-keyed and narrow-input; nothing global anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    blocks = (
+        keyed.select(
+            F.substring("k", 1, 1).alias("shard"),
+            F.substring("k", 2, 2).alias("block"),
+            "doc_id",
+            "n_chars",
+            "k",
+        )
+        .groupBy("shard", "block")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "doc_id"))),
+                        lambda s: s.doc_id.cast("string"),
+                    ),
+                )
+            ).alias("bpin"),
+        )
+    )
+    return (
+        blocks.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("block", "bpin"))),
+                        lambda s: s.bpin,
+                    ),
+                )
+            ).alias("order_pin"),
+        )
+        .orderBy("shard")
+    )

@@ -86,6 +86,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_pq_adc_search",          # new: ADC top-k over PQ codes (rows-only)
     "sim_semantic_dedup",         # new: SemDeDup cluster-then-prune (rows-only)
     "text_unigram_logprob",       # new: CCNet-style LM perplexity gate
+    "sample_shard_shuffle",       # new: portable shard permutation + pin
+    "etl_zorder_layout",          # new: Morton-code layout audit
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -108,9 +110,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_components",
     "dedup_simhash",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_incremental_ingest",
     # -- r1-stale ETL rows --
     "etl_flatten_array",

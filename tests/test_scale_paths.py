@@ -525,3 +525,21 @@ def test_assign_cells_paths_agree(spark):
     # auto must agree with whichever path it selects (and both agree)
     auto = {r.vec_id: r.cell for r in assign_cells(e, cb).collect()}
     assert auto == (lit if auto_is_literal else pan)
+
+
+def test_zorder_buckets_narrow_on_both_dims(spark):
+    """The data-skipping property z-order exists for: with 16 buckets
+    (2 z-bits per dimension) every bucket's min/max span is ~¼ of the
+    domain on BOTH keys simultaneously — so footer-range pruning works
+    for predicates on either key. A single-key sort gives this on one
+    key and full-domain spans on the other."""
+    specs = load_all()
+    out = specs["etl_zorder_layout"].fn(spark, SF_SMALL).collect()
+    assert len(out) == 16
+    li = load_table(spark, SF_SMALL, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    for r in out:
+        assert (r.p_max - r.p_min) <= 0.30 * mx.p
+        assert (r.s_max - r.s_min) <= 0.30 * mx.s
