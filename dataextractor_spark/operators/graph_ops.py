@@ -107,3 +107,137 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type")
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT)            AS n_nodes,
+           CAST(sum(d * (d - 1)) AS BIGINT)    AS wedges2
+    FROM deg
+),
+ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+SELECT stats.n_nodes,
+       ec.n_edges,
+       CAST(wedges2 / 2 AS BIGINT)  AS n_wedges,
+       CAST(n_triangles AS BIGINT)  AS n_triangles,
+       round(3.0 * n_triangles / (wedges2 / 2), 6) AS clustering_coeff
+FROM stats CROSS JOIN ec CROSS JOIN tri
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + global clustering coefficient on the
+    within-order part co-purchase graph (parts are adjacent when some
+    order contains both — the item-item graph a recommender derives
+    from baskets).
+
+    The Spark plan uses DEGREE-ORDERED ORIENTATION (Suri &
+    Vassilvitskii, WWW'11 MapReduce triangle counting): every
+    undirected edge is directed toward the endpoint with the higher
+    (degree, id) rank, so each triangle {a,b,c} with rank a<b<c is
+    found exactly once as wedge a→b, a→c closed by edge b→c — and the
+    out-degree of every node is bounded by O(√m), which caps the
+    wedge-join blowup at Σ outdeg² = O(m^1.5) instead of the Σ deg²
+    a hub would cost under arbitrary orientation. The wedge join and
+    the closing semi-join are both edge-keyed hash shuffles; degrees
+    come from one node-keyed aggregate; nothing is ever collected.
+
+    The oracle counts the same triangles directly off the canonical
+    u<v edge list (a<b,b<c,a<c 3-way join) — orientation-invariance
+    of the count is exactly what the hash match proves. Integer
+    counts end-to-end; the clustering coefficient is the only float.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = pairs.join(du, "u").join(dv, "v")
+    # orient toward the higher (degree, id) endpoint
+    oriented = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.col("dv").alias("ddst"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("v").alias("src"),
+                F.col("u").alias("dst"),
+                F.col("du").alias("ddst"),
+            )
+        )
+        .alias("e")
+    ).select("e.src", "e.dst", "e.ddst")
+    w1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy")
+    )
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("wedges2"),
+    )
+    ec = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(ec)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            (F.col("wedges2") / 2).cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("n_triangles") / (F.col("wedges2") / 2), 6
+            ).alias("clustering_coeff"),
+        )
+    )

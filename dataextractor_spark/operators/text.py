@@ -1106,3 +1106,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_logprob").asc(), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "text_collapse_repeats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sq AS (
+        SELECT doc_id,
+               len(w) AS n_before,
+               list_filter(w, (x, i) -> i = 1 OR x <> w[i - 1]) AS kept
+        FROM toks
+    )
+    SELECT doc_id,
+           n_before,
+           len(kept)             AS n_after,
+           n_before - len(kept)  AS n_removed,
+           md5(array_to_string(kept, ' ')) AS cleaned_pin
+    FROM sq
+    WHERE n_before > len(kept)
+    ORDER BY n_removed DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-token squeeze — the normalization pass
+    that collapses stutter runs ('batch batch batch' → 'batch') before
+    token budgeting, a standard cleanup for OCR/boilerplate/SEO spam.
+    One indexed higher-order filter per document (keep token i iff
+    i = 0 or it differs from token i−1) — order-preserving, purely
+    narrow, no shuffle until the final top-20. The md5 pin over the
+    CLEANED text proves the surviving token sequence, not just counts,
+    is identical across engines (both lambdas index the same array;
+    Spark's is 0-based, the oracle's 1-based).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sq = d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n_before"),
+        F.expr("filter(w, (x, i) -> i = 0 OR x <> w[i - 1])").alias("kept"),
+    )
+    return (
+        sq.select(
+            "doc_id",
+            "n_before",
+            F.size("kept").alias("n_after"),
+            (F.col("n_before") - F.size("kept")).alias("n_removed"),
+            F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_pin"),
+        )
+        .filter(F.col("n_removed") > 0)
+        .orderBy(F.col("n_removed").desc(), "doc_id")
+        .limit(20)
+    )

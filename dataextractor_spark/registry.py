@@ -88,6 +88,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_unigram_logprob",       # new: CCNet-style LM perplexity gate
     "sample_shard_shuffle",       # new: portable shard permutation + pin
     "etl_zorder_layout",          # new: Morton-code layout audit
+    "graph_triangle_count",       # new: degree-oriented triangle count
+    "text_collapse_repeats",      # new: stutter-run squeeze, content-pinned
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -108,9 +110,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_literal_map_dim",
     "dedup_exact",
     "dedup_canonical_pick",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
