@@ -177,6 +177,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
+        # lazy checkpoint: the edge set feeds deg, the orientation
+        # join, and the edge count — without it the per-order
+        # self-join + distinct re-executes for every consumer (the
+        # pagerank/dedup pattern; see those modules)
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -206,7 +211,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("e")
-    ).select("e.src", "e.dst", "e.ddst")
+    ).select("e.src", "e.dst", "e.ddst").localCheckpoint(eager=False)
     w1 = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
     )
