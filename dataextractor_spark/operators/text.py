@@ -1163,3 +1163,97 @@ def text_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_removed").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(w[1:len(w) - 1],
+                                     (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS b
+        FROM toks
+    ),
+    bgc AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+    ),
+    unic AS (
+        SELECT t, count(*) AS c
+        FROM (SELECT unnest(w) AS t FROM toks)
+        GROUP BY t
+    ),
+    nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bgc),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM unic)
+    SELECT w1, w2, c_ab,
+           round(ln((c_ab / n_bi) / ((u1.c / n_uni) * (u2.c / n_uni))), 5)
+               AS pmi
+    FROM bgc
+    JOIN unic u1 ON bgc.w1 = u1.t
+    JOIN unic u2 ON bgc.w2 = u2.t
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE c_ab >= 10
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations — the statistical
+    phrase-mining step (Mikolov et al. 2013's word2phrase scoring):
+    PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over corpus bigram and unigram
+    frequencies, min-count 10, top-20 strongest collocations. High-PMI
+    pairs are the multiword units a tokenizer or phrase-joiner should
+    treat as one symbol; complements text_bigram_top20 (raw frequency)
+    with the association-strength ranking that frequency alone gets
+    wrong for common-word pairs.
+
+    Plan: bigram extraction is one indexed higher-order transform per
+    document (narrow); bigram and unigram counts are vocabulary-
+    bounded hash aggregates; the two probability lookups re-key the
+    bigram table by each endpoint (AQE broadcasts the unigram side
+    when small, shuffle-joins otherwise — both vocabulary-bounded,
+    never corpus-quadratic); totals ride along as 1-row broadcasts;
+    top-20 is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("w"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x as w1, w[i + 1] as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    unic = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = bgc.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    nu = unic.agg(F.sum("c").cast("double").alias("n_uni"))
+    u1 = unic.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = unic.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bgc.filter(F.col("c_ab") >= 10)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                5,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
