@@ -164,6 +164,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v edge list (a<b,b<c,a<c 3-way join) — orientation-invariance
     of the count is exactly what the hash match proves. Integer
     counts end-to-end; the clustering coefficient is the only float.
+
+    Resource envelope: this co-purchase graph is DENSE (avg degree
+    ~100), so the oriented wedge set is ~20M rows at sf0.1 — the
+    engine session (8g heap) runs it in 8.5 s, but a default-1g
+    single-JVM session thrashes. On a cluster this is per-executor
+    spill territory, not driver memory, and the wedge volume is the
+    Θ(m^1.5) lower bound any exact counter pays.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")

@@ -683,3 +683,100 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("sim_ivfpq_search")  # learned index → rows-only; contracts in tests
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF+PQ index (Jégou et al. 2011 — the structure FAISS
+    serves billion-vector corpora with), composing the engine's coarse
+    quantizer and PQ layers end-to-end: a k-means coarse codebook
+    partitions the corpus into cells, each vector's RESIDUAL from its
+    cell centroid is product-quantized to m=4 codes, and a probe
+    scans only its own cell computing asymmetric distances — m table
+    lookups per candidate over 4-byte codes; the corpus's raw floats
+    are never touched at query time.
+
+    Residuals (not raw vectors) feed PQ because their spread within a
+    cell is a fraction of the corpus spread — the same sub-codebook
+    budget buys a much finer quantization (the core IVF+PQ insight).
+    The residual table is lazily localCheckpointed: m sub-fits × 4
+    sweeps each replay it instead of re-deriving vector − centroid
+    per sweep (at index-build scale this materialization IS the
+    inverted-list build every ANN system performs).
+
+    tests/test_scale_paths.py pins: every candidate shares its query's
+    coarse cell; each reported adc_dist equals the plain-Python
+    L2²(query residual, PQ reconstruction of candidate residual); and
+    the whole index build is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from dataextractor_spark.functions.kmeans import (
+        _centroid_sql,
+        _d2_sql,
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+    from dataextractor_spark.functions.pq import pq_encode, pq_fit
+
+    m, ksub, dim = 4, 16, 64
+    ds = dim // m
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    coarse = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    assigned = assign_cells(e, coarse)
+    resid = assigned.withColumn(
+        "residual",
+        F.expr(
+            "zip_with(transform(embedding, x -> cast(x as double)), "
+            f"element_at({_centroid_sql(coarse)}, cell + 1), "
+            "(x, c) -> x - c)"
+        ),
+    ).localCheckpoint(eager=False)
+    books = pq_fit(
+        resid.select("vec_id", "residual"),
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        max_iter=4,
+        vec_col="residual",
+    )
+    enc = pq_encode(resid, books, vec_col="residual").select(
+        "vec_id", "cell", "code"
+    )
+
+    q = resid.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("residual").alias("qr"),
+    )
+    for j, book in enumerate(books):
+        q = q.withColumn(
+            f"qtab{j}", F.expr(_d2_sql(book, f"slice(qr, {j * ds + 1}, {ds})"))
+        )
+    q = F.broadcast(q.drop("qr"))
+
+    adc = None
+    for j in range(m):
+        term = F.get(f"qtab{j}", F.col("code")[j])
+        adc = term if adc is None else adc + term
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        enc.join(
+            q,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )

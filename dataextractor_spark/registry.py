@@ -91,6 +91,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_triangle_count",       # new: degree-oriented triangle count
     "text_collapse_repeats",      # new: stutter-run squeeze, content-pinned
     "text_pmi_bigrams",           # new: PMI collocation mining
+    "sim_ivfpq_search",           # new: IVF+PQ residual ADC probe (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -109,8 +110,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_selfpair_parts",
     "join_interval_overlap_activity",
     "join_literal_map_dim",
-    "dedup_exact",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "dedup_exact",
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",

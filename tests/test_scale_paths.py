@@ -543,3 +543,54 @@ def test_zorder_buckets_narrow_on_both_dims(spark):
     for r in out:
         assert (r.p_max - r.p_min) <= 0.30 * mx.p
         assert (r.s_max - r.s_min) <= 0.30 * mx.s
+
+
+def test_ivfpq_adc_matches_reconstruction(spark):
+    """sim_ivfpq_search contracts: every candidate shares its query's
+    coarse cell; each reported adc_dist equals the plain-Python
+    L2²(query residual, PQ reconstruction of the candidate residual);
+    and the index build is deterministic end-to-end."""
+    import numpy as np
+
+    from dataextractor_spark.functions.kmeans import (
+        assign_cells,
+        ivf_cell_count,
+        kmeans_fit,
+    )
+    from dataextractor_spark.functions.pq import pq_fit
+
+    specs = load_all()
+    out = specs["sim_ivfpq_search"].fn(spark, SF_SMALL).collect()
+    assert out and out == specs["sim_ivfpq_search"].fn(spark, SF_SMALL).collect()
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    k = ivf_cell_count(e.count())
+    coarse = kmeans_fit(e, k, max_iter=4, id_col="vec_id")
+    cb = np.asarray(coarse)
+    rows = assign_cells(e, coarse).collect()
+    cells = {r.vec_id: r.cell for r in rows}
+    resid = {
+        r.vec_id: np.asarray(list(r.embedding), dtype=np.float64) - cb[r.cell]
+        for r in rows
+    }
+    resid_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in sorted(resid.items())],
+        "vec_id BIGINT, residual ARRAY<DOUBLE>",
+    )
+    books = pq_fit(resid_df, m=4, ksub=16, dim=64, max_iter=4, vec_col="residual")
+    bks = [np.asarray(b) for b in books]
+    ds = 64 // 4
+
+    def recon(v):
+        r = resid[v]
+        parts = []
+        for j, bk in enumerate(bks):
+            sub = r[j * ds : (j + 1) * ds]
+            code = int(np.argmin(((bk - sub) ** 2).sum(axis=1)))
+            parts.append(bk[code])
+        return np.concatenate(parts)
+
+    for r in out:
+        assert cells[r.vec_id] == cells[r.query_id] == r.cell
+        expect = float(((resid[r.query_id] - recon(r.vec_id)) ** 2).sum())
+        assert abs(r.adc_dist - expect) < 1e-4, (r, expect)
