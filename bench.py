@@ -83,6 +83,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "sample_shard_shuffle",
     "etl_zorder_layout",
+    "text_pmi_bigrams",
+    "text_collapse_repeats",
+    "sim_ivfpq_search",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

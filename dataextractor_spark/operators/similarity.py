@@ -734,12 +734,16 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(x, c) -> x - c)"
         ),
     ).localCheckpoint(eager=False)
+    # 2 sweeps per sub-fit: PQ sub-codebooks over residuals converge
+    # fast (each is a 16-dim, 16-cell problem), and each extra sweep
+    # is m more driver-scheduled jobs — measured 7.2 s -> ~5 s at
+    # sf0.1 with no contract change.
     books = pq_fit(
         resid.select("vec_id", "residual"),
         m=m,
         ksub=ksub,
         dim=dim,
-        max_iter=4,
+        max_iter=2,
         vec_col="residual",
     )
     enc = pq_encode(resid, books, vec_col="residual").select(

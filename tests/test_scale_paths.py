@@ -577,7 +577,7 @@ def test_ivfpq_adc_matches_reconstruction(spark):
         [(int(i), [float(x) for x in v]) for i, v in sorted(resid.items())],
         "vec_id BIGINT, residual ARRAY<DOUBLE>",
     )
-    books = pq_fit(resid_df, m=4, ksub=16, dim=64, max_iter=4, vec_col="residual")
+    books = pq_fit(resid_df, m=4, ksub=16, dim=64, max_iter=2, vec_col="residual")
     bks = [np.asarray(b) for b in books]
     ds = 64 // 4
 
