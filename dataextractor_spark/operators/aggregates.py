@@ -640,3 +640,146 @@ def agg_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "event_type")
     )
+
+
+#: relational Bloom filter sizing: m bits, k probes. At ~1k build keys
+#: the fill factor is ~0.5 and the false-positive rate ~(1/2)^k —
+#: large enough to OBSERVE false positives, which is what the audit
+#: exists to measure.
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(key_expr: str, seed: int) -> str:
+    """Probe position seed ‖ ':' ‖ key → md5 → first 8 hex chars →
+    int % m. Spark spelling (conv); the oracle uses DuckDB's
+    CAST('0x…' AS BIGINT) — identical value, different parser."""
+    return (
+        f"cast(conv(substring(md5(concat('{seed}:', cast({key_expr} as string)))"
+        f", 1, 8), 16, 10) as bigint) % {BLOOM_M_BITS}"
+    )
+
+
+def _bloom_pos_duck(key_expr: str, seed: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{seed}:' || CAST({key_expr} AS VARCHAR))"
+        f", 1, 8) AS BIGINT) % {BLOOM_M_BITS}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_bloom_pos_duck('o_custkey', s)} AS pos FROM build"
+                for s in range(BLOOM_K)
+            )}
+        )
+    ),
+    probes AS (
+        SELECT c_custkey, pos FROM (
+            {" UNION ALL ".join(
+                f"SELECT c_custkey, {_bloom_pos_duck('c_custkey', s)} AS pos"
+                " FROM customer"
+                for s in range(BLOOM_K)
+            )}
+        )
+    ),
+    positive AS (
+        SELECT c_custkey
+        FROM probes JOIN bits USING (pos)
+        GROUP BY c_custkey
+        HAVING count(*) = {BLOOM_K}
+    ),
+    exact AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM build)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM build)    AS n_build_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits)     AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact)    AS n_exact_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM positive) AS n_bloom_positives,
+           (SELECT CAST(count(*) AS BIGINT) FROM positive)
+             - (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_false_positives,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM exact
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM positive))
+                                                           AS n_false_negatives
+"""
+
+
+@query("agg_bloom_filter_audit", oracle=_BLOOM_ORACLE)
+def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership as pure relational algebra, with its
+    false-positive rate MEASURED rather than assumed — the audit a
+    pipeline runs before trusting a bloom pre-filter on a 100 TB join
+    (Spark's own runtime injects bloom_filter_agg/might_contain; this
+    query is the engine-portable, oracle-checkable equivalent).
+
+    Construction: the filter IS a distinct bit-position table — every
+    build key hashes to k=3 positions (md5-derived, engine-portable),
+    and DISTINCT caps the table at m=4096 rows no matter how many
+    build keys exist: bounded state, exactly like the bitset it
+    models. A candidate is bloom-positive iff all k of its positions
+    join against the bit table (GROUP BY candidate HAVING count = k).
+    No false negatives is STRUCTURAL (a member's positions are all
+    set by construction) — and the audit proves it by reporting
+    n_false_negatives, which the oracle pins to the same value (0).
+    False positives are real hash collisions: n_false_positives > 0
+    at this sizing (fill ≈ 0.5, fp ≈ 2^-k), which is the honest
+    trade a bloom pre-filter makes.
+
+    Plan shape: build-side distinct (one shuffle of keys), the k
+    probe expansions are narrow, the membership join is keyed on a
+    ≤m-row broadcastable bit table, and the seven audit counts stitch
+    into ONE lazy plan via 1-row cross joins (the
+    profile_constraint_checks discipline: one job, no driver loops).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    build = (
+        o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    )
+    bits = None
+    for s in range(BLOOM_K):
+        part = build.select(
+            F.expr(_bloom_pos_spark("o_custkey", s)).alias("pos")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    bits = bits.distinct()
+
+    probes = None
+    for s in range(BLOOM_K):
+        part = c.select(
+            "c_custkey", F.expr(_bloom_pos_spark("c_custkey", s)).alias("pos")
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    positive = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+        .select("c_custkey")
+    )
+    exact = c.select("c_custkey").join(
+        build, c.c_custkey == build.o_custkey, "left_semi"
+    )
+    fn = exact.join(positive, "c_custkey", "left_anti")
+
+    agg = lambda df, name: df.agg(F.count(F.lit(1)).cast("long").alias(name))  # noqa: E731
+    return (
+        agg(build, "n_build_keys")
+        .crossJoin(agg(bits, "n_bits_set"))
+        .crossJoin(agg(c, "n_customers"))
+        .crossJoin(agg(exact, "n_exact_members"))
+        .crossJoin(agg(positive, "n_bloom_positives"))
+        .withColumn(
+            "n_false_positives",
+            F.col("n_bloom_positives") - F.col("n_exact_members"),
+        )
+        .crossJoin(agg(fn, "n_false_negatives"))
+    )

@@ -92,6 +92,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_collapse_repeats",      # new: stutter-run squeeze, content-pinned
     "text_pmi_bigrams",           # new: PMI collocation mining
     "sim_ivfpq_search",           # new: IVF+PQ residual ADC probe (rows-only)
+    "agg_bloom_filter_audit",     # new: relational bloom w/ measured FP rate
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -109,8 +110,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_cross_grid_revenue",
     "join_selfpair_parts",
     "join_interval_overlap_activity",
-    "join_literal_map_dim",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "join_literal_map_dim",
     "dedup_exact",
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
