@@ -430,3 +430,60 @@ def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "sample_weighted_ares",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               pow(
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0,
+                   1.0 / n_chars
+               ) AS ares_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, round(ares_key, 8) AS ares_key
+    FROM keyed
+    ORDER BY ares_key DESC, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-Res scheme (Efraimidis
+    & Spirakis 2006): each item draws u ∈ (0,1) and keeps key u^(1/w);
+    the top-k keys are a weighted sample — the one-pass, mergeable
+    construction every quality-weighted corpus sampler uses (weight
+    here = n_chars, longer documents proportionally likelier).
+
+    The uniform is ENGINE-PORTABLE like the rest of the sampling
+    family: first 8 md5 hex chars of the key → int / 2^32 — so Spark
+    and DuckDB (and any engine with md5 and pow) select the identical
+    sample, forever, on any partitioning. Top-k by key compiles to
+    TakeOrderedAndProject: per-partition heaps then a k-row merge —
+    this IS the distributed reservoir, O(k) driver memory at any
+    corpus size, and the keys of two partitions merge by simple
+    comparison (the mergeability A-Res is chosen for)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+            " as bigint)"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                F.pow(u, F.lit(1.0) / F.col("n_chars")), 8
+            ).alias("ares_key"),
+        )
+        .orderBy(F.col("ares_key").desc(), "doc_id")
+        .limit(25)
+    )

@@ -93,6 +93,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_pmi_bigrams",           # new: PMI collocation mining
     "sim_ivfpq_search",           # new: IVF+PQ residual ADC probe (rows-only)
     "agg_bloom_filter_audit",     # new: relational bloom w/ measured FP rate
+    "sample_weighted_ares",       # new: portable weighted reservoir sample
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
