@@ -58,16 +58,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
     # -- changed this round / new / previously failing --
+    # Rows-only entries are mostly deferred below the prefix boundary:
+    # a driver rows-only row only proves the query EXECUTES, which the
+    # repo's pytest already shows — a prefix slot spent on one buys
+    # less evidence than an oracled hash row for a stale family. Two
+    # exceptions stay up top: agg_approx_percentile (the round-2 FAIL
+    # whose fix must produce a green row) and sim_ivfpq_search (this
+    # round's composed-index capstone).
     "agg_approx_percentile",      # r2 FAIL: array col → now scalar p25..p90
     "window_deciles",             # plan rewritten: two-pass ranked ntile
     "profile_constraint_checks",  # plan rewritten: one lazy job
-    "dedup_minhash_lsh",          # audit now out-of-band sentinel row
-    "sim_ann_ivf_kmeans",         # new: learned-codebook IVF
     "rest_paged_scan",            # new: cursor-paginated REST fetch
     "join_bucketed_colocated",    # new: zero-exchange bucketed join
     "join_salted_skew",           # new: explicit skew-salt join
-    "agg_hll_sketch_merge",       # new: mergeable distinct sketches
-    "agg_frequent_items",         # new: one-pass heavy hitters
     "text_chunk_documents",       # new: overlap chunking, md5-pinned
     "source_corrupt_records",     # new: PERMISSIVE quarantine contract
     "sample_uniform_k",           # new: md5-ranked portable k-sample
@@ -82,18 +85,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_span_extract",         # new: maximal duplicated-span islands
     "text_decontaminate",         # new: train/eval 8-gram overlap gate
     "sample_mixture_weights",     # new: domain-mixture quota resampling
-    "sim_pq_compress",            # new: product-quantization audit (rows-only)
-    "sim_pq_adc_search",          # new: ADC top-k over PQ codes (rows-only)
-    "sim_semantic_dedup",         # new: SemDeDup cluster-then-prune (rows-only)
     "text_unigram_logprob",       # new: CCNet-style LM perplexity gate
     "sample_shard_shuffle",       # new: portable shard permutation + pin
     "etl_zorder_layout",          # new: Morton-code layout audit
     "graph_triangle_count",       # new: degree-oriented triangle count
     "text_collapse_repeats",      # new: stutter-run squeeze, content-pinned
     "text_pmi_bigrams",           # new: PMI collocation mining
-    "sim_ivfpq_search",           # new: IVF+PQ residual ADC probe (rows-only)
     "agg_bloom_filter_audit",     # new: relational bloom w/ measured FP rate
     "sample_weighted_ares",       # new: portable weighted reservoir sample
+    "sim_ivfpq_search",           # new: IVF+PQ capstone (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -111,15 +111,24 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_cross_grid_revenue",
     "join_selfpair_parts",
     "join_interval_overlap_activity",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "join_literal_map_dim",
     "dedup_exact",
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_simhash",
     "dedup_incremental_ingest",
+    # -- new-this-round rows-only entries (deferred — see note above;
+    #    each is contract-tested in pytest) --
+    "dedup_minhash_lsh",          # audit now out-of-band sentinel row
+    "sim_ann_ivf_kmeans",         # learned-codebook IVF
+    "agg_hll_sketch_merge",       # mergeable distinct sketches
+    "agg_frequent_items",         # one-pass heavy hitters
+    "sim_pq_compress",            # product-quantization audit
+    "sim_pq_adc_search",          # ADC top-k over PQ codes
+    "sim_semantic_dedup",         # SemDeDup cluster-then-prune
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",
