@@ -46,3 +46,20 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_output_is_canonicalizer_safe(spark, name):
+    """Round-2 regression guard: the external harness canonicalizes
+    results with pandas sort_values, which dies on unhashable cells
+    (list/dict) — agg_approx_percentile's array column was the only
+    red row that round. No registered query, oracled OR rows-only,
+    may emit array/map/struct/binary output columns."""
+    df = SPECS[name].fn(spark, SF_ORACLE)
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        assert not t.startswith(("array", "map", "struct", "binary")), (
+            name,
+            f.name,
+            t,
+        )
