@@ -783,3 +783,76 @@ def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(agg(fn, "n_false_negatives"))
     )
+
+
+@query(
+    "agg_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(min(d.med), 6)           AS med,
+           round(min(mad.mad), 6)         AS mad,
+           CAST(sum(CASE WHEN round(0.6745 * d.adev / mad.mad, 6) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(avg(CASE WHEN round(0.6745 * d.adev / mad.mad, 6) > 3.5
+                          THEN 1.0 ELSE 0.0 END), 6)  AS outlier_rate
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: the modified z-score
+    (Iglewicz & Hoaglin 1993) — 0.6745·|x − median| / MAD > 3.5 —
+    flags outliers against MEDIAN and MAD instead of mean/stddev, so a
+    burst of extreme values cannot drag the baseline toward itself
+    (the failure mode of z-score monitoring on heavy-tailed metrics).
+
+    Two robust location passes, both as grouped exact medians: the
+    per-type median, then the median of absolute deviations — each is
+    one hash aggregate over type-keyed partials plus a type-keyed join
+    back to the stream (AQE broadcasts the ≤|types|-row statistics
+    side). The flag ratio is rounded identically in both engines
+    before the 3.5 comparison so a 1-ulp division difference cannot
+    flip a row across the threshold.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_out",
+        (
+            F.round(0.6745 * F.col("adev") / F.col("mad"), 6) > 3.5
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            F.round(F.avg(F.col("is_out").cast("double")), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -93,6 +93,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_pmi_bigrams",           # new: PMI collocation mining
     "agg_bloom_filter_audit",     # new: relational bloom w/ measured FP rate
     "sample_weighted_ares",       # new: portable weighted reservoir sample
+    "agg_anomaly_mad",            # new: median/MAD modified z-score outliers
     "sim_ivfpq_search",           # new: IVF+PQ capstone (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
@@ -116,8 +117,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
-    "dedup_components",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
     # -- new-this-round rows-only entries (deferred — see note above;
