@@ -1257,3 +1257,77 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "text_entropy_kl",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tok_f AS (SELECT source, t FROM tok WHERE t <> ''),
+    sc AS (
+        SELECT source, t, count(*)::DOUBLE AS c FROM tok_f GROUP BY source, t
+    ),
+    stot AS (
+        SELECT source, sum(c) AS n FROM sc GROUP BY source
+    ),
+    cc AS (
+        SELECT t, sum(c) AS cc FROM sc GROUP BY t
+    ),
+    ctot AS (SELECT sum(cc) AS nn FROM cc)
+    SELECT sc.source,
+           CAST(min(stot.n) AS BIGINT)  AS n_tokens,
+           CAST(count(*) AS BIGINT)     AS vocab,
+           round(-sum((sc.c / stot.n) * ln(sc.c / stot.n)), 6)  AS entropy,
+           round(sum((sc.c / stot.n)
+                     * ln((sc.c / stot.n) / (cc.cc / ctot.nn))), 6) AS kl_vs_corpus
+    FROM sc
+    JOIN stot USING (source)
+    JOIN cc USING (t)
+    CROSS JOIN ctot
+    GROUP BY sc.source
+    ORDER BY sc.source
+    """,
+)
+def text_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution diagnostics: Shannon entropy (how
+    diverse a source's vocabulary usage is) and KL(source ‖ corpus)
+    (how far the source drifts from the corpus-wide distribution) —
+    the domain-shift measurement behind mixture design: a source with
+    high KL contributes distribution mass the others don't, which is
+    what sample_mixture_weights' quotas trade off.
+
+    Everything reduces to (source, token) counts: one
+    vocabulary-bounded hash aggregate, a token-keyed join against the
+    corpus marginals (vocabulary-sized build side), and per-source
+    sums of p·ln(p) terms. KL is finite by construction — every
+    source token exists in the corpus marginal, so the support
+    condition KL requires holds automatically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("t").agg(F.sum("c").alias("cc"))
+    ctot = cc.agg(F.sum("cc").alias("nn"))
+    p_s = F.col("c") / F.col("n")
+    p_c = F.col("cc") / F.col("nn")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(cc, "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.min("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(-F.sum(p_s * F.log(p_s)), 6).alias("entropy"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
