@@ -86,6 +86,10 @@ HEADLINE = [
     "text_pmi_bigrams",
     "text_collapse_repeats",
     "sim_ivfpq_search",
+    "agg_bloom_filter_audit",
+    "sample_weighted_ares",
+    "agg_anomaly_mad",
+    "text_entropy_kl",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times
