@@ -172,3 +172,29 @@ def test_chunking_reconstructs_token_stream(spark, tokens):
         piece = list(r.piece)
         rebuilt.extend(piece if r.i == 0 else piece[overlap:])
     assert rebuilt == tokens
+
+
+_SQUEEZE = "filter(w, (x, i) -> i = 0 OR x <> w[i - 1])"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_collapse_repeats_fixed_point(spark, toks):
+    """The stutter-squeeze expression behind text_collapse_repeats is
+    idempotent (a second application changes nothing), matches the
+    obvious sequential Python fold, and preserves first occurrences in
+    order."""
+    df = spark.createDataFrame([(toks,)], "w ARRAY<STRING>")
+    once = df.select(F.expr(_SQUEEZE).alias("w"))
+    twice = once.select(F.expr(_SQUEEZE).alias("w"))
+    got_once = once.first().w
+    got_twice = twice.first().w
+    want = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+    assert got_once == want
+    assert got_twice == got_once
