@@ -614,3 +614,90 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT strftime(l.l_shipdate, '%Y-%m')  AS ship_month,
+           CAST(count(*) AS BIGINT)         AS n_pairs,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l.l_quantity), 2)      AS sum_qty
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+    WHERE l.l_shipdate < DATE '1995-07-01'
+      AND o.o_orderdate < DATE '1995-07-01'
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large RANGE join with NO equi key — which lineitems
+    shipped within 3 days of ANY order's placement — executed as an
+    EQUI join via bucket replication, the standard rewrite for the
+    plan Spark cannot otherwise do better than a broadcast
+    nested-loop: bucket the time axis at the band width (3 days), so
+    every interval [d, d+3) covers at most TWO buckets; replicate each
+    interval row to its ≤2 covering buckets, hash each point row to
+    its one bucket, equi-join on the bucket id, and re-apply the
+    exact BETWEEN as a post-filter. The shuffle is hash-partitioned
+    on bucket — both sides scale out — and the per-bucket work is
+    |points_in_bucket|·|intervals_covering_bucket|, the local theta
+    cost the bucketing exists to bound. (Databricks exposes this as
+    the range-join hint; here it is explicit algebra.)
+
+    A date cutoff keeps the demo's pair count fixture-sized; the
+    rewrite itself is cardinality-agnostic. The oracle runs the
+    direct theta join — the hash match proves the bucket rewrite
+    loses and invents nothing at the boundaries (>= start,
+    < end, intervals straddling a bucket edge).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_quantity")
+        .filter(F.col("l_shipdate") < "1995-07-01")
+        .withColumn(
+            "pt_day",
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).cast("long"),
+        )
+        .withColumn("bucket", F.floor(F.col("pt_day") / 3))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .filter(F.col("o_orderdate") < "1995-07-01")
+        .withColumn(
+            "lo_day",
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long"),
+        )
+    )
+    # interval [lo_day, lo_day+3) covers bucket(lo_day) and bucket(lo_day+2)
+    intervals = o.select(
+        "o_orderkey",
+        "lo_day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("lo_day") / 3),
+                    F.floor((F.col("lo_day") + 2) / 3),
+                )
+            )
+        ).alias("bucket"),
+    )
+    pairs = li.join(intervals, "bucket").filter(
+        (F.col("pt_day") >= F.col("lo_day"))
+        & (F.col("pt_day") < F.col("lo_day") + 3)
+    )
+    return (
+        pairs.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("ship_month")
+    )

@@ -95,6 +95,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sample_weighted_ares",       # new: portable weighted reservoir sample
     "agg_anomaly_mad",            # new: median/MAD modified z-score outliers
     "text_entropy_kl",            # new: per-source entropy + KL domain shift
+    "join_range_bucketed",        # new: keyless range join via bucket replication
     "sim_ivfpq_search",           # new: IVF+PQ capstone (rows-only)
     # -- never externally verified --
     "sort_limit_topk",
@@ -116,8 +117,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_literal_map_dim",
     "dedup_exact",
     "dedup_canonical_pick",
-    "dedup_jaccard_pairs",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",
     "dedup_simhash",

@@ -331,3 +331,15 @@ def test_pagerank_plan_has_no_cartesian(spark):
     df = load_all()["graph_pagerank"].fn(spark, SF_SMALL)
     plan = physical_plan(df, "simple")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_range_bucketed_join_has_no_nested_loop(spark):
+    """join_range_bucketed exists to REPLACE the broadcast nested-loop
+    plan a keyless range join otherwise gets: the bucket-replication
+    rewrite must compile to a hash-keyed equi join (shuffle or
+    broadcast hash on the bucket id) with zero nested-loop nodes."""
+    df = load_all()["join_range_bucketed"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
