@@ -856,3 +856,91 @@ def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               date_trunc('month', o_orderdate) AS month,
+               o_custkey
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT month) AS BIGINT)     AS n_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_direct,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_merged
+    FROM monthly
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via integer bitmaps
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_count``) — the third point on the
+    distinct-count design spectrum: ``agg_approx_distinct`` is one
+    pass but approximate, ``agg_hll_sketch_merge`` is mergeable but
+    approximate, bitmaps are mergeable AND exact (for integer keys).
+    Each key claims one bit of a 32k-bit bucket, so per-group state is
+    ``n_keys/32768`` fixed-width binaries instead of the raw key
+    stream; a coarser rollup ORs the pre-aggregated bitmaps — no
+    rescan of the fact table, and OR-union is lossless, so the oracle
+    can pin BOTH the direct and the merged counts to plain
+    count(DISTINCT). At 100 TB this is the pattern behind exact
+    distinct-user dashboards (Spark's own bitmap functions; the
+    roaring-bitmap variant in warehouses): the shuffle moves
+    (group, bucket, bitmap) rows whose count is bounded by the key
+    domain / 32768 per group, never the fact rows. The direct and
+    merged paths share the single monthly bitmap build (one fact-table
+    scan + one shuffle; the rollup reuses its output)."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = o.select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        F.bitmap_bit_position("o_custkey").alias("bit"),
+    )
+    # ingest-time state: one bitmap per (priority, month, bucket).
+    # Lazily checkpointed because TWO rollups below consume it — the
+    # checkpoint is what makes "pre-aggregate once, roll up many"
+    # real in one plan (without it Spark re-derives the aggregate,
+    # i.e. rescans the fact table, per consumer).
+    monthly = (
+        pos.groupBy("o_orderpriority", "month", "bkt")
+        .agg(F.bitmap_construct_agg("bit").alias("bm"))
+        .localCheckpoint(eager=False)
+    )
+    # query-time rollups reuse the SAME pre-aggregated bitmaps:
+    # month-level counts summed per priority would double-count; the
+    # OR-merge is the lossless union.
+    merged = (
+        monthly.groupBy("o_orderpriority", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bitmap_count("bm")).cast("long").alias("n_customers_merged")
+        )
+    )
+    # months-per-priority comes off the (tiny) bitmap-state table too —
+    # the fact table is scanned exactly twice (direct + monthly build),
+    # never for this rollup.
+    months = monthly.groupBy("o_orderpriority").agg(
+        F.countDistinct("month").cast("long").alias("n_months")
+    )
+    direct = (
+        pos.groupBy("o_orderpriority", "bkt")
+        .agg(F.bitmap_construct_agg("bit").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_customers_direct"))
+    )
+    return (
+        direct.join(merged, "o_orderpriority")
+        .join(months, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_months", "n_customers_direct",
+            "n_customers_merged",
+        )
+        .orderBy("o_orderpriority")
+    )

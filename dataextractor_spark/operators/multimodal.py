@@ -502,3 +502,153 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).alias("total_resized_bytes"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
+
+
+# --- perceptual-hash image near-dup ----------------------------------
+
+#: dHash geometry: sample a 9x8 luminance grid, compare horizontal
+#: neighbors → 64 bits. Banding: 4 x 16-bit chunks (pigeonhole-exact
+#: candidate recall for Hamming distance ≤ 3, LSH-style recall above —
+#: the same chunk-banding contract as dedup_simhash).
+PHASH_GRID_W, PHASH_GRID_H = 9, 8
+PHASH_BANDS = 4
+PHASH_HAM_T = 6
+#: patterned-fixture knob: images with the same doc_id % PHASH_GROUPS
+#: share a base pattern and differ by one perturbed pixel.
+PHASH_GROUPS = 25
+
+
+def encode_patterned_images(docs: DataFrame) -> DataFrame:
+    """Synthesize DIVERSE real BMPs (unlike ``encode_media``'s
+    constant-row fixtures, which all share one near-flat hash): image
+    docs (doc_id % 3 == 0) get a 24-bit BMP whose row ``y`` repeats the
+    16 bytes of ``md5("{group}:{y}")`` across the BGR channels
+    (group = doc_id % PHASH_GROUPS), with ONE pixel brightness-flipped
+    at a doc-derived position — so same-group images are planted
+    near-duplicates and cross-group hashes are ~32 bits apart."""
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id % PHASH_GROUPS
+                # perturb AT a sampled grid coordinate so the flip is
+                # visible to the hash (1-2 neighbor comparisons move,
+                # giving same-group pairs a 0-4 bit Hamming spread)
+                px = ((doc_id // 3) % PHASH_GRID_W) * BMP_W // PHASH_GRID_W
+                py = ((doc_id // 27) % PHASH_GRID_H) * BMP_H // PHASH_GRID_H
+                rows = []
+                for y in range(BMP_H):
+                    vals = bytearray(
+                        hashlib.md5(f"{g}:{y}".encode()).digest()
+                    )  # exactly BMP_W bytes
+                    if y == py:
+                        vals[px] = (vals[px] + 128) % 256
+                    rows.append(
+                        b"".join(bytes([v, v, v]) for v in vals)
+                    )
+                ids.append(doc_id)
+                payloads.append(_encode_bmp(rows, BMP_W, BMP_H))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.filter(F.col("doc_id") % 3 == 0).select("doc_id").mapInPandas(
+        run, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def dhash_images(media_df: DataFrame) -> DataFrame:
+    """Difference hash: decode the BMP, sample a 9x8 luminance grid
+    (nearest-neighbor: x_i = i*W//9, y_j = j*H//8), emit bit 1 where
+    the right neighbor is brighter. One Arrow-batched stage, 8 bytes
+    out per image — the payload never crosses another boundary."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rows = _decode_bmp(bytes(payload))
+                xs = [i * w // PHASH_GRID_W for i in range(PHASH_GRID_W)]
+                ys = [j * h // PHASH_GRID_H for j in range(PHASH_GRID_H)]
+                bits = 0
+                for j in ys:
+                    row = rows[j]
+                    lum = [
+                        row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+                        for x in xs
+                    ]
+                    for i in range(PHASH_GRID_W - 1):
+                        bits = (bits << 1) | (1 if lum[i + 1] > lum[i] else 0)
+                if bits >= 1 << 63:  # two's-complement into LongType
+                    bits -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return media_df.mapInPandas(run, "doc_id BIGINT, phash BIGINT")
+
+
+@query("multimodal_phash_neardup")  # binary decode → rows-only; contract-tested
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash — the
+    multimodal counterpart of SimHash text dedup, and the standard
+    cheap screen before pixel-level comparison in a training-data
+    pipeline: encode (real BMP bytes) → dHash (one mapInPandas, 8
+    bytes/image) → banded candidate join (4 x 16-bit chunks, plain
+    equi join — candidates must agree on ≥1 chunk; pigeonhole-exact
+    for Hamming ≤ 3, LSH recall above) → exact Hamming filter
+    (codegen ``bit_count(a ^ b)``) at ≤ 6 bits. Never all-pairs: the
+    join is bucketed by chunk value, so cost tracks bucket occupancy
+    exactly as dedup_simhash/dedup_minhash_lsh bound theirs. Planted
+    same-pattern groups make expected pairs knowable;
+    tests/test_multimodal.py recomputes every hash and pair from the
+    synthesis rule independently and pins this output."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dhash_images(encode_patterned_images(docs))
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(phash >> {16 * b}) & 65535").alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.val")
+    a, b = [
+        bands.select(
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.col("phash").alias(f"h_{s}"),
+            "band",
+            "val",
+        )
+        for s in ("a", "b")
+    ]
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("dist", F.expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(F.col("dist") <= PHASH_HAM_T)
+    )
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
+            F.min("doc_a").alias("min_doc_a"),
+            F.min("doc_b").alias("min_doc_b"),
+        )
+        .orderBy("dist")
+    )

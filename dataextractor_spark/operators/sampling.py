@@ -487,3 +487,89 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ares_key").desc(), "doc_id")
         .limit(25)
     )
+
+
+#: PSI smoothing: Laplace 0.5 per bin over the 14 possible width_bucket
+#: ids (0..13) — keeps ln() finite on empty bins while staying a pure
+#: deterministic function of the counts (identical in both engines).
+PSI_BINS = 14
+
+
+@query(
+    "profile_drift_psi",
+    oracle="""
+    WITH sides AS (
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 13
+                         ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1
+                    END AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(is_ref) AS DOUBLE)     AS ref_n,
+               CAST(sum(1 - is_ref) AS DOUBLE) AS cur_n
+        FROM sides GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot FROM counts)
+    SELECT bucket,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           round(((cur_n + 0.5) / (cur_tot + 0.5 * 14)
+                  - (ref_n + 0.5) / (ref_tot + 0.5 * 14))
+                 * ln(((cur_n + 0.5) / (cur_tot + 0.5 * 14))
+                      / ((ref_n + 0.5) / (ref_tot + 0.5 * 14))), 6)
+               AS psi_term
+    FROM counts, tot
+    ORDER BY bucket
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (orders
+    before 1998) and the current period — the standard
+    distribution-drift monitor a data pipeline runs per ingest batch
+    before a model or mixture recipe trusts the new slice. Shape:
+    bucket both periods on the SAME fixed equi-width grid
+    (``agg_histogram``'s width_bucket arithmetic, so bin edges cannot
+    drift with the data), count both sides in ONE fact-table scan
+    (conditional sums — no union, no second pass), then score
+    ``Σ (q-p)·ln(q/p)`` over Laplace-smoothed bin shares. Per-bucket
+    terms are emitted (the actionable output: WHICH price band moved)
+    rather than only the scalar total; the conventional alert levels
+    (<0.1 stable, >0.25 shifted) apply to their sum. Everything after
+    the single aggregate is arithmetic on ≤14 rows; at 100 TB the cost
+    is exactly one map-side-combinable scan."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 12)").cast(
+        "long"
+    )
+    sides = o.select(
+        bucket.alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts = sides.groupBy("bucket").agg(
+        F.sum("is_ref").cast("double").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
+    )
+    k = float(PSI_BINS)
+    p = (F.col("ref_n") + 0.5) / (F.col("ref_tot") + 0.5 * k)
+    q = (F.col("cur_n") + 0.5) / (F.col("cur_tot") + 0.5 * k)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("cur_n").cast("long").alias("cur_n"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

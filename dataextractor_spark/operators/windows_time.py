@@ -448,3 +448,67 @@ def time_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_valid_hours"),
     )
+
+
+@query(
+    "time_downsample_ohlc",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+            row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY ts, event_id)            AS rn_a,
+            row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY ts DESC, event_id DESC)  AS rn_d
+        FROM d
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d')                         AS day,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2)  AS open,
+           round(max(value), 2)                              AS high,
+           round(min(value), 2)                              AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2)  AS close,
+           round(sum(value), 2)                              AS sum_value,
+           CAST(count(*) AS BIGINT)                          AS n_events
+    FROM r
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def time_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to per-(series, day) OHLC candles —
+    the hypertable/continuous-aggregate rollup every metrics store
+    materializes (open/high/low/close/volume per bucket). Spark shape:
+    ONE hash aggregate with ``min_by``/``max_by`` over a composite
+    (ts, event_id) order key — open and close are arg-min/arg-max
+    inside the same map-side-combinable aggregate, so the plan is a
+    single fact shuffle on (series, day) with NO window sort (the
+    oracle's row_number formulation is what this avoids; their
+    equivalence is exactly what the hash comparison proves). The
+    event_id tiebreak makes the candle deterministic under duplicate
+    timestamps. At 100 TB: grouped keys are (series × days) — output-
+    bounded — and partial aggregation means each executor ships one
+    candidate candle per group, not its rows; the rollup is also
+    re-aggregable (day → week) without revisiting the facts."""
+    e = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", ord_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ord_key), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open", "high", "low", "close", "sum_value", "n_events",
+        )
+        .orderBy("event_type", "day")
+    )

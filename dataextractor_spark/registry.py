@@ -97,6 +97,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_entropy_kl",            # new: per-source entropy + KL domain shift
     "join_range_bucketed",        # new: keyless range join via bucket replication
     "sim_ivfpq_search",           # new: IVF+PQ capstone (rows-only)
+    # -- new in the round-3 fifth batch (all oracled) --
+    "agg_bitmap_distinct",        # new: exact mergeable bitmap distinct
+    "profile_drift_psi",          # new: PSI distribution-drift monitor
+    "time_downsample_ohlc",       # new: per-series OHLC candle rollup
+    "dedup_fuzzy_names",          # new: length-banded edit-distance dictionary dedup
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -113,11 +118,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_right_outer_order_counts",
     "join_cross_grid_revenue",
     "join_selfpair_parts",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # (four r1-green stale rechecks displaced just below the boundary
+    # by the fifth-batch oracled queries above — new-never-checked
+    # evidence outranks a stale recheck of an unchanged plan)
     "join_interval_overlap_activity",
     "join_literal_map_dim",
     "dedup_exact",
     "dedup_canonical_pick",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",
@@ -132,6 +140,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_pq_compress",            # product-quantization audit
     "sim_pq_adc_search",          # ADC top-k over PQ codes
     "sim_semantic_dedup",         # SemDeDup cluster-then-prune
+    "multimodal_phash_neardup",   # dHash banded image near-dup
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",

@@ -190,3 +190,108 @@ def test_frame_sampling_video_stub(real_media):
     for _, row in pdf.head(20).iterrows():
         start = row.frame_no * 64
         assert bytes(row.frame_bytes) == payloads[row.doc_id][start : start + 64]
+
+
+# --- perceptual-hash near-dup contract --------------------------------
+
+
+def _ref_dhash(doc_id: int) -> int:
+    """Independent reimplementation of the patterned-image dHash from
+    the synthesis rule (md5 row bytes + one grid-aligned flip), NOT
+    via the module's encode/decode helpers."""
+    import hashlib
+
+    from dataextractor_spark.operators.multimodal import (
+        PHASH_GRID_H,
+        PHASH_GRID_W,
+        PHASH_GROUPS,
+    )
+
+    g = doc_id % PHASH_GROUPS
+    px = ((doc_id // 3) % PHASH_GRID_W) * BMP_W // PHASH_GRID_W
+    py = ((doc_id // 27) % PHASH_GRID_H) * BMP_H // PHASH_GRID_H
+    img = []
+    for y in range(BMP_H):
+        vals = list(hashlib.md5(f"{g}:{y}".encode()).digest())
+        if y == py:
+            vals[px] = (vals[px] + 128) % 256
+        img.append(vals)
+    xs = [i * BMP_W // PHASH_GRID_W for i in range(PHASH_GRID_W)]
+    ys = [j * BMP_H // PHASH_GRID_H for j in range(PHASH_GRID_H)]
+    bits = 0
+    for j in ys:
+        lum = [3 * img[j][x] for x in xs]  # equal BGR channels
+        for i in range(PHASH_GRID_W - 1):
+            bits = (bits << 1) | (1 if lum[i + 1] > lum[i] else 0)
+    return bits
+
+
+def test_phash_neardup_matches_reference(spark):
+    """The registered query's distance histogram equals a plain-Python
+    brute force over independently recomputed hashes using the same
+    band-candidate rule."""
+    from dataextractor_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAM_T,
+        multimodal_phash_neardup,
+    )
+
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    hashes = {d: _ref_dhash(d) for d in doc_ids}
+
+    def bands(h: int) -> list[tuple[int, int]]:
+        return [(b, (h >> (16 * b)) & 0xFFFF) for b in range(PHASH_BANDS)]
+
+    from collections import Counter, defaultdict
+
+    expect: dict[int, set[tuple[int, int]]] = defaultdict(set)
+    ids = sorted(doc_ids)
+    for i, a in enumerate(ids):
+        ba = set(bands(hashes[a]))
+        for b_id in ids[i + 1 :]:
+            if ba & set(bands(hashes[b_id])):
+                d = bin(hashes[a] ^ hashes[b_id]).count("1")
+                if d <= PHASH_HAM_T:
+                    expect[d].add((a, b_id))
+    want = sorted(
+        (
+            d,
+            len(pairs),
+            len({p[0] for p in pairs}),
+            min(p[0] for p in pairs),
+            min(p[1] for p in pairs),
+        )
+        for d, pairs in expect.items()
+    )
+    got = [tuple(r) for r in multimodal_phash_neardup(spark, SF_SMALL).collect()]
+    assert got == want
+    # the fixture plants real near-dups AND real non-trivial distances
+    assert Counter(dict((d, n) for d, n, *_ in want))  # non-empty
+    assert any(d > 0 for d, *_ in want)
+
+
+def test_phash_spark_hashes_match_reference(spark):
+    """Every Spark-side dHash equals the independent recomputation
+    (byte-exact through encode→BMP→decode→hash)."""
+    from dataextractor_spark.operators.multimodal import (
+        dhash_images,
+        encode_patterned_images,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got = {
+        r.doc_id: r.phash
+        for r in dhash_images(encode_patterned_images(docs)).collect()
+    }
+    assert got  # fixture has image docs
+    for doc_id, h in got.items():
+        ref = _ref_dhash(doc_id)
+        if ref >= 1 << 63:
+            ref -= 1 << 64
+        assert h == ref, doc_id
