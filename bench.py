@@ -90,6 +90,11 @@ HEADLINE = [
     "sample_weighted_ares",
     "agg_anomaly_mad",
     "text_entropy_kl",
+    "agg_bitmap_distinct",
+    "profile_drift_psi",
+    "time_downsample_ohlc",
+    "dedup_fuzzy_names",
+    "multimodal_phash_neardup",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times
