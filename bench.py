@@ -95,6 +95,9 @@ HEADLINE = [
     "time_downsample_ohlc",
     "dedup_fuzzy_names",
     "multimodal_phash_neardup",
+    "agg_ks_drift",
+    "text_source_vocab_overlap",
+    "sim_recall_eval",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

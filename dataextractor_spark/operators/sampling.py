@@ -573,3 +573,112 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_ks_drift",
+    oracle="""
+    WITH sides AS (
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 121
+                         ELSE CAST(floor(o_totalprice / 5000) AS BIGINT) + 1
+                    END AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(is_ref) AS DOUBLE)     AS ref_n,
+               CAST(sum(1 - is_ref) AS DOUBLE) AS cur_n
+        FROM sides GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket,
+               sum(ref_n) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS ref_cum,
+               sum(cur_n) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cur_cum
+        FROM counts
+    ),
+    tot AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot FROM counts)
+    SELECT round(abs(ref_cum / ref_tot - cur_cum / cur_tot), 6) AS ks_stat,
+           bucket                                               AS at_bucket,
+           CAST(ref_tot AS BIGINT)                              AS n_ref,
+           CAST(cur_tot AS BIGINT)                              AS n_cur,
+           abs(ref_cum / ref_tot - cur_cum / cur_tot)
+               > 1.358 * sqrt((ref_tot + cur_tot) / (ref_tot * cur_tot))
+                                                                AS reject_95
+    FROM cum, tot
+    ORDER BY abs(ref_cum / ref_tot - cur_cum / cur_tot) DESC, bucket
+    LIMIT 1
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the same
+    reference/current order periods ``profile_drift_psi`` monitors —
+    the nonparametric companion (PSI needs binned shares and a
+    smoothing constant; KS reads the full ECDF shape). Computed on the
+    binned ECDF (grid KS, 120 fine buckets): exact KS needs a global
+    sort of every value, which is the one thing a 100 TB plan must
+    not do — binning reduces the fact table to ≤122 (bucket, ref_n,
+    cur_n) rows in one map-side-combinable scan, and the cumulative
+    window then runs on that BOUNDED table (same benign-by-
+    construction argument as text_zipf_slope's vocabulary window; the
+    grid granularity, not the data volume, caps the window input).
+    Output: the supremum ECDF gap, where it occurs, and the 95%
+    two-sample rejection verdict ``D > 1.358·sqrt((n+m)/(n·m))``.
+    Ties on the plateau are broken by lowest bucket; both engines
+    compute bit-identical IEEE ratios from integer counts, so the
+    argmax is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 120)").cast(
+        "long"
+    )
+    sides = o.select(
+        bucket.alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    counts = sides.groupBy("bucket").agg(
+        F.sum("is_ref").cast("double").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "bucket",
+        F.sum("ref_n").over(w).alias("ref_cum"),
+        F.sum("cur_n").over(w).alias("cur_cum"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
+    )
+    gap = F.abs(
+        F.col("ref_cum") / F.col("ref_tot")
+        - F.col("cur_cum") / F.col("cur_tot")
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("ref_tot") + F.col("cur_tot"))
+        / (F.col("ref_tot") * F.col("cur_tot"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(gap, 6).alias("ks_stat"),
+            F.col("bucket").alias("at_bucket"),
+            F.col("ref_tot").cast("long").alias("n_ref"),
+            F.col("cur_tot").cast("long").alias("n_cur"),
+            (gap > crit).alias("reject_95"),
+            gap.alias("_gap"),
+        )
+        .orderBy(F.col("_gap").desc(), "at_bucket")
+        .drop("_gap")
+        .limit(1)
+    )

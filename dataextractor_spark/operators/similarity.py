@@ -784,3 +784,123 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+@query("sim_recall_eval")  # evaluates an approximate index → rows-only
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 / scan-cost evaluation of the sign-LSH index at two
+    probe levels — the acceptance gate an ANN deployment runs before
+    trusting an index, expressed as a first-class query (evaluation is
+    engine surface, not a notebook afterthought). Probe level 0 scans
+    only the query's own bucket; level 1 adds multi-probe (Lv et al.
+    2007): the k buckets at Hamming distance 1 in sign space — the
+    standard recall knob that costs k more bucket scans, NOT more
+    index. Output per (query, level): candidates scanned, exact-top-5
+    hits, recall — the cost/recall curve an index sweep tunes (plane
+    count itself is corpus-derived via lsh_plane_count). Exact
+    baseline: one corpus scan + per-query heap (sim_knn_batch's
+    shape). Everything is deterministic (seeded planes, vec_id
+    tiebreaks); tests/test_scale_paths.py pins recall ≡ |ANN∩exact|/5
+    recomputed from the composed pieces, and monotonicity: level-1
+    candidates/recall ≥ level-0's."""
+    from pyspark.sql import Window
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    n_planes = lsh_plane_count(corpus.count())
+    e = corpus.withColumn(
+        "bucket", lsh_bucket("embedding", n_planes=n_planes)
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(q.drop("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+    )
+    # probe fan-out: own bucket (level 0) + Hamming-1 buckets (level 1)
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.struct(F.col("qbucket").alias("pb"), F.lit(0).alias("lvl")),
+                *[
+                    F.struct(
+                        F.col("qbucket")
+                        .bitwiseXOR(F.lit(1 << i))
+                        .alias("pb"),
+                        F.lit(1).alias("lvl"),
+                    )
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("p"),
+    ).select("query_id", "qv", F.col("p.pb").alias("pb"), F.col("p.lvl").alias("lvl"))
+    cands = (
+        e.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "lvl",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cos_sim"),
+        )
+    )
+
+    def level_eval(max_lvl: int) -> DataFrame:
+        lc = cands.filter(F.col("lvl") <= max_lvl)
+        top = (
+            lc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", F.col("vec_id").alias("ann_vec_id"))
+        )
+        n_c = lc.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        hits = (
+            exact.join(
+                top,
+                (exact.query_id == top.query_id)
+                & (exact.vec_id == top.ann_vec_id),
+                "left",
+            )
+            .groupBy(exact.query_id)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("ann_vec_id").cast("long").alias("n_hits"),
+            )
+        )
+        return hits.join(n_c, "query_id", "left").select(
+            "query_id",
+            F.lit(max_lvl).cast("long").alias("probe_level"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+
+    return (
+        level_eval(0)
+        .unionByName(level_eval(1))
+        .orderBy("query_id", "probe_level")
+    )

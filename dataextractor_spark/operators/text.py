@@ -1331,3 +1331,96 @@ def text_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_source_vocab_overlap",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM t
+    ),
+    v AS (SELECT DISTINCT source, bg FROM b),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source),
+    p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM v a JOIN v b ON a.bg = b.bg AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, x.n AS v_a, y.n AS v_b, n_shared,
+           round(n_shared * 1.0 / (x.n + y.n - n_shared), 6)   AS jaccard,
+           round(n_shared * 1.0 / least(x.n, y.n), 6)          AS containment
+    FROM p
+    JOIN sz x ON p.source_a = x.source
+    JOIN sz y ON p.source_b = y.source
+    ORDER BY jaccard DESC, source_a, source_b
+    LIMIT 20
+    """,
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus similarity: pairwise Jaccard/containment of
+    per-source bigram VOCABULARIES — the redundancy screen a mixture
+    designer runs before weighting domains (two sources with ~1.0
+    containment contribute one domain's worth of diversity, not two;
+    complements ``text_entropy_kl``, which compares sources to the
+    corpus, by comparing sources to EACH OTHER). Scale shape: documents
+    reduce to distinct (source, bigram) rows first — vocabulary-sized,
+    like every text-stats operator here — and the pair join is an
+    inverted-index equi join ON THE BIGRAM (candidates only where a
+    bigram is shared; never a source×source cross join), followed by
+    bounded source-level arithmetic. Unigrams are deliberately not
+    used: this fixture's word vocabulary saturates every source
+    (Jaccard ≡ 1.0, no signal); bigram space is sparse enough to
+    discriminate — the same reason shingle dedup shingles above the
+    unigram level."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    v = (
+        d.select("source", F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "bg")
+    b = v.select(F.col("source").alias("source_b"), "bg")
+    pairs = (
+        a.join(b, "bg")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sz_a = sz.select(
+        F.col("source").alias("source_a"), F.col("n").alias("v_a")
+    )
+    sz_b = sz.select(
+        F.col("source").alias("source_b"), F.col("n").alias("v_b")
+    )
+    return (
+        pairs.join(F.broadcast(sz_a), "source_a")
+        .join(F.broadcast(sz_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least("v_a", "v_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("jaccard").desc(), "source_a", "source_b")
+        .limit(20)
+    )

@@ -102,6 +102,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "profile_drift_psi",          # new: PSI distribution-drift monitor
     "time_downsample_ohlc",       # new: per-series OHLC candle rollup
     "dedup_fuzzy_names",          # new: length-banded edit-distance dictionary dedup
+    "agg_ks_drift",               # new: binned two-sample KS drift statistic
+    "text_source_vocab_overlap",  # new: pairwise source vocabulary Jaccard
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -141,6 +143,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_pq_adc_search",          # ADC top-k over PQ codes
     "sim_semantic_dedup",         # SemDeDup cluster-then-prune
     "multimodal_phash_neardup",   # dHash banded image near-dup
+    "sim_recall_eval",            # recall@5 gate for the LSH index
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",

@@ -594,3 +594,61 @@ def test_ivfpq_adc_matches_reconstruction(spark):
         assert cells[r.vec_id] == cells[r.query_id] == r.cell
         expect = float(((resid[r.query_id] - recon(r.vec_id)) ** 2).sum())
         assert abs(r.adc_dist - expect) < 1e-4, (r, expect)
+
+
+def test_recall_eval_identity_and_monotonicity(spark):
+    """sim_recall_eval contract: every reported (n_candidates, n_hits,
+    recall) equals a plain-Python recomputation from the corpus
+    (buckets + Hamming-1 probes + cosine ranking), and multi-probe
+    dominates single-probe on candidates and hits."""
+    import math
+    from collections import defaultdict
+
+    from dataextractor_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_plane_count,
+    )
+
+    specs = load_all()
+    out = {
+        (r.query_id, r.probe_level): r
+        for r in specs["sim_recall_eval"].fn(spark, SF_SMALL).collect()
+    }
+    exact = defaultdict(set)
+    for r in specs["sim_knn_batch"].fn(spark, SF_SMALL).collect():
+        exact[r.query_id].add(r.vec_id)
+    corpus = load_table(spark, SF_SMALL, "embeddings")
+    n_planes = lsh_plane_count(corpus.count())
+    e = corpus.withColumn(
+        "bucket", lsh_bucket("embedding", n_planes=n_planes)
+    )
+    rows = e.select("vec_id", "bucket", "embedding").collect()
+    buckets = {r.vec_id: r.bucket for r in rows}
+    embs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(y * y for y in b))
+        return round(num / (da * db), 5)
+
+    for qid in exact:
+        for lvl in (0, 1):
+            probe = {buckets[qid]}
+            if lvl:
+                probe |= {buckets[qid] ^ (1 << i) for i in range(n_planes)}
+            cands = [
+                v for v, b in buckets.items() if b in probe and v != qid
+            ]
+            r = out[(qid, lvl)]
+            assert r.n_candidates == len(cands)
+            top = sorted(
+                cands, key=lambda v: (-cos(embs[qid], embs[v]), v)
+            )[:5]
+            hits = len(set(top) & exact[qid])
+            assert r.n_hits == hits, (qid, lvl)
+            assert abs(r.recall_at_5 - hits / 5) < 1e-9
+        assert out[(qid, 1)].n_candidates >= out[(qid, 0)].n_candidates
+        assert out[(qid, 1)].n_hits >= out[(qid, 0)].n_hits
