@@ -98,6 +98,8 @@ HEADLINE = [
     "agg_ks_drift",
     "text_source_vocab_overlap",
     "sim_recall_eval",
+    "join_asof_next_purchase",
+    "agg_weighted_median",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

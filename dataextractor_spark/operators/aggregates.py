@@ -944,3 +944,87 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_suppkey, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                     ORDER BY l_extendedprice
+                                     ROWS UNBOUNDED PRECEDING) AS cumw,
+               sum(l_quantity) OVER (PARTITION BY l_suppkey)   AS totw
+        FROM lineitem
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT)                       AS n_items,
+           round(min(totw), 2)                            AS total_qty,
+           round(min(CASE WHEN cumw >= totw * 0.5
+                          THEN l_extendedprice END), 2)   AS w_median,
+           round(min(CASE WHEN cumw >= totw * 0.9
+                          THEN l_extendedprice END), 2)   AS w_p90
+    FROM ranked
+    GROUP BY l_suppkey
+    ORDER BY w_median DESC, l_suppkey
+    LIMIT 15
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (median + p90) of item price weighted
+    by quantity, per supplier — the quantity-weighted order statistic
+    percentile()/median() can't express (they weight rows equally; a
+    10-unit line must count 10×). One per-supplier sort + cumulative
+    weight, then the quantile is the smallest value whose cumulative
+    weight reaches q·total — deterministic under price ties because
+    every row of a tied block shares the reported value. Scale: the
+    window partitions on the supplier key, and lineitems-per-supplier
+    is a property of the schema (orders spread across suppliers), not
+    of corpus size — partitions stay bounded as the fact table grows,
+    unlike a global-ntile plan. Both engines run the identical
+    integer-free arithmetic (DOUBLE quantities summed in the same
+    price order), so the hash match pins the full cumw tie logic."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    ranked = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cumw"),
+        F.sum("l_quantity").over(w_all).alias("totw"),
+    )
+    return (
+        ranked.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.min("totw"), 2).alias("total_qty"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cumw") >= F.col("totw") * 0.5,
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                2,
+            ).alias("w_median"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cumw") >= F.col("totw") * 0.9,
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                2,
+            ).alias("w_p90"),
+        )
+        .orderBy(F.col("w_median").desc(), "l_suppkey")
+        .limit(15)
+    )

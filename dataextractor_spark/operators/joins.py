@@ -701,3 +701,103 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@query(
+    "join_asof_next_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    nxt AS (
+        SELECT v.event_id, v.ts, min(p.pts) AS next_pts
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id AND p.pts >= v.ts
+        GROUP BY v.event_id, v.ts
+    ),
+    flagged AS (
+        SELECT ts,
+               CASE WHEN next_pts IS NOT NULL
+                         AND next_pts <= ts + INTERVAL 72 HOUR
+                    THEN epoch(next_pts - ts) / 3600.0 END AS hours
+        FROM nxt
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)                    AS n_views,
+           CAST(count(hours) AS BIGINT)                AS n_converted,
+           round(count(hours) * 1.0 / count(*), 6)     AS conv_rate,
+           round(avg(hours), 6)                        AS avg_hours
+    FROM flagged
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance — view→purchase attribution:
+    each view event attaches the EARLIEST purchase by the same user at
+    or after it, counted as converted only within 72 hours. This
+    completes the as-of family (join_asof_latest_order looks backward)
+    and is the per-event attribution the funnel query's stage-min
+    formulation can't express.
+
+    Plan: because both sides live in one event table, the merge-form
+    union degenerates to a SINGLE window — sort each user's events
+    once, and carry the next purchase timestamp back with
+    ``min(pts) OVER (... ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    FOLLOWING)`` where pts is non-NULL only on purchase rows. One
+    shuffle on user_id, one per-user sort, O(n) frame evaluation —
+    nearest-following-neighbor semantics with NO self-join (the
+    oracle's join+min spelling is the quadratic-per-user plan this
+    avoids; hash equality proves them equivalent). Per-user partitions
+    stay bounded (events/user tracks user activity, not corpus size).
+    At equal timestamps the purchase row sorts AFTER the view (side
+    tiebreak) yet stays inside the view's frame — simultaneous
+    purchases count, matching the oracle's ``pts >= ts``."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    side = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", side.asc(), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(pts).over(w).alias("next_pts"),
+    ).filter(F.col("event_type") == "view")
+    hours = F.when(
+        F.col("next_pts").isNotNull()
+        & (
+            F.col("next_pts")
+            <= F.col("ts") + F.expr("INTERVAL 72 HOURS")
+        ),
+        (F.unix_micros("next_pts") - F.unix_micros("ts")) / 3600000000.0,
+    )
+    return (
+        carried.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            hours.alias("hours"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.count("hours").cast("long").alias("n_converted"),
+            F.round(F.count("hours") / F.count(F.lit(1)), 6).alias(
+                "conv_rate"
+            ),
+            F.round(F.avg("hours"), 6).alias("avg_hours"),
+        )
+        .orderBy("day")
+    )

@@ -104,6 +104,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_fuzzy_names",          # new: length-banded edit-distance dictionary dedup
     "agg_ks_drift",               # new: binned two-sample KS drift statistic
     "text_source_vocab_overlap",  # new: pairwise source vocabulary Jaccard
+    "join_asof_next_purchase",    # new: forward as-of attribution, one window
+    "agg_weighted_median",        # new: exact weighted quantiles per supplier
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
