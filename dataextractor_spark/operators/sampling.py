@@ -38,21 +38,46 @@ def stratified_sample(
     return df.filter(hash_bucket(key) < pct)
 
 
-@query("sample_stratified")  # hash membership isn't SQL-portable → rows-only
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '80'
+               WHEN lang = 'de' THEN '33'
+               ELSE '1a' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified document sample: 50% of 'en', 20% of
-    'de', 10% of everything else — per-language yield counts.
-    tests/test_sampling.py checks reproducibility and that realized
-    rates track the targets."""
+    """Deterministic stratified document sample — ~50% of 'en', ~20%
+    of 'de', ~10% of everything else — as per-language yield counts.
+    Membership is a pure function of the row key through the ENGINE-
+    PORTABLE md5 idiom the whole sampling family standardized on
+    (sample_uniform_k, sample_shard_shuffle): keep a row iff its first
+    two md5 hex chars sort below the stratum's cutoff — fixed-width
+    lowercase hex compares lexicographically ≡ numerically, so the
+    cutoffs '80'/'33'/'1a' realize 128/256, 51/256 and 26/256 exactly,
+    on any engine, any partitioning, forever. That portability is what
+    upgrades this from a rows-only check to a full DuckDB value-hash
+    oracle (the earlier xxhash64 bucket was Spark-only; the helper
+    stratified_sample/hash_bucket API remains for callers that prefer
+    integer buckets). One narrow filter + one tiny aggregate — no
+    shuffle before the rollup at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    named = stratified_sample(d, "doc_id", "lang", {"en": 0.5, "de": 0.2})
-    rest = d.filter(~F.col("lang").isin("en", "de")).filter(
-        hash_bucket("doc_id") < 10
+    cut = (
+        F.when(F.col("lang") == "en", F.lit("80"))
+        .when(F.col("lang") == "de", F.lit("33"))
+        .otherwise(F.lit("1a"))
+    )
+    kept = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < cut
     )
     return (
-        named.unionByName(rest)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
         .orderBy("lang")
     )
 
