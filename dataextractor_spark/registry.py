@@ -118,14 +118,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_theta_size_bands",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # (the r1-green stale rechecks below were displaced past the
+    # boundary by the round-3 batch five/six/seven oracled queries
+    # above — new-never-checked evidence outranks a stale recheck of
+    # an unchanged plan; the stale families queue here for the next
+    # round's window)
     "join_full_outer_daily_activity",
     "join_right_outer_order_counts",
     "join_cross_grid_revenue",
     "join_selfpair_parts",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # (four r1-green stale rechecks displaced just below the boundary
-    # by the fifth-batch oracled queries above — new-never-checked
-    # evidence outranks a stale recheck of an unchanged plan)
     "join_interval_overlap_activity",
     "join_literal_map_dim",
     "dedup_exact",

@@ -284,18 +284,59 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert "ship_year" in seg, seg
 
 
+#: queries whose plans legitimately contain an UNPARTITIONED window:
+#: every entry's window input is bounded by construction (a vocabulary,
+#: a calendar, a fixed bucket grid, a k-row top-k...) — NOT by the fact
+#: tables, so the single-partition sort cannot grow with the corpus.
+#: Any query outside this list sorting a whole table into one window
+#: partition is the round-2 window_deciles scale bug reappearing.
+UNPARTITIONED_WINDOW_OK = {
+    "text_zipf_slope",          # rank-frequency regression: vocabulary-sized
+    "time_gapfill_locf",        # calendar spine: days in range
+    "time_trailing_week_revenue",  # RANGE frame over the daily rollup:
+                                   # calendar-sized input
+    "sql_recursive_months",     # month spine: calendar-sized
+    "agg_ks_drift",             # binned ECDF: <=122 grid rows
+    "window_deciles",           # two-pass ranked ntile: the WINDOW input is
+                                # the 32-row per-range-partition offset table
+    "etl_zorder_layout",        # z-bucket audit: fixed bucket grid
+    "text_pmi_bigrams",         # top-20 selection over min-count bigrams
+}
+
+
 def test_registry_has_no_cartesian_products(spark):
-    """Whole-registry plan audit: a CartesianProduct node (non-broadcast
-    cross join — |left|×|right| work AND memory) must never appear in
-    any registered query. Intentional cross joins in the registry are
-    all broadcast-sized (dim grids, 1-row aggregates) and compile to
-    BroadcastNestedLoopJoin; anything compiling to CartesianProduct is
-    a scale regression by definition."""
-    offenders = []
+    """Whole-registry plan audit, one pass, two gates:
+
+    1. a CartesianProduct node (non-broadcast cross join —
+       |left|×|right| work AND memory) must never appear in any
+       registered query — intentional cross joins are all
+       broadcast-sized and compile to BroadcastNestedLoopJoin;
+    2. a window with an empty partition spec may only appear in the
+       UNPARTITIONED_WINDOW_OK whitelist, where the window input is
+       bounded by construction. The physical marker is Spark's own
+       runtime warning condition: a Window/WindowGroupLimit node whose
+       partition spec is empty (shown as ordering-only specs in the
+       formatted plan)."""
+    cartesian, rogue_windows = [], []
     for name, spec in load_all().items():
-        if physical_plan(spec.fn(spark, SF_SMALL)).count("CartesianProduct"):
-            offenders.append(name)
-    assert not offenders, offenders
+        plan = physical_plan(spec.fn(spark, SF_SMALL))
+        if plan.count("CartesianProduct"):
+            cartesian.append(name)
+        if name not in UNPARTITIONED_WINDOW_OK:
+            for line in plan.splitlines():
+                stripped = line.strip()
+                if stripped.startswith("Arguments:") and (
+                    "windowspecdefinition(" in stripped
+                ):
+                    # partition columns precede the ordering spec in
+                    # windowspecdefinition(part..., order ASC/DESC, frame)
+                    inner = stripped.split("windowspecdefinition(", 1)[1]
+                    first_arg = inner.split(",", 1)[0]
+                    if " ASC" in first_arg or " DESC" in first_arg:
+                        rogue_windows.append(name)
+                        break
+    assert not cartesian, cartesian
+    assert not rogue_windows, rogue_windows
 
 
 def test_docstring_test_references_exist():
