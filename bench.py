@@ -100,6 +100,7 @@ HEADLINE = [
     "sim_recall_eval",
     "join_asof_next_purchase",
     "agg_weighted_median",
+    "pretrain_corpus_recipe",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -208,3 +208,187 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pretrain_corpus_recipe",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+    ),
+    scored AS (
+        SELECT *,
+               (length(text) - (nw - 1))::DOUBLE / nw AS mwl,
+               len(list_distinct(w))::DOUBLE / nw     AS ttr,
+               len(list_filter(w,
+                   x -> x IN ('the','a','of','and','to'))) AS stops
+        FROM base
+    ),
+    s1 AS (
+        SELECT * FROM scored
+        WHERE nw BETWEEN 30 AND 80 AND mwl BETWEEN 3.0 AND 10.0
+              AND ttr >= 0.35 AND stops >= 1
+    ),
+    s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM s1
+            GROUP BY md5(array_to_string(list_sort(list_distinct(w)), ' '))
+        )
+    ),
+    s3 AS (SELECT * FROM s2 WHERE doc_id % 17 <> 0),
+    eval_h AS (
+        SELECT DISTINCT md5(array_to_string(w[pos:pos+7], ' ')) AS h
+        FROM base, unnest(range(1, len(w) - 6)) AS t(pos)
+        WHERE len(w) >= 8 AND doc_id % 17 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM (SELECT doc_id, md5(array_to_string(w[pos:pos+7], ' ')) AS h
+              FROM s3, unnest(range(1, len(w) - 6)) AS t(pos)
+              WHERE len(w) >= 8) s
+        JOIN eval_h e ON s.h = e.h
+    ),
+    s4 AS (
+        SELECT * FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN 'c0'
+                   WHEN lang = 'de' THEN '80' ELSE '40' END
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS name,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_tokens FROM scored
+        UNION ALL SELECT 1, 'quality_gate', count(*), sum(nw) FROM s1
+        UNION ALL SELECT 2, 'exact_dedup', count(*), sum(nw) FROM s2
+        UNION ALL SELECT 3, 'eval_holdout', count(*), sum(nw) FROM s3
+        UNION ALL SELECT 4, 'decontaminate', count(*), sum(nw) FROM s4
+        UNION ALL SELECT 5, 'mixture_sample', count(*), sum(nw) FROM s5
+    ) ORDER BY stage
+    """,
+)
+def pretrain_corpus_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pretraining-corpus build — the north-star pipeline
+    every Tier-C operator exists to serve, as ONE lazy plan with
+    per-stage yield accounting (docs AND tokens): Gopher-style quality
+    gate → bag-of-words exact dedup (keep lowest doc_id) → eval
+    holdout (md5-free modulo split, matching text_decontaminate's
+    convention) → 8-gram decontamination against the held-out set →
+    per-language mixture quota via the engine-portable md5 sampler.
+
+    Execution shape — the part that matters at 100 TB: the oracle
+    spells the funnel as six stage CTEs re-scanned per stage; the
+    Spark plan instead computes CUMULATIVE SURVIVAL FLAGS in one pass
+    (gate predicate → window-min over the fingerprint for the dedup
+    keeper → broadcast contamination flag → sample predicate) and
+    derives all six (n_docs, n_tokens) pairs from a single aggregate,
+    unstacked to rows with ``stack`` — one corpus scan + one
+    fingerprint window shuffle + one shingle semi-join, instead of six
+    pipeline replays. The hash match against the stage-by-stage oracle
+    IS the equivalence proof. Yield accounting doubles as the audit
+    trail: every stage's document AND token losses are visible, which
+    is how a recipe change is reviewed before a 100 TB rebuild."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        w.alias("w"),
+        F.size(w).alias("nw"),
+    )
+    scored = base.select(
+        "*",
+        ((F.length("text") - (F.col("nw") - 1)) / F.col("nw")).alias("mwl"),
+        (F.size(F.array_distinct("w")) / F.col("nw")).alias("ttr"),
+        F.size(
+            F.filter(
+                "w",
+                lambda x: x.isin("the", "a", "of", "and", "to"),
+            )
+        ).alias("stops"),
+    )
+    p1 = (
+        F.col("nw").between(30, 80)
+        & (F.col("mwl") >= 3.0)
+        & (F.col("mwl") <= 10.0)
+        & (F.col("ttr") >= 0.35)
+        & (F.col("stops") >= 1)
+    )
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct("w"))))
+    flagged = scored.select("*", p1.alias("p1"), fp.alias("fp"))
+    keeper = F.min(F.when(F.col("p1"), F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    flagged = flagged.select(
+        "*", (F.col("p1") & (F.col("doc_id") == keeper)).alias("p2")
+    ).withColumn("p3", F.col("p2") & (F.col("doc_id") % 17 != 0))
+
+    shingles = F.when(
+        F.col("nw") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.col("nw") - 7),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select("doc_id", F.explode(shingles).alias("h"))
+    eval_h = sh.filter(F.col("doc_id") % 17 == 0).select("h").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") % 17 != 0)
+        .join(eval_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    flagged = flagged.join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "p4", F.col("p3") & ~F.coalesce("is_contam", F.lit(False))
+    )
+    cut = (
+        F.when(F.col("lang") == "en", F.lit("c0"))
+        .when(F.col("lang") == "de", F.lit("80"))
+        .otherwise(F.lit("40"))
+    )
+    flagged = flagged.withColumn(
+        "p5",
+        F.col("p4")
+        & (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < cut),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("nw").alias("t0"),
+        *[
+            x
+            for i in range(1, 6)
+            for x in (
+                F.sum(F.col(f"p{i}").cast("long")).alias(f"n{i}"),
+                F.sum(F.when(F.col(f"p{i}"), F.col("nw"))).alias(f"t{i}"),
+            )
+        ],
+    )
+    names = [
+        "ingest",
+        "quality_gate",
+        "exact_dedup",
+        "eval_holdout",
+        "decontaminate",
+        "mixture_sample",
+    ]
+    stack_args = ", ".join(
+        f"cast({i} as bigint), '{names[i]}', cast(n{i} as bigint), "
+        f"cast(t{i} as bigint)"
+        for i in range(6)
+    )
+    return agg.select(
+        F.expr(
+            f"stack(6, {stack_args}) as (stage, name, n_docs, n_tokens)"
+        )
+    ).orderBy("stage")

@@ -106,6 +106,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_source_vocab_overlap",  # new: pairwise source vocabulary Jaccard
     "join_asof_next_purchase",    # new: forward as-of attribution, one window
     "agg_weighted_median",        # new: exact weighted quantiles per supplier
+    "pretrain_corpus_recipe",     # new: composed corpus-build funnel, one pass
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
