@@ -101,6 +101,7 @@ HEADLINE = [
     "join_asof_next_purchase",
     "agg_weighted_median",
     "pretrain_corpus_recipe",
+    "text_bm25_search",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

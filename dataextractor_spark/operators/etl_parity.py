@@ -578,3 +578,39 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT)   AS total_chars,
+           CAST(min(doc_id) AS BIGINT)    AS min_doc,
+           CAST(max(doc_id) AS BIGINT)    AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — the third columnar lake format
+    (after Parquet everywhere and the JSONL/CSV text roundtrips),
+    using Spark's built-in vectorized ORC reader/writer. The oracle
+    aggregates the ORIGINAL parquet table, so any type or value loss
+    through the ORC encode/decode (string/long columns, dictionary
+    encoding, stripe boundaries) breaks the hash. Like Parquet, ORC is
+    splittable with stripe-level predicate pushdown and column
+    projection, so the scan side scales identically; snappy
+    compression is the default on both."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_orc_roundtrip")
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.schema(d.schema).orc(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -1424,3 +1424,121 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "source_a", "source_b")
         .limit(20)
     )
+
+
+#: BM25 constants (Robertson; Lucene idf form) and the demo query terms.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("spark", "window", "join")
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(dl) AS avgdl
+        FROM (SELECT doc_id, min(dl) AS dl FROM toks GROUP BY doc_id)
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM toks WHERE t IN ('spark', 'window', 'join')
+        GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE t IN ('spark', 'window', 'join') GROUP BY t
+    ),
+    contrib AS (
+        SELECT tf.doc_id, tf.t,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / avgdl)) AS c
+        FROM tf JOIN df ON tf.t = df.t, stats
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN t = 'spark'  THEN c END), 0.0) AS c1,
+               coalesce(max(CASE WHEN t = 'window' THEN c END), 0.0) AS c2,
+               coalesce(max(CASE WHEN t = 'join'   THEN c END), 0.0) AS c3
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, round(c1 + c2 + c3, 6) AS bm25
+    FROM pivoted
+    ORDER BY round(c1 + c2 + c3, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval with BM25 ranking (Robertson k1=1.2 b=0.75,
+    Lucene's idf form) for a 3-term query — the lexical-search half of
+    a retrieval stack (the embedding half lives in similarity.py; real
+    RAG serving runs both and fuses). Plan shape is the inverted-index
+    one: tokenize once, keep ONLY postings of the query terms (the
+    filter lands before any shuffle, so the heavy corpus reduces to
+    |postings(q)| rows immediately), aggregate tf per (doc, term),
+    broadcast the term df table and the 2-value corpus stats, and
+    TakeOrderedAndProject the top-10. Per-term contributions are
+    pivoted into FIXED-ORDER columns before summing so both engines
+    add the same doubles in the same order (3-way float addition is
+    not associative; a groupBy-sum would be accumulation-order-
+    dependent) — that, plus integer-valued dl sums being exact in
+    doubles, is what lets an ln()-heavy ranking function hash-match
+    across engines. At 100 TB the pre-built inverted index replaces
+    the tokenize step; everything downstream is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select(
+        "doc_id", F.size(w).alias("dl"), F.explode(w).alias("t")
+    )
+    stats = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.size(w)).alias("avgdl"),
+        )
+    )
+    q = list(BM25_TERMS)
+    postings = toks.filter(F.col("t").isin(*q))
+    tf = postings.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.min("dl").alias("dl"),
+    )
+    df_t = F.broadcast(
+        postings.groupBy("t").agg(
+            F.countDistinct("doc_id").cast("double").alias("df")
+        )
+    )
+    k1, b = BM25_K1, BM25_B
+    c = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    contrib = tf.join(df_t, "t").crossJoin(stats).select(
+        "doc_id", "t", c.alias("c")
+    )
+    pivoted = contrib.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("t") == term, F.col("c"))), F.lit(0.0)
+            ).alias(f"c{i + 1}")
+            for i, term in enumerate(q)
+        ]
+    )
+    score = F.col("c1") + F.col("c2") + F.col("c3")
+    return (
+        pivoted.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -107,6 +107,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_asof_next_purchase",    # new: forward as-of attribution, one window
     "agg_weighted_median",        # new: exact weighted quantiles per supplier
     "pretrain_corpus_recipe",     # new: composed corpus-build funnel, one pass
+    "text_bm25_search",           # new: BM25 keyword retrieval, inverted-index shape
+    "source_orc_roundtrip",       # new: ORC sink/scan loss-free roundtrip
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
