@@ -227,3 +227,54 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                          AS n,
+           CAST(bit_and(o_orderkey | 4095) AS BIGINT)        AS keys_and,
+           CAST(bit_or(o_orderkey & 255) AS BIGINT)          AS keys_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT)               AS keys_xor,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT)        AS total_bits,
+           CAST(sum(o_orderkey & 1023) AS BIGINT)            AS sum_masked,
+           CAST(sum((o_custkey << 2) >> 1) AS BIGINT)        AS sum_shifted
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface: masks, shifts, popcount and
+    the bit_and/bit_or/bit_xor aggregates — the tier under the bitmap
+    distinct-count operator (agg_bitmap_distinct) and the simhash/
+    phash banding, registered on its own so the primitive layer has
+    direct oracle evidence. All codegen integer expressions; the
+    aggregates combine map-side like any sum. (DuckDB's ``^`` is
+    power, not xor — the oracle uses the aggregate spellings and
+    infix &, |, <<, >> which the engines share.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.bit_and(F.expr("o_orderkey | 4095")).cast("long").alias(
+                "keys_and"
+            ),
+            F.bit_or(F.expr("o_orderkey & 255")).cast("long").alias(
+                "keys_or"
+            ),
+            F.bit_xor("o_orderkey").cast("long").alias("keys_xor"),
+            F.sum(F.bit_count("o_orderkey")).cast("long").alias(
+                "total_bits"
+            ),
+            F.sum(F.expr("o_orderkey & 1023")).cast("long").alias(
+                "sum_masked"
+            ),
+            F.sum(F.expr("(o_custkey << 2) >> 1")).cast("long").alias(
+                "sum_shifted"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -288,3 +288,50 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "window_value_range_frame",
+    oracle="""
+    WITH sim AS (
+        SELECT o_custkey,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING
+               ) - 1 AS BIGINT) AS n_similar
+        FROM orders
+    )
+    SELECT n_similar, CAST(count(*) AS BIGINT) AS n_orders
+    FROM sim
+    GROUP BY n_similar
+    ORDER BY n_similar
+    """,
+)
+def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (RANGE BETWEEN 500 PRECEDING AND 500
+    FOLLOWING over a numeric ordering) — the frame type the window
+    family lacked: row frames count neighbors by position, interval
+    frames by time; this one gathers rows within a numeric DISTANCE of
+    the current row's value. Per order: how many of the same
+    customer's OTHER orders are priced within ±500 — self-similarity
+    of a customer's basket — then the per-order counts roll up to a
+    bounded distribution (n_similar → order count). The window
+    partitions on the customer key, and orders-per-customer is
+    schema-bounded, so the per-partition sort stays flat as the fact
+    table grows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-500, 500)
+    )
+    sim = o.select(
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_similar")
+    )
+    return (
+        sim.groupBy("n_similar")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("n_similar")
+    )

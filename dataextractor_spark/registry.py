@@ -109,6 +109,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "pretrain_corpus_recipe",     # new: composed corpus-build funnel, one pass
     "text_bm25_search",           # new: BM25 keyword retrieval, inverted-index shape
     "source_orc_roundtrip",       # new: ORC sink/scan loss-free roundtrip
+    "scalar_bitwise_funcs",       # new: bit masks/shifts/popcount + bit aggregates
+    "window_value_range_frame",   # new: numeric-distance RANGE frame
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
