@@ -578,9 +578,15 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_ref"),
     )
-    counts = sides.groupBy("bucket").agg(
-        F.sum("is_ref").cast("double").alias("ref_n"),
-        F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+    # bucket-bounded and consumed by both the PSI terms and the totals
+    # row — checkpoint so the fact scan happens once.
+    counts = (
+        sides.groupBy("bucket")
+        .agg(
+            F.sum("is_ref").cast("double").alias("ref_n"),
+            F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
@@ -670,9 +676,16 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_ref"),
     )
-    counts = sides.groupBy("bucket").agg(
-        F.sum("is_ref").cast("double").alias("ref_n"),
-        F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+    # grid-bounded (≤122 rows) and consumed by BOTH the cumulative
+    # window and the totals row — the lazy checkpoint makes the fact
+    # table scan happen once, not once per consumer.
+    counts = (
+        sides.groupBy("bucket")
+        .agg(
+            F.sum("is_ref").cast("double").alias("ref_n"),
+            F.sum(1 - F.col("is_ref")).cast("double").alias("cur_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

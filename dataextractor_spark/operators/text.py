@@ -1384,9 +1384,12 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
         lambda x, y: F.concat_ws(" ", x, y),
     )
+    # vocabulary-sized and consumed THREE times (sizes + both join
+    # sides) — checkpoint so the corpus bigram pass runs once.
     v = (
         d.select("source", F.explode(bigrams).alias("bg"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = v.select(F.col("source").alias("source_a"), "bg")
@@ -1502,7 +1505,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = list(BM25_TERMS)
-    postings = toks.filter(F.col("t").isin(*q))
+    # |postings(q)| rows only — consumed by both tf and df; checkpoint
+    # so the corpus tokenize+filter runs once, not per consumer.
+    postings = toks.filter(F.col("t").isin(*q)).localCheckpoint(
+        eager=False
+    )
     tf = postings.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("double").alias("tf"),
         F.min("dl").alias("dl"),
