@@ -102,6 +102,7 @@ HEADLINE = [
     "agg_weighted_median",
     "pretrain_corpus_recipe",
     "text_bm25_search",
+    "multimodal_audio_features",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

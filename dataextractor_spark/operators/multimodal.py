@@ -652,3 +652,80 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH audio AS (
+        SELECT doc_id, 200 + doc_id % 400 AS n FROM documents
+        WHERE doc_id % 3 = 1
+    ),
+    samples AS (
+        SELECT doc_id, ((doc_id * 7 + 3 * i) % 256)::DOUBLE AS v
+        FROM audio, unnest(range(0, n)) AS t(i)
+    )
+    SELECT doc_id % 5 AS doc_mod,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_samples,
+           round(avg(v), 6)                       AS mean_amp,
+           round(sqrt(avg(v * v)), 6)             AS rms,
+           CAST(max(v) AS BIGINT)                 AS peak
+    FROM samples GROUP BY doc_mod ORDER BY doc_mod
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL codec path: synthesize
+    actual 16-bit PCM WAVs (encode_media), parse the RIFF container
+    and PCM frames back (one mapInPandas stage), and reduce each clip
+    to mean amplitude / RMS energy / peak — the loudness screen an
+    audio-curation pipeline runs before anything model-shaped. The
+    Python stage emits only per-clip SUFFICIENT STATISTICS (n, Σv,
+    Σv², max — 5 numbers per clip); the rollup to groups happens
+    JVM-side, so group means/RMS combine exactly like any partial
+    aggregate. Because the fixture samples are integers, every sum is
+    exact in doubles, which is what lets a decoded-bytes pipeline
+    hash-match the closed-form SQL oracle (the oracle recomputes the
+    same statistics from the synthesis rule, never seeing the bytes —
+    byte-exactness of encode→decode is the thing being proven)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n": [],
+                "sum_v": [],
+                "sum_v2": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, data = _decode_wav(bytes(payload))
+                vals = [
+                    int.from_bytes(data[i : i + 2], "little", signed=True)
+                    for i in range(0, len(data), 2)
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["n"].append(len(vals))
+                out["sum_v"].append(sum(vals))
+                out["sum_v2"].append(sum(v * v for v in vals))
+                out["peak"].append(max(vals))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = encode_media(docs).filter(F.col("media.kind") == "audio")
+    stats = media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id BIGINT, n BIGINT, sum_v BIGINT, sum_v2 BIGINT, peak BIGINT"
+    )
+    return (
+        stats.groupBy((F.col("doc_id") % 5).alias("doc_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_samples"),
+            F.round(F.sum("sum_v") / F.sum("n"), 6).alias("mean_amp"),
+            F.round(F.sqrt(F.sum("sum_v2") / F.sum("n")), 6).alias("rms"),
+            F.max("peak").cast("long").alias("peak"),
+        )
+        .orderBy("doc_mod")
+    )

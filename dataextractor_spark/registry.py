@@ -111,6 +111,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "source_orc_roundtrip",       # new: ORC sink/scan loss-free roundtrip
     "scalar_bitwise_funcs",       # new: bit masks/shifts/popcount + bit aggregates
     "window_value_range_frame",   # new: numeric-distance RANGE frame
+    "multimodal_audio_features",  # new: WAV decode → loudness stats, closed-form oracle
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
