@@ -198,3 +198,148 @@ def test_collapse_repeats_fixed_point(spark, toks):
     want = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
     assert got_once == want
     assert got_twice == got_once
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_fuzzy_name_length_blocking_is_exact(spark, names):
+    """dedup_fuzzy_names contract, generalized: the ±2 length-band
+    equi-block finds EXACTLY the pairs the unblocked all-pairs
+    levenshtein ≤ 2 scan finds — the band is a necessary condition, so
+    blocking can never lose a pair, on arbitrary dictionaries."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(n,) for n in names], "p_name string"
+    ).withColumn("len", F.length("p_name"))
+    probes = df.select(
+        F.col("p_name").alias("a"),
+        F.explode(
+            F.sequence(F.col("len") - F.lit(2), F.col("len") + F.lit(2))
+        ).alias("probe_len"),
+    )
+    blocked = (
+        probes.join(
+            df.select(
+                F.col("p_name").alias("b"), F.col("len").alias("probe_len")
+            ),
+            "probe_len",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("a", "b") <= 2)
+        .select("a", "b")
+        .collect()
+    )
+    got = {(r.a, r.b) for r in blocked}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # ts offset seconds
+            st.floats(
+                min_value=-1e4, max_value=1e4, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ohlc_candle_invariants(spark, rows):
+    """OHLC downsample invariants on arbitrary series: low ≤ open,
+    close ≤ high; n_events sums to the input count; open/close equal
+    the values at the earliest/latest (ts, idx) order key."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(seconds=off), float(v))
+        for i, (off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, ts timestamp, value double")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    out = (
+        df.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r.n for r in out) == len(data)
+    for r in out:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+    # spot-check open/close against a python reduction per bucket
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, ts, v in data:
+        buckets[ts.replace(minute=0, second=0, microsecond=0)].append(
+            (ts, i, v)
+        )
+    for r in out:
+        rows_b = sorted(buckets[r.h])
+        assert r.open == rows_b[0][2]
+        assert r.close == rows_b[-1][2]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_phash_banding_pigeonhole(spark, hashes):
+    """Hamming-LSH chunk-band contract (shared by dedup_simhash and
+    multimodal_phash_neardup): any pair of 64-bit hashes within
+    Hamming distance 3 shares at least one exact 16-bit chunk — the
+    pigeonhole guarantee the candidate join relies on."""
+    for i, a in enumerate(hashes):
+        for b in hashes[i + 1 :]:
+            d = bin(a ^ b).count("1")
+            if d <= 3:
+                shared = any(
+                    ((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF)
+                    for k in range(4)
+                )
+                assert shared, (a, b, d)
