@@ -384,3 +384,38 @@ def test_range_bucketed_join_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_injected(spark, tmp_path):
+    """Dynamic partition pruning: when a partitioned fact joins a dim
+    whose selective filter is only known at runtime, Spark must inject
+    a DynamicPruning subquery into the fact scan's partition filters —
+    the fact side then lists ONLY the surviving year directories. This
+    is the lake-layout payoff of etl_partitioned_sink at 100 TB: a
+    runtime-derived dimension filter prunes petabytes before any read.
+    (Static listing pruning is covered by
+    test_partitioned_sink_prunes_partitions; this pins the dynamic
+    half.)"""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(fact_path)
+    (
+        li.select("ship_year")
+        .distinct()
+        .withColumn(
+            "flag",
+            F.when(F.col("ship_year") == 1996, "pick").otherwise("skip"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == "pick")
+    j = fact.join(dim, "ship_year").agg(F.sum("l_quantity").alias("q"))
+    plan = physical_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
