@@ -103,6 +103,8 @@ HEADLINE = [
     "pretrain_corpus_recipe",
     "text_bm25_search",
     "multimodal_audio_features",
+    "etl_incremental_agg_merge",
+    "agg_hll_intersection",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1028,3 +1028,70 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("w_median").desc(), "l_suppkey")
         .limit(15)
     )
+
+
+@query("agg_hll_intersection")  # sketch estimates → rows-only; error pinned in tests
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimated customer-audience overlap between
+    adjacent order years via inclusion-exclusion over HLL sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL only unions natively;
+    this is the standard way warehouses answer "how many users did
+    BOTH campaigns touch" from per-campaign sketch state WITHOUT
+    rescanning raw keys: one sketch per year at ingest (bytes per
+    group), any pairwise overlap at query time from unions of
+    pre-aggregated state. The exact overlap (distinct-key semi-join)
+    is emitted alongside so the estimate's error is VISIBLE in the
+    output — and pinned ≤5% relative in tests/test_scale_paths.py
+    (inclusion-exclusion compounds the three estimates' errors; that
+    compounding is why the contract is looser than raw HLL's ≤2%)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    sk = (
+        o.groupBy("yr")
+        .agg(
+            F.hll_sketch_agg("o_custkey", 14).alias("sk"),
+            F.countDistinct("o_custkey").cast("long").alias("exact_n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = sk.select(
+        F.col("yr").alias("yr_a"), F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = sk.select(
+        (F.col("yr") - 1).alias("yr_a"), F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(b, "yr_a").select(
+        "yr_a",
+        (F.col("yr_a") + 1).alias("yr_b"),
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias(
+            "est_union"
+        ),
+    )
+    exact = (
+        o.withColumn("yr2", F.col("yr") - 1)
+        .select(F.col("yr2").alias("yr_a"), "o_custkey")
+        .join(o.select(F.col("yr").alias("yr_a"), "o_custkey"), ["yr_a", "o_custkey"], "left_semi")
+        .groupBy("yr_a")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("exact_intersection"))
+    )
+    return (
+        pairs.join(exact, "yr_a", "left")
+        .select(
+            "yr_a",
+            "yr_b",
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("yr_a")
+    )

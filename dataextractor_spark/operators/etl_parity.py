@@ -614,3 +614,61 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "etl_incremental_agg_merge",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT)                AS n_orders,
+           round(sum(o_totalprice), 2)             AS revenue,
+           round(sum(o_totalprice) / count(*), 6)  AS avg_price
+    FROM orders
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-AGGREGATE maintenance — the pattern
+    that lets a 100 TB pipeline keep a dashboard aggregate fresh
+    without ever rescanning history: the standing STATE (per-day sum +
+    count over everything before the 2000-01-01 cutoff) is merged with
+    a NEW BATCH's partial aggregate (same shape, after the cutoff) by
+    re-aggregation — union the two state tables and sum the sums.
+    This works because sum/count are COMMUTATIVE MONOIDS; the state
+    deliberately stores (sum, count), never avg, and the final
+    avg_price is derived at read time — storing averages would make
+    the merge wrong, which is the classic incremental-view bug. The
+    oracle computes the same monthly rollup directly over ALL orders,
+    so the hash match proves merge(state, batch) ≡ full recompute.
+    Each side is one partial-aggregated scan of its slice; at scale
+    the state side is a tiny table read, not a scan at all."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def daily_state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+
+    state = daily_state(o.filter(F.col("o_orderdate") < cut))
+    batch = daily_state(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    return (
+        merged.groupBy(
+            F.date_format("day", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.round(F.sum("total"), 2).alias("revenue"),
+            F.round(F.sum("total") / F.sum("n"), 6).alias("avg_price"),
+        )
+        .orderBy("month")
+    )

