@@ -105,6 +105,8 @@ HEADLINE = [
     "multimodal_audio_features",
     "etl_incremental_agg_merge",
     "agg_hll_intersection",
+    "agg_higher_moments",
+    "scalar_conditional_funcs",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1095,3 +1095,75 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr_a")
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (
+        SELECT p_type,
+               CAST(count(*) AS DOUBLE)                       AS n,
+               CAST(sum(p_size) AS DOUBLE)                    AS s1,
+               CAST(sum(p_size * p_size) AS DOUBLE)           AS s2,
+               CAST(sum(p_size * p_size * p_size) AS DOUBLE)  AS s3,
+               CAST(sum(p_size * p_size * p_size * p_size) AS DOUBLE) AS s4
+        FROM part GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(n AS BIGINT) AS n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6)
+               AS kurtosis_excess
+    FROM m ORDER BY p_type
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape (skewness, excess kurtosis) from RAW POWER
+    SUMS — the single-pass mergeable formulation: (n, Σx, Σx², Σx³,
+    Σx⁴) is a monoid, so partial aggregates combine across partitions,
+    batches, or days exactly like etl_incremental_agg_merge's
+    (sum, count) state, and every shape statistic derives at read
+    time. Integer inputs keep all five sums EXACT in doubles, which is
+    why an engine-portable oracle is possible at all (power sums of
+    large floats would be accumulation-order-dependent — the float
+    caveat text_bm25_search documents). Spark's built-in
+    skewness()/kurtosis() compute the same population moments via
+    streaming central-moment updates; tests pin builtin ≡ this formula
+    to 1e-9, making the builtins certified-by-proxy. The catastrophic-
+    cancellation hazard of power sums on large-mean data is real and
+    documented — the builtin's shifted accumulation is the production
+    answer there; this query's p_size domain (1..50) is safely
+    conditioned."""
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("double")
+    m = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "p_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2.0) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("p_type")

@@ -278,3 +278,57 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN nullif(o_custkey % 10, 0) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)        AS n_zero_bucket,
+           round(sum(coalesce(o_totalprice / nullif(o_custkey % 10, 0),
+                              0.0)), 2)                  AS guarded_sum,
+           round(sum(o_totalprice / nullif(o_custkey % 10, 0)), 2)
+                                                         AS try_div_sum,
+           round(sum(greatest(o_totalprice, 100000.0)
+                     - least(o_totalprice, 100000.0)), 2) AS spread_vs_100k
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: nullif as the divide-by-zero
+    guard, try_divide (Spark's ANSI-safe division — NULL on zero,
+    which SQL spells ``x / nullif(d, 0)``), coalesce defaults, and
+    greatest/least clamping — the defensive expressions every
+    null-guarded reference dataset check (A19's ``if x:``) compiles
+    to. guarded_sum (zeros substituted) and try_div_sum (NULLs
+    skipped by sum) land on the same value by different NULL routes —
+    both routes oracled. All codegen; the aggregate just makes the
+    results hashable."""
+    o = load_table(spark, sf_dir, "orders")
+    guard = F.nullif(F.col("o_custkey") % 10, F.lit(0))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(guard.isNull().cast("long")).alias("n_zero_bucket"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice") / guard, F.lit(0.0))),
+                2,
+            ).alias("guarded_sum"),
+            F.round(
+                F.sum(F.expr("try_divide(o_totalprice, o_custkey % 10)")), 2
+            ).alias("try_div_sum"),
+            F.round(
+                F.sum(
+                    F.greatest(F.col("o_totalprice"), F.lit(100000.0))
+                    - F.least(F.col("o_totalprice"), F.lit(100000.0))
+                ),
+                2,
+            ).alias("spread_vs_100k"),
+        )
+        .orderBy("o_orderstatus")
+    )

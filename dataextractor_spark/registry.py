@@ -119,6 +119,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "etl_incremental_agg_merge",  # new: state+batch aggregate merge ≡ recompute
     "source_orc_roundtrip",       # new: ORC sink/scan loss-free roundtrip
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "agg_higher_moments",         # new: shape stats from mergeable power sums
+    "scalar_conditional_funcs",   # new: null-guard scalar surface
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an

@@ -670,3 +670,29 @@ def test_hll_intersection_error_bounded(spark):
             r.exact_intersection, 1
         )
         assert rel <= 0.05, (r.yr_a, rel)
+
+
+def test_builtin_moments_match_power_sum_formula(spark):
+    """Spark's streaming skewness()/kurtosis() equal the power-sum
+    formulation agg_higher_moments oracles, to 1e-9 — certifying the
+    builtins by proxy on well-conditioned integer data."""
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, SF_SMALL, "part")
+    builtin = {
+        r.p_type: (r.sk, r.ku)
+        for r in p.groupBy("p_type")
+        .agg(
+            F.skewness(F.col("p_size").cast("double")).alias("sk"),
+            F.kurtosis(F.col("p_size").cast("double")).alias("ku"),
+        )
+        .collect()
+    }
+    ours = {
+        r.p_type: (r.skewness, r.kurtosis_excess)
+        for r in load_all()["agg_higher_moments"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(builtin) == set(ours)
+    for t in ours:
+        assert abs(builtin[t][0] - ours[t][0]) < 1e-6
+        assert abs(builtin[t][1] - ours[t][1]) < 1e-6
