@@ -107,6 +107,7 @@ HEADLINE = [
     "agg_hll_intersection",
     "agg_higher_moments",
     "scalar_conditional_funcs",
+    "text_hashed_linear_score",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

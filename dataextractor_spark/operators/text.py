@@ -1549,3 +1549,94 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "text_hashed_linear_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, lang, n,
+               ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+                + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+                + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1))
+               % 2001 - 1000 AS wi
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               round(1.0 / (1.0 + exp(-(0.1 + sum(wi)
+                     / (1000.0 * min(n))))), 6) AS score
+        FROM w GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           round(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS keep_rate,
+           round(avg(score), 6) AS avg_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gate INFERENCE over the corpus — the FineWeb-edu /
+    fastText-style pattern where a trained linear model scores every
+    document and a threshold decides keep/drop. The model here is a
+    hashed-bag-of-words linear scorer with deterministic weights (so
+    the oracle can run it too): token → 4 md5 hex chars → integer
+    weight in [-1000, 1000], doc score = sigmoid(bias + mean weight).
+    The shape IS production classifier inference on Spark: weights
+    resolve per token with no lookup table to ship (feature hashing —
+    Weinberger et al. 2009), per-doc sums are INTEGER (exact in
+    doubles, hence engine-portable — same trick as
+    agg_higher_moments), one shuffle on doc_id, and only the
+    per-language keep-rate rollup leaves the executors. Swapping real
+    fastText weights in means broadcasting an array literal the same
+    way the k-means codebook ships; nothing else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select(
+        "doc_id", "lang", F.size(w).alias("n"), F.explode(w).alias("t")
+    )
+    hexv = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("t"), i, 1)) - 1
+    )
+    wi = (
+        hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)
+    ) % 2001 - 1000
+    scored = (
+        toks.withColumn("wi", wi)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(0.1 + F.sum("wi") / (1000.0 * F.min("n")))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_keep"),
+            F.round(
+                F.sum((F.col("score") >= 0.5).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )

@@ -121,6 +121,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # ---- 50-entry prefix boundary (typical per-run budget) ----
     "agg_higher_moments",         # new: shape stats from mergeable power sums
     "scalar_conditional_funcs",   # new: null-guard scalar surface
+    "text_hashed_linear_score",   # new: hashed-feature classifier gate
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
