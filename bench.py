@@ -108,6 +108,10 @@ HEADLINE = [
     "agg_higher_moments",
     "scalar_conditional_funcs",
     "text_hashed_linear_score",
+    "time_sliding_distinct_users",
+    "time_ewma_smooth",
+    "join_scd2_point_in_time",
+    "agg_countmin_heavyhitters",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1167,3 +1167,100 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2.0) - 3, 6).alias("kurtosis_excess"),
     ).orderBy("p_type")
+
+
+#: Count-min sizing: d hash rows × w counters. At ~100 distinct
+#: suppliers over w=256 counters collisions are present but sparse —
+#: large enough to OBSERVE nonzero overestimates, which is what the
+#: audit measures (same philosophy as BLOOM_M_BITS above).
+CM_W = 256
+CM_D = 3
+
+
+@query(
+    "agg_countmin_heavyhitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_suppkey, seed,
+               CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
+                        || CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {CM_W} AS pos
+        FROM lineitem, (SELECT unnest(range({CM_D})) AS seed)
+    ),
+    counters AS (
+        SELECT seed, pos, count(*) AS c FROM keyed GROUP BY seed, pos
+    ),
+    probes AS (
+        SELECT DISTINCT l_suppkey, seed, pos FROM keyed
+    ),
+    est AS (
+        SELECT p.l_suppkey, min(c.c) AS cm_estimate
+        FROM probes p JOIN counters c USING (seed, pos)
+        GROUP BY p.l_suppkey
+    ),
+    exact AS (
+        SELECT l_suppkey, count(*) AS exact_n FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_n AS BIGINT) AS overestimate
+    FROM exact JOIN est USING (l_suppkey)
+    ORDER BY exact_n DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) as a relational
+    plan, audited against exact counts: per-supplier lineitem
+    frequencies estimated from a d×w counter grid ({CM_D}×{CM_W}),
+    top-20 heavy hitters reported with their guaranteed-one-sided
+    overestimate made visible. Completes the mergeable-sketch family:
+    HLL (distinct), bloom (membership), bitmap (exact distinct),
+    count-min (frequency).
+
+    Sketch state is the d×w counter table — CONSTANT-size (768 rows
+    here) regardless of fact volume, built in one hash aggregate over
+    a d-way row expansion whose partial aggregation collapses to d×w
+    per executor before the shuffle. Estimates probe the grid with a
+    broadcast-size join of distinct keys (the same deterministic
+    md5-derived positions on both engines — seed ‖ ':' ‖ key, the
+    bloom audit's idiom — so the hash match pins every counter cell,
+    not just the top line). Because counters are plain sums they merge
+    across shards/days by addition, which is the property that lets a
+    100 TB corpus maintain per-partition sketches and combine them
+    without revisiting rows; the min-over-d estimate never
+    undercounts, and the audit column shows exactly where collisions
+    inflated it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = F.explode(
+        F.array(*[F.lit(s) for s in range(CM_D)])
+    ).alias("seed")
+    pos = F.expr(
+        "cast(conv(substring(md5(concat(cast(seed as string), ':', "
+        f"cast(l_suppkey as string))), 1, 8), 16, 10) as bigint) % {CM_W}"
+    ).alias("pos")
+    keyed = li.select("l_suppkey", seeds).select("l_suppkey", "seed", pos)
+    counters = keyed.groupBy("seed", "pos").agg(F.count(F.lit(1)).alias("c"))
+    probes = keyed.distinct()
+    est = (
+        probes.join(counters, ["seed", "pos"])
+        .groupBy("l_suppkey")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return (
+        exact.join(est, "l_suppkey")
+        .select(
+            "l_suppkey",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_n"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "l_suppkey")
+        .limit(20)
+    )

@@ -801,3 +801,95 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS version_no
+        FROM events
+        WHERE event_type = 'signup'
+    ),
+    matched AS (
+        SELECT p.user_id, p.event_id, p.value, d.version_no,
+               date_diff('microsecond', d.valid_from, p.ts)
+                   / 3600000000.0 AS version_age_h
+        FROM events p
+        JOIN dim d
+          ON p.user_id = d.user_id
+         AND p.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT version_no,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           round(avg(version_age_h), 6) AS avg_version_age_h
+    FROM matched
+    GROUP BY version_no
+    ORDER BY version_no
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against an SCD2 dimension: each
+    purchase is attributed to the profile version (signup row with
+    [valid_from, valid_to) validity, time_scd2_versions' build) that
+    was current AT THE PURCHASE'S EVENT TIME, then rolled up per
+    version ordinal — the other half of the SCD2 story, and the join
+    every feature-store backfill needs to avoid temporal leakage
+    (joining tomorrow's profile onto today's example).
+
+    Physical shape: both sides shuffle ONCE on user_id; the validity
+    predicate is a residual filter on the equi-join, not a theta join
+    — per user the dim side holds only that user's few versions, so
+    the residual scans O(versions) rows per probe. A purchase matches
+    AT MOST ONE version (validity intervals partition the timeline by
+    construction — lead() makes them adjacent and disjoint), which the
+    oracle's exact row counts certify. At 100 TB: pre-bucketing both
+    event extracts on user_id (join_bucketed_colocated's layout)
+    removes even that shuffle; the half-open [from, to) convention
+    keeps same-instant boundary events deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).alias("version_no"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts"), "value"
+    )
+    matched = p.join(dim, "user_id").filter(
+        (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to")))
+    )
+    return (
+        matched.groupBy("version_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.avg(
+                    (F.unix_micros("p_ts") - F.unix_micros("valid_from"))
+                    / F.lit(3600000000.0)
+                ),
+                6,
+            ).alias("avg_version_age_h"),
+        )
+        .orderBy("version_no")
+    )

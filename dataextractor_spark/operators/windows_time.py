@@ -512,3 +512,251 @@ def time_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "time_sliding_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    x AS (
+        SELECT d.day, u.user_id
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM x
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def time_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT purchasers per day — the rolling-MAU
+    shape no window frame can express (COUNT(DISTINCT) OVER RANGE is
+    unsupported in Spark and most engines, because distinctness is not
+    frame-incremental).
+
+    Scale plan, in three bounded steps: (1) one fact shuffle dedups to
+    (day, user) pairs — output calendar×users, not event volume;
+    (2) instead of the oracle's theta range join, each (day, user) pair
+    is EXPLODED into the ≤7 trailing window-days it serves
+    (``sequence(day, day+6d)``) — a narrow 7× expansion of the already
+    bounded pair table that turns the range predicate into a pure hash
+    aggregate on (window_day, user); (3) a broadcast semi-join against
+    the observed-day spine drops phantom window days after the series
+    end. The distinct-users count is then a second bounded hash agg.
+    No theta join, no window sort, everything after step 1 is
+    calendar-sized. At 100 TB the scale lever is step 1's dedup —
+    identical to dedup_exact's digest shuffle. The HLL variant of this
+    query (mergeable per-day sketches OR-ed over the window,
+    agg_hll_sketch_merge's machinery) trades exactness for a
+    days×log-bytes state when users-per-window no longer fits; here
+    the exact form is oracled."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").alias("day"), F.col("user_id")
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    exploded = du.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        exploded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+        .orderBy("day")
+    )
+
+
+#: EWMA decay: weight on the i-th most recent observation is
+#: (1-EWMA_ALPHA)^i. 0.3 is the pandas ewm(alpha=0.3) default shape.
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "time_ewma_smooth",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS i,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(value * power({1 - EWMA_ALPHA}, n - i))
+                 / sum(power({1 - EWMA_ALPHA}, n - i)), 6) AS ewma_value,
+           round(avg(value), 6) AS mean_value
+    FROM r
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    value (pandas ``ewm(alpha=0.3, adjust=True)`` semantics), reported
+    as each series' final smoothed level next to its flat mean.
+
+    The recurrence ewma_i = (1-α)·ewma_{i-1} + α·x_i looks inherently
+    sequential, but the adjusted closed form
+    Σ x_i·(1-α)^(n-i) / Σ (1-α)^(n-i) turns it into ONE hash
+    aggregate over row-numbered events: a single shuffle on user_id
+    runs the row_number/count window (stream-through, no frame
+    buffer), then the weighted sums fold map-side. No per-series
+    iteration, no UDF, no state store. (1-α)^k underflows to +0.0
+    identically in every IEEE engine, so old observations vanish the
+    same way in Spark and the oracle — that float agreement is what
+    the 6-dp hash match certifies. At 100 TB: cost ≡ one
+    user-partitioned window + bounded agg, the same envelope as
+    time_scd2_versions."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    r = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    wgt = F.pow(decay, F.col("n") - F.col("i"))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * wgt) / F.sum(wgt), 6
+            ).alias("ewma_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "time_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+        GROUP BY 1
+    ),
+    days AS (
+        SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                      (SELECT max(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS d
+    ),
+    j AS (
+        SELECT days.d, rev,
+               last_value(rev IGNORE NULLS) OVER
+                   (ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS prev_v,
+               last_value(CASE WHEN rev IS NOT NULL THEN days.d END
+                          IGNORE NULLS) OVER
+                   (ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS prev_d,
+               first_value(rev IGNORE NULLS) OVER
+                   (ORDER BY days.d ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS next_v,
+               first_value(CASE WHEN rev IS NOT NULL THEN days.d END
+                           IGNORE NULLS) OVER
+                   (ORDER BY days.d ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS next_d
+        FROM days LEFT JOIN daily ON days.d = daily.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN rev IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+           round(CASE
+               WHEN rev IS NOT NULL THEN rev
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * date_diff('day', prev_d, d)
+                    / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
+           END, 2) AS revenue_interp
+    FROM j
+    ORDER BY day
+    """,
+)
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap-fill with LINEAR interpolation — the
+    companion to time_gapfill_locf's step-function carry: gap days get
+    the straight line between the surrounding observations (endpoints
+    degrade to nearest-value), and an ``interpolated`` flag keeps
+    imputed points auditable downstream.
+
+    Same scale envelope as the LOCF query: the fact table contributes
+    one distributed hash aggregate; the dense day spine comes from a
+    1-row bounds agg via sequence()/explode; the four carry windows
+    (prev/next value and DAY) run over the calendar-sized series only.
+    Forward carries and backward carries are two window specs over the
+    same sort order — Catalyst runs them in one WindowExec pair
+    without re-shuffling. The day arithmetic interpolates on actual
+    gap width, so unevenly spaced gaps get correct slopes — the detail
+    rowsBetween-only formulations silently get wrong."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 450000)
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    obs_d = F.when(F.col("rev").isNotNull(), F.col("d"))
+    j = (
+        days.join(daily, "d", "left")
+        .select(
+            "d",
+            "rev",
+            F.last("rev", ignorenulls=True).over(wb).alias("prev_v"),
+            F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+            F.first("rev", ignorenulls=True).over(wf).alias("next_v"),
+            F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+        )
+    )
+    interp = (
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * F.datediff("d", "prev_d")
+            / F.datediff("next_d", "prev_d").cast("double")
+        )
+    )
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("rev").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        F.round(interp, 2).alias("revenue_interp"),
+    ).orderBy("day")

@@ -122,6 +122,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_higher_moments",         # new: shape stats from mergeable power sums
     "scalar_conditional_funcs",   # new: null-guard scalar surface
     "text_hashed_linear_score",   # new: hashed-feature classifier gate
+    # -- round-3 sixth batch (all oracled; queue for the next window) --
+    "time_sliding_distinct_users",  # new: rolling 7-day distinct actives
+    "time_ewma_smooth",             # new: closed-form EWMA, one hash agg
+    "time_interpolate_linear",      # new: linear gap interpolation
+    "join_scd2_point_in_time",      # new: temporal join vs SCD2 validity
+    "agg_countmin_heavyhitters",    # new: count-min sketch w/ visible error
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
