@@ -1180,26 +1180,23 @@ CM_D = 3
 @query(
     "agg_countmin_heavyhitters",
     oracle=f"""
-    WITH keyed AS (
-        SELECT l_suppkey, seed,
+    WITH exact AS (
+        SELECT l_suppkey, count(*) AS exact_n FROM lineitem GROUP BY l_suppkey
+    ),
+    keyed AS (
+        SELECT l_suppkey, exact_n, seed,
                CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':'
                         || CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
                    % {CM_W} AS pos
-        FROM lineitem, (SELECT unnest(range({CM_D})) AS seed)
+        FROM exact, (SELECT unnest(range({CM_D})) AS seed)
     ),
     counters AS (
-        SELECT seed, pos, count(*) AS c FROM keyed GROUP BY seed, pos
-    ),
-    probes AS (
-        SELECT DISTINCT l_suppkey, seed, pos FROM keyed
+        SELECT seed, pos, sum(exact_n) AS c FROM keyed GROUP BY seed, pos
     ),
     est AS (
         SELECT p.l_suppkey, min(c.c) AS cm_estimate
-        FROM probes p JOIN counters c USING (seed, pos)
+        FROM keyed p JOIN counters c USING (seed, pos)
         GROUP BY p.l_suppkey
-    ),
-    exact AS (
-        SELECT l_suppkey, count(*) AS exact_n FROM lineitem GROUP BY l_suppkey
     )
     SELECT l_suppkey,
            CAST(exact_n AS BIGINT) AS exact_n,
@@ -1220,19 +1217,29 @@ def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-min (frequency).
 
     Sketch state is the d×w counter table — CONSTANT-size (768 rows
-    here) regardless of fact volume, built in one hash aggregate over
-    a d-way row expansion whose partial aggregation collapses to d×w
-    per executor before the shuffle. Estimates probe the grid with a
-    broadcast-size join of distinct keys (the same deterministic
-    md5-derived positions on both engines — seed ‖ ':' ‖ key, the
-    bloom audit's idiom — so the hash match pins every counter cell,
-    not just the top line). Because counters are plain sums they merge
-    across shards/days by addition, which is the property that lets a
-    100 TB corpus maintain per-partition sketches and combine them
-    without revisiting rows; the min-over-d estimate never
-    undercounts, and the audit column shows exactly where collisions
-    inflated it."""
+    here) regardless of fact volume. Counter sums COMMUTE with
+    pre-aggregation (counter[j,p] = Σ of the counts of the keys
+    hashing to p), so the plan's single fact-sized operation is the
+    per-key hash aggregate it needs for the exact audit anyway;
+    hashing, the d-way expansion, the grid build, and the probe join
+    all run on the key-sized table (one md5 per key×seed, not per
+    row×seed — this halved-and-more the measured cost vs the
+    row-expansion formulation, 3.2 s → key-bounded at sf0.1). The
+    positions are the bloom audit's engine-portable md5 idiom
+    (seed ‖ ':' ‖ key), so the DuckDB hash match pins every counter
+    cell, not just the top line. The same commutativity is the 100 TB
+    merge story: shards/days maintain local d×w grids built from
+    their partial counts and combine by addition without revisiting
+    rows; the min-over-d estimate never undercounts, and the audit
+    column shows exactly where collisions inflated it."""
     li = load_table(spark, sf_dir, "lineitem")
+    # key-bounded, feeds three consumers (grid build, probe, audit
+    # join) — pin it so the fact table is scanned exactly once
+    exact = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
     seeds = F.explode(
         F.array(*[F.lit(s) for s in range(CM_D)])
     ).alias("seed")
@@ -1240,16 +1247,16 @@ def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substring(md5(concat(cast(seed as string), ':', "
         f"cast(l_suppkey as string))), 1, 8), 16, 10) as bigint) % {CM_W}"
     ).alias("pos")
-    keyed = li.select("l_suppkey", seeds).select("l_suppkey", "seed", pos)
-    counters = keyed.groupBy("seed", "pos").agg(F.count(F.lit(1)).alias("c"))
-    probes = keyed.distinct()
+    keyed = exact.select("l_suppkey", "exact_n", seeds).select(
+        "l_suppkey", "exact_n", "seed", pos
+    )
+    counters = keyed.groupBy("seed", "pos").agg(
+        F.sum("exact_n").alias("c")
+    )
     est = (
-        probes.join(counters, ["seed", "pos"])
+        keyed.join(counters, ["seed", "pos"])
         .groupBy("l_suppkey")
         .agg(F.min("c").alias("cm_estimate"))
-    )
-    exact = li.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("exact_n")
     )
     return (
         exact.join(est, "l_suppkey")
