@@ -112,6 +112,9 @@ HEADLINE = [
     "time_ewma_smooth",
     "join_scd2_point_in_time",
     "agg_countmin_heavyhitters",
+    "dedup_shingle_containment",
+    "text_bigram_lm_ppl",
+    "sim_mmr_diversify",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

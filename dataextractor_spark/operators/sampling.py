@@ -720,3 +720,94 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_gap")
         .limit(1)
     )
+
+
+@query(
+    "sample_temporal_split_embargo",
+    oracle="""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    lab AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               lo + CAST(0.8 * (hi - lo) AS BIGINT) AS cut
+        FROM events, b
+    ),
+    tagged AS (
+        SELECT user_id,
+               CASE WHEN us < cut THEN 'train'
+                    WHEN us < cut + 86400000000 THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM lab
+    ),
+    tr AS (SELECT DISTINCT user_id FROM tagged WHERE split = 'train')
+    SELECT t.split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN tr.user_id IS NOT NULL
+                                    THEN t.user_id END) AS BIGINT)
+               AS users_shared_with_train
+    FROM tagged t LEFT JOIN tr ON t.user_id = tr.user_id
+    GROUP BY t.split
+    ORDER BY t.split
+    """,
+)
+def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with a 1-day EMBARGO gap — the
+    temporal complement to sample_split_groupsafe's group split:
+    training examples come strictly before the cutoff, test examples
+    strictly after cutoff + embargo, and the embargo band between them
+    is dropped so trailing-window features computed at training time
+    (EWMAs, 7-day aggregates) cannot straddle the boundary and leak
+    test-period signal (the purged/embargoed split from financial ML,
+    de Prado 2018, equally load-bearing for any time-ordered corpus).
+    The cutoff is the 80% point of the OBSERVED time span — derived
+    from a 1-row bounds aggregate in epoch microseconds, portable to
+    any engine, no approximate quantiles involved.
+
+    The audit column counts each split's users also present in train:
+    a user-level model would still leak across a pure time split
+    (same user both sides), which is exactly what the groupsafe split
+    prevents — reporting both numbers side by side is what makes the
+    trade-off auditable. Plan: one fact scan labels events against
+    the broadcast bounds row; the distinct-train-users table is
+    user-bounded and broadcast into the left join; two bounded hash
+    aggregates. No sort, no window."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        e.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+    )
+    lab = e.select("user_id", F.unix_micros("ts").alias("us")).crossJoin(b)
+    cut = (
+        F.col("lo")
+        + (F.lit(0.8) * (F.col("hi") - F.col("lo"))).cast("long")
+    )
+    tagged = lab.select(
+        "user_id",
+        F.when(F.col("us") < cut, "train")
+        .when(F.col("us") < cut + F.lit(86_400_000_000), "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = F.broadcast(
+        tagged.filter(F.col("split") == "train")
+        .select(F.col("user_id").alias("tr_user"))
+        .distinct()
+    )
+    return (
+        tagged.join(tr, tagged["user_id"] == tr["tr_user"], "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("tr_user").isNotNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("users_shared_with_train"),
+        )
+        .orderBy("split")
+    )

@@ -904,3 +904,109 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level_eval(1))
         .orderBy("query_id", "probe_level")
     )
+
+
+#: MMR re-ranking: trade-off λ between query relevance and novelty
+#: vs the already-selected set (Carbonell & Goldstein, SIGIR'98).
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_K = 5
+
+
+@query("sim_mmr_diversify")  # iterative greedy → rows-only; contract in tests
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: for each of 5 query
+    vectors, the exact top-20 cosine candidates (sim_knn_batch's
+    one-scan shape) are greedily re-ranked so each pick maximizes
+    λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    redundancy-suppressing selection for retrieval-augmented data
+    (picking 5 NEAR-IDENTICAL passages wastes 4 context slots; MMR
+    buys coverage with a bounded relevance loss).
+
+    Two-phase plan, each phase the right tool: candidate generation
+    is pure DataFrame algebra (broadcast query set → one corpus scan
+    → per-query window top-20), so the corpus-sized work never leaves
+    the JVM. The greedy loop — genuinely sequential, O(k²·|C|) on
+    ≤20 rows — runs per-query in ONE applyInPandas stage over
+    (query_id) groups with the candidate embeddings carried along:
+    Arrow-batched, k×d floats of state, thousands of groups run in
+    parallel, nothing iterative touches the driver. The selection is
+    deterministic (ties break on vec_id), pinned by a pytest contract
+    against an independent numpy reference plus a diversity assertion
+    (mean pairwise sim of the MMR set < that of the plain top-k
+    set). Rows-only for the driver: greedy argmax chains have no
+    SQL-expressible oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    cand = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("cos_sim"),
+            "embedding",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_CANDIDATES)
+        .drop("rk")
+    )
+
+    out_schema = (
+        "query_id long, mmr_rank int, vec_id long, "
+        "mmr_score double, cos_sim double"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cos_sim"].to_numpy().astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < MMR_K:
+            if selected:
+                red = (unit[remaining] @ unit[selected].T).max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr_s = MMR_LAMBDA * rel[remaining] - (1 - MMR_LAMBDA) * red
+            # deterministic: max score, then smallest vec_id
+            order = sorted(
+                range(len(remaining)),
+                key=lambda j: (-mmr_s[j], ids[remaining[j]]),
+            )
+            pick = remaining[order[0]]
+            scores.append(float(mmr_s[order[0]]))
+            selected.append(pick)
+            remaining.remove(pick)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+                "vec_id": ids[selected],
+                "mmr_score": np.round(scores, 6),
+                "cos_sim": np.round(rel[selected], 6),
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(mmr, out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

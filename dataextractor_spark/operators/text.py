@@ -1640,3 +1640,130 @@ def text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: interpolation weight for the bigram LM: λ·P(w|prev) + (1-λ)·P(w)
+BIGRAM_LM_LAMBDA = 0.8
+
+
+@query(
+    "text_bigram_lm_ppl",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM idx
+        WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    big AS (
+        SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2
+    ),
+    pre AS (
+        SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1
+    ),
+    tok AS (
+        SELECT unnest(string_split(text, ' ')) AS u FROM documents
+    ),
+    uni AS (
+        SELECT u, count(*)::DOUBLE AS cu FROM tok WHERE u <> '' GROUP BY u
+    ),
+    tot AS (SELECT sum(cu) AS n FROM uni),
+    scored AS (
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               avg(ln({BIGRAM_LM_LAMBDA} * big.c12 / pre.c1
+                      + {1 - BIGRAM_LM_LAMBDA} * uni.cu / tot.n))
+                   AS alp_raw
+        FROM bg
+        JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+        JOIN pre ON bg.w1 = pre.w1
+        JOIN uni ON bg.w2 = uni.u
+        CROSS JOIN tot
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(alp_raw, 5) AS avg_logprob,
+           round(exp(-round(alp_raw, 5)), 2) AS ppl
+    FROM scored
+    ORDER BY avg_logprob ASC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model perplexity gate — the
+    higher-order upgrade of text_unigram_logprob's CCNet-style filter:
+    each adjacent word pair is scored by
+    ln(λ·P(w|prev) + (1−λ)·P(w)) with λ=0.8 (Jelinek-Mercer
+    interpolation, the standard guard against sparse bigram
+    estimates), averaged per document, and the 15 most surprising
+    documents surface. Context-aware scoring separates "rare words"
+    from "rare SEQUENCES" — boilerplate made of common words in
+    unusual order (shuffled spam, template glitches) scores normal
+    under a unigram LM but high-perplexity here.
+
+    Plan shape at 100 TB, all JVM expressions: the bigram stream is
+    the zip_with-over-shifted-slices transform (linear, no UDF); the
+    three LM tables (bigram counts, prefix totals via re-aggregation
+    of the bigram table rather than a second corpus pass, unigram
+    counts) are vocabulary-bounded hash aggregates; scoring re-keys
+    the bigram stream three times on word-shaped keys (AQE broadcasts
+    small LM sides), then one doc-keyed aggregate;
+    TakeOrderedAndProject for the top-15. Perplexity exponentiates
+    the ALREADY-ROUNDED mean so both engines see bit-identical
+    inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    pre = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("u"))
+        .filter(F.col("u") != "")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("n"))
+    lam = F.lit(BIGRAM_LM_LAMBDA)
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(pre, "w1")
+        .join(uni, bg["w2"] == uni["u"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    lam * F.col("c12") / F.col("c1")
+                    + (F.lit(1.0) - lam) * F.col("cu") / F.col("n")
+                )
+            ).alias("alp_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.round("alp_raw", 5).alias("avg_logprob"),
+            F.round(F.exp(-F.round("alp_raw", 5)), 2).alias("ppl"),
+        )
+        .orderBy(F.col("avg_logprob").asc(), "doc_id")
+        .limit(15)
+    )

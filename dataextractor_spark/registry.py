@@ -128,6 +128,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_interpolate_linear",      # new: linear gap interpolation
     "join_scd2_point_in_time",      # new: temporal join vs SCD2 validity
     "agg_countmin_heavyhitters",    # new: count-min sketch w/ visible error
+    "dedup_shingle_containment",    # new: directional near-dup, prefix filter
+    "text_bigram_lm_ppl",           # new: interpolated bigram LM gate
+    "sample_temporal_split_embargo",  # new: purged time split audit
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
@@ -165,6 +168,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_phash_neardup",   # dHash banded image near-dup
     "agg_hll_intersection",       # sketch set algebra w/ visible error
     "sim_recall_eval",            # recall@5 gate for the LSH index
+    "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",

@@ -696,3 +696,74 @@ def test_builtin_moments_match_power_sum_formula(spark):
     for t in ours:
         assert abs(builtin[t][0] - ours[t][0]) < 1e-6
         assert abs(builtin[t][1] - ours[t][1]) < 1e-6
+
+
+def test_mmr_matches_reference_greedy_and_diversifies(spark):
+    """sim_mmr_diversify == an independent driver-side numpy greedy
+    on the same candidates, and the MMR set is no more redundant than
+    the plain top-k set (that's the operator's reason to exist)."""
+    import numpy as np
+
+    from dataextractor_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+    )
+
+    specs = load_all()
+    got = {
+        (r.query_id, r.mmr_rank): r.vec_id
+        for r in specs["sim_mmr_diversify"].fn(spark, SF_SMALL).collect()
+    }
+
+    e = load_table(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in e}
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    mean_pair_sims = []
+    for qid in range(5):
+        qv = unit(vecs[qid])
+        sims = sorted(
+            ((float(unit(v) @ qv), vid) for vid, v in vecs.items()
+             if vid != qid),
+            key=lambda t: (-round(t[0], 12), t[1]),
+        )
+        # reference candidates: same top-N, same (sim desc, id) order
+        cand = sims[:MMR_CANDIDATES]
+        remaining = list(cand)
+        selected = []
+        while remaining and len(selected) < MMR_K:
+            best = None
+            for s, vid in remaining:
+                red = max(
+                    (float(unit(vecs[vid]) @ unit(vecs[svid]))
+                     for _, svid in selected),
+                    default=0.0,
+                )
+                score = MMR_LAMBDA * s - (1 - MMR_LAMBDA) * red
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, (s, vid))
+            selected.append(best[1])
+            remaining.remove(best[1])
+        for rk, (_, vid) in enumerate(selected, start=1):
+            assert got[(qid, rk)] == vid, (qid, rk, got[(qid, rk)], vid)
+
+        def mean_pairwise(idset):
+            us = [unit(vecs[v]) for v in idset]
+            ps = [us[i] @ us[j] for i in range(len(us))
+                  for j in range(i + 1, len(us))]
+            return float(np.mean(ps))
+
+        topk_ids = [vid for _, vid in cand[:MMR_K]]
+        mmr_ids = [vid for _, vid in selected]
+        mean_pair_sims.append(
+            (mean_pairwise(mmr_ids), mean_pairwise(topk_ids))
+        )
+    # across the query batch, MMR strictly reduces (or at worst ties)
+    # average within-set redundancy
+    assert all(m <= t + 1e-9 for m, t in mean_pair_sims)
+    assert any(m < t - 1e-9 for m, t in mean_pair_sims)
