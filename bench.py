@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_shingle_containment",
     "text_bigram_lm_ppl",
     "sim_mmr_diversify",
+    "etl_snapshot_diff",
+    "agg_regression_trend",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1271,3 +1271,47 @@ def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+               AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+               AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend line: slope, intercept,
+    and R² of event value against time (in days), one line per event
+    type — the "is this metric drifting" primitive behind monitoring
+    dashboards and the regression tests data pipelines run on
+    themselves.
+
+    OLS over (x, y) is a pure function of six power sums
+    (n, Σx, Σy, Σx², Σy², Σxy), so the built-in regr_* aggregates are
+    single-pass, map-side-combinable, and MERGEABLE across shards —
+    the same algebraic-aggregate property agg_higher_moments exploits,
+    here for the bivariate case. One hash aggregate on a
+    low-cardinality key, output bounded by group count at any fact
+    volume; no window, no second pass. Slope/R² round at 6 dp so the
+    two engines' accumulation orders can't flip the hash."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86_400_000_000.0)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope("value", x), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+            F.round(F.regr_r2("value", x), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

@@ -970,23 +970,27 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: containment threshold for dedup_shingle_containment: directional
-#: |A∩B|/|A| ≥ 0.7 keeps the quote-inclusion pairs the symmetric
-#: Jaccard queries structurally miss (at sf0.01: 15 directional hits,
-#: 3 of which have Jaccard < 0.13).
+#: |A∩B|/|A| ≥ 0.7 — deliberately far below the Jaccard queries' 0.9+
+#: so one-sided overlaps qualify even when the symmetric score fails.
 CONTAIN_T = 0.7
 
 
 @query(
     "dedup_shingle_containment",
     oracle=f"""
-    WITH sh AS (
+    WITH t AS (
         SELECT doc_id, lang,
-               CASE WHEN length(text) >= 5
-                    THEN list_distinct(list_transform(
-                             range(1, length(text) - 3),
-                             i -> substr(text, i, 5)))
-                    ELSE [text] END AS toks
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
         FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(
+                             range(1, len(w) - 1),
+                             i -> list_aggregate(w[i:i+2], 'string_agg', ' ')))
+                    ELSE [list_aggregate(w, 'string_agg', ' ')] END AS toks
+        FROM t
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.toks, b.toks))::DOUBLE
@@ -1002,42 +1006,49 @@ CONTAIN_T = 0.7
     """,
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIRECTIONAL near-duplicate detection: 5-gram shingle
+    """DIRECTIONAL near-duplicate detection: word-trigram (w-shingle)
     containment |A∩B|/|A| ≥ 0.7 flags documents mostly CONTAINED in
-    another — the quote-inclusion / excerpt-expansion duplicates that
-    symmetric Jaccard structurally misses (a short doc pasted into a
-    long one has containment ≈ 1 but Jaccard ≈ |A|/|B| → 0). Output
-    pairs are ordered (a→b and b→a are different claims); the Jaccard
-    column makes the asymmetry visible.
+    another — quote-inclusion / excerpt-expansion duplicates that
+    symmetric Jaccard structurally under-scores (a short doc pasted
+    into a long one has containment ≈ 1 but Jaccard ≈ |A|/|B|).
+    Output pairs are ordered (a→b and b→a are different claims); the
+    jaccard column sits alongside to make the asymmetry visible.
 
     Candidate generation is the ONE-SIDED prefix filter (the
     asymmetric analogue of dedup_jaccard_pairs' PPJoin path): if
-    containment(a→b) ≥ t, then a misses at most (1-t)·|A| of its own
-    shingles, so among any ⌊(1-t)·|A|⌋+1 of them at least one is in
+    containment(a→b) ≥ t, then a misses at most (1−t)·|A| of its own
+    shingles, so among any ⌊(1−t)·|A|⌋+1 of them at least one is in
     B. Taking that prefix from a's globally RAREST shingles (ranked
-    by document frequency from the vocabulary-sized df table) makes
-    the candidate join postings-vs-prefix instead of postings², and
-    rare-prefix postings lists are short by construction. Candidates
-    are then verified exactly on the full shingle arrays — the oracle
-    is the unfiltered all-pairs-in-language join, so the hash match
-    is a machine-checked proof the prefix filter loses nothing. One
-    corpus shuffle for postings, a vocabulary-sized df aggregate, a
-    doc-partitioned rank window, and a bounded verify join — no
-    all-pairs stage at any corpus size."""
+    by document frequency) makes the candidate join prefix-postings
+    vs postings; candidates are verified exactly on the full arrays,
+    and the oracle is the unfiltered all-pairs-in-language join — the
+    hash match is a machine-checked proof the filter loses nothing.
+
+    The shingle UNIT is a measured choice, not a default: on this
+    corpus char-5-grams have median df 291 (the whole corpus shares a
+    small character vocabulary), which makes ANY prefix filter
+    toothless — 5.1M of ~6M possible pairs survived as candidates and
+    the query ran 74 s at sf0.1. Word trigrams have median df 1 on
+    the same corpus; the identical plan runs in seconds because
+    rare-prefix postings lists actually are short. At 100 TB the same
+    diagnostic applies: pick the shingle granularity at which the df
+    distribution has a tail, or the filter (and every LSH scheme
+    built on it) degenerates to all-pairs."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "CASE WHEN length(text) >= 5 THEN "
-                "array_distinct(transform(sequence(1, length(text) - 4), "
-                "i -> substring(text, i, 5))) ELSE array(text) END"
-            ).alias("toks"),
-        )
-        .localCheckpoint(eager=False)
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    sh = d.select("doc_id", "lang", tri.alias("toks")).localCheckpoint(
+        eager=False
     )
     post = sh.select(
         "doc_id", "lang", F.size("toks").alias("sz"),
@@ -1052,15 +1063,18 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn")
             <= F.floor((1.0 - CONTAIN_T) * F.col("sz")).cast("int") + 1
         )
-        .select("doc_id", "lang", "tok")
+        .select("doc_id", "lang", "sz", "tok")
     )
+    # size filter: containment(a→b) ≥ t forces |B| ≥ |A∩B| ≥ t·|A|,
+    # so small b-docs can be rejected before the verify join
     cand = (
         prefix.alias("a")
         .join(
-            post.select("doc_id", "lang", "tok").alias("b"),
+            post.select("doc_id", "lang", "sz", "tok").alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") >= CONTAIN_T * F.col("a.sz")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1081,9 +1095,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round("containment_raw", 6).alias("containment"),
             F.round(
-                inter
-                / (F.size("ta") + F.size("tb") - inter),
-                6,
+                inter / (F.size("ta") + F.size("tb") - inter), 6
             ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")

@@ -672,3 +672,114 @@ def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) >= '08'
+    ),
+    v2 AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+                         BETWEEN '08' AND '0f'
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < 'f8'
+    ),
+    d AS (
+        SELECT CASE
+                 WHEN v1.c_custkey IS NULL THEN 'added'
+                 WHEN v2.c_custkey IS NULL THEN 'removed'
+                 WHEN v1.c_acctbal <> v2.c_acctbal
+                      OR v1.c_name <> v2.c_name
+                      OR v1.c_nationkey <> v2.c_nationkey
+                      OR v1.c_mktsegment <> v2.c_mktsegment THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type,
+               coalesce(v2.c_acctbal, 0) - coalesce(v1.c_acctbal, 0) AS delta
+        FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(delta), 2) AS acctbal_delta
+    FROM d
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the lakehouse change-detection primitive
+    (Delta/Iceberg table_changes between two versions, or any
+    yesterday-vs-today full-load comparison, the exact situation the
+    reference's monthly overwrite pipeline creates,
+    extract-data-dota.py:131): classify every key as
+    added/removed/changed/unchanged between two snapshot states and
+    report counts plus the net numeric drift per class. The two
+    snapshots here are derived deterministically from the customer
+    table with the md5 hex-band idiom (v1 missing one band, v2
+    missing another + one band's balances shifted), so both engines
+    diff IDENTICAL inputs without any fixture mutation.
+
+    Plan: ONE full-outer sort-merge join on the key — the canonical
+    diff shape — followed by a 4-group aggregate. Change detection
+    compares typed columns directly (never stringified row-hashes:
+    float→string formatting is engine-specific, and a md5-of-concat
+    row digest would also force recomputing every column's string
+    form; at 100 TB you'd precompute and STORE a binary row hash at
+    write time instead, turning the diff's compare into one binary
+    equality). Both snapshot scans push their hex-band filter to
+    parquet; the join shuffles each side once on the key; counts are
+    map-side partial. Output is 4 rows at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    hx = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+    v1 = c.filter(hx >= "08").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    v2 = (
+        c.filter(hx < "f8")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(
+                hx.between("08", "0f"), F.col("c_acctbal") + 100.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("a.c_custkey").isNull(), "added")
+        .when(F.col("b.c_custkey").isNull(), "removed")
+        .when(
+            (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+            | (F.col("a.c_name") != F.col("b.c_name"))
+            | (F.col("a.c_nationkey") != F.col("b.c_nationkey"))
+            | (F.col("a.c_mktsegment") != F.col("b.c_mktsegment")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            change.alias("change_type"),
+            (
+                F.coalesce(F.col("b.c_acctbal"), F.lit(0.0))
+                - F.coalesce(F.col("a.c_acctbal"), F.lit(0.0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("delta"), 2).alias("acctbal_delta"),
+        )
+        .orderBy("change_type")
+    )

@@ -131,6 +131,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_shingle_containment",    # new: directional near-dup, prefix filter
     "text_bigram_lm_ppl",           # new: interpolated bigram LM gate
     "sample_temporal_split_embargo",  # new: purged time split audit
+    "etl_snapshot_diff",            # new: lakehouse snapshot change classes
+    "agg_regression_trend",         # new: mergeable per-group OLS trend
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an

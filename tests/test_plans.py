@@ -293,6 +293,7 @@ def test_partitioned_sink_prunes_partitions(spark):
 UNPARTITIONED_WINDOW_OK = {
     "text_zipf_slope",          # rank-frequency regression: vocabulary-sized
     "time_gapfill_locf",        # calendar spine: days in range
+    "time_interpolate_linear",  # same calendar spine, fwd+bwd carry
     "time_trailing_week_revenue",  # RANGE frame over the daily rollup:
                                    # calendar-sized input
     "sql_recursive_months",     # month spine: calendar-sized
