@@ -343,3 +343,104 @@ def test_phash_banding_pigeonhole(spark, hashes):
                     for k in range(4)
                 )
                 assert shared, (a, b, d)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ewma_closed_form_equals_sequential_fold(spark, values):
+    """time_ewma_smooth's one-aggregate closed form
+    Σ x_i·(1-α)^(n-i) / Σ (1-α)^(n-i) must equal the textbook
+    sequential recurrence (pandas ewm(adjust=True) semantics) on
+    arbitrary series — the algebraic identity that lets the operator
+    run as ONE hash aggregate instead of a per-series loop."""
+    from datetime import datetime, timedelta
+
+    from dataextractor_spark.operators.windows_time import EWMA_ALPHA
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    decay = F.lit(1.0 - EWMA_ALPHA)
+    r = df.select(
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    wgt = F.pow(decay, F.col("n") - F.col("i"))
+    got = r.agg(
+        (F.sum(F.col("value") * wgt) / F.sum(wgt)).alias("ewma")
+    ).collect()[0]["ewma"]
+
+    # reference: adjust=True recurrence — numerator/denominator folds
+    num = den = 0.0
+    for v in values:
+        num = num * (1.0 - EWMA_ALPHA) + float(v)
+        den = den * (1.0 - EWMA_ALPHA) + 1.0
+    want = num / den
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef")), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_containment_prefix_filter_is_lossless(spark, texts):
+    """dedup_shingle_containment's one-sided rarest-prefix candidate
+    filter must find EVERY directional pair the brute-force
+    definition finds, on adversarial word-soup corpora (tiny shared
+    vocabulary = worst case for prefix filtering)."""
+    import itertools
+
+    from dataextractor_spark.operators.dedup import (
+        CONTAIN_T,
+        dedup_shingle_containment,
+    )
+
+    def tris(text):
+        w = [x for x in text.split(" ") if x != ""]
+        if len(w) >= 3:
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return {" ".join(w)}
+
+    want = set()
+    for (ia, a), (ib, b) in itertools.permutations(enumerate(texts), 2):
+        ta, tb = tris(a), tris(b)
+        if len(ta & tb) / len(ta) >= CONTAIN_T:
+            want.add((ia, ib))
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_shingle_containment(spark, tmp).collect()
+        }
+    assert got == want
