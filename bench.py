@@ -117,6 +117,7 @@ HEADLINE = [
     "sim_mmr_diversify",
     "etl_snapshot_diff",
     "agg_regression_trend",
+    "join_asof_nearest",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -893,3 +893,152 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_no")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    sides AS (
+        SELECT c.event_id, c.ts,
+               max(CASE WHEN p.pts <= c.ts THEN p.pts END) AS prev_pts,
+               min(CASE WHEN p.pts >= c.ts THEN p.pts END) AS next_pts
+        FROM c LEFT JOIN p ON p.user_id = c.user_id
+        GROUP BY c.event_id, c.ts
+    ),
+    picked AS (
+        SELECT ts,
+               CASE
+                 WHEN prev_pts IS NULL AND next_pts IS NULL THEN NULL
+                 WHEN next_pts IS NULL THEN prev_pts
+                 WHEN prev_pts IS NULL THEN next_pts
+                 WHEN ts - prev_pts <= next_pts - ts THEN prev_pts
+                 ELSE next_pts
+               END AS near_pts
+        FROM sides
+    ),
+    flagged AS (
+        SELECT ts,
+               CASE WHEN near_pts IS NOT NULL
+                         AND abs(epoch(ts - near_pts)) <= 86400
+                    THEN abs(epoch(ts - near_pts)) / 3600.0 END AS hours,
+               CASE WHEN near_pts IS NOT NULL
+                         AND abs(epoch(ts - near_pts)) <= 86400
+                    THEN CASE WHEN near_pts <= ts THEN 'backward'
+                              ELSE 'forward' END END AS direction
+        FROM picked
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT)                    AS n_clicks,
+           CAST(count(hours) AS BIGINT)                AS n_matched,
+           CAST(sum(CASE WHEN direction = 'backward' THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_backward,
+           CAST(sum(CASE WHEN direction = 'forward' THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_forward,
+           round(avg(hours), 6)                        AS avg_abs_hours
+    FROM flagged
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance — the third direction of the
+    as-of family (join_asof_latest_order looks backward,
+    join_asof_next_purchase forward): each click attaches the
+    same-user purchase closest in time in EITHER direction, within
+    24 h, ties resolved backward. The per-day rollup reports how many
+    matches came from each direction, which is the diagnostic that
+    tells you whether a naive backward-only as-of is silently
+    mis-attributing events.
+
+    Plan: both directional candidates come from ONE user-partitioned
+    sort — a backward max-carry frame (unbounded preceding → current)
+    and a forward min-carry frame (current → unbounded following)
+    over the same window sort order; Catalyst evaluates both in a
+    single WindowExec pass, so the cost is one shuffle on user_id +
+    one per-user sort, same envelope as either single-direction
+    as-of. Purchases sort BEFORE clicks at equal timestamps, so a
+    distance-0 purchase is captured by the backward frame (and the
+    backward tie-preference makes the oracle's `<=` pick identical).
+    The oracle is the quadratic per-user join+min/max spelling; the
+    hash match proves the merge form equivalent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    side = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    pts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    order = ["ts", side.asc(), "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(pts).over(wb).alias("prev_pts"),
+        F.min(pts).over(wf).alias("next_pts"),
+    ).filter(F.col("event_type") == "click")
+    us = F.unix_micros
+    near = (
+        F.when(
+            F.col("prev_pts").isNull() & F.col("next_pts").isNull(),
+            F.lit(None).cast("timestamp"),
+        )
+        .when(F.col("next_pts").isNull(), F.col("prev_pts"))
+        .when(F.col("prev_pts").isNull(), F.col("next_pts"))
+        .when(
+            us("ts") - us("prev_pts") <= us("next_pts") - us("ts"),
+            F.col("prev_pts"),
+        )
+        .otherwise(F.col("next_pts"))
+    )
+    picked = carried.select("ts", near.alias("near_pts"))
+    in_tol = F.col("near_pts").isNotNull() & (
+        F.abs(us("ts") - us("near_pts")) <= F.lit(86_400_000_000)
+    )
+    hours = F.when(
+        in_tol, F.abs(us("ts") - us("near_pts")) / 3600000000.0
+    )
+    direction = F.when(
+        in_tol,
+        F.when(F.col("near_pts") <= F.col("ts"), "backward").otherwise(
+            "forward"
+        ),
+    )
+    return (
+        picked.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            hours.alias("hours"),
+            direction.alias("direction"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.count("hours").cast("long").alias("n_matched"),
+            F.sum(F.when(F.col("direction") == "backward", 1).otherwise(0))
+            .cast("long")
+            .alias("n_backward"),
+            F.sum(F.when(F.col("direction") == "forward", 1).otherwise(0))
+            .cast("long")
+            .alias("n_forward"),
+            F.round(F.avg("hours"), 6).alias("avg_abs_hours"),
+        )
+        .orderBy("day")
+    )

@@ -133,6 +133,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sample_temporal_split_embargo",  # new: purged time split audit
     "etl_snapshot_diff",            # new: lakehouse snapshot change classes
     "agg_regression_trend",         # new: mergeable per-group OLS trend
+    "join_asof_nearest",            # new: bidirectional as-of, one window
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
