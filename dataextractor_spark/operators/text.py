@@ -1767,3 +1767,94 @@ def text_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_logprob").asc(), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+               || source || '.example.com'
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || '/' || lang || '/page-' || CAST(doc_id % 40 AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               'https://'
+               || lower(regexp_extract(url,
+                      '^https://([^/:?#]+)', 1))
+               || rtrim(regexp_extract(url,
+                      '^https://[^/]+(/[^?#]*)', 1), '/') AS canonical_url
+        FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT)                        AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT)             AS n_raw_distinct,
+           CAST(count(DISTINCT canonical_url) AS BIGINT)   AS n_canonical,
+           CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+               AS n_alias_dups,
+           CAST(min(doc_id) AS BIGINT)                     AS first_doc
+    FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-corpus curation step that
+    runs BEFORE any content hashing (CommonCrawl-style pipelines drop
+    the bulk of their duplicates on canonical URL alone, at string
+    cost instead of content cost): case-fold the host, strip the
+    default port, drop tracking query params and fragments, and
+    normalize the trailing slash, then count how many raw URLs
+    collapse into each canonical form. Since the fixtures carry no
+    URL column, the raw URLs are SYNTHESIZED deterministically from
+    (source, lang, doc_id) with the messiness injected by residue
+    classes — upper-case WWW, :443, utm params, fragments, trailing
+    slashes — so both engines canonicalize an identical byte stream
+    and the hash match pins every rule.
+
+    The canonical form here keeps scheme+host+path and drops the
+    whole query/fragment (the synthesized queries are all tracking
+    params); a production variant whitelists semantic params the same
+    way. Spark side extracts with parse_url(HOST/PATH) — the
+    JVM-codegen URL splitter — while the oracle spells the identical
+    extraction as regexes; agreement of the two parsers on every row
+    is part of what the hash proves. Plan: narrow string expressions
+    + one partial-aggregated distinct-count pass, no shuffle beyond
+    the count-distinct expand — at 100 TB this runs at scan speed,
+    which is exactly why URL dedup goes first."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "WWW.").otherwise("www."),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#frag").otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_replace(F.parse_url("url", F.lit("HOST")), ":443$", ""))
+    path = F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", "")
+    canon = u.select(
+        "doc_id",
+        "url",
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    return canon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical_url"))
+        .cast("long")
+        .alias("n_alias_dups"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
