@@ -760,3 +760,91 @@ def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rev").isNotNull(), 0).otherwise(1).alias("interpolated"),
         F.round(interp, 2).alias("revenue_interp"),
     ).orderBy("day")
+
+
+@query(
+    "time_session_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT
+            user_id, ts, event_id, event_type,
+            CASE
+                WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                ELSE 0
+            END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sess_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT)   AS n_sessions,
+           round(avg(n_events), 6)    AS avg_events
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def time_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: each user session (30-minute
+    inactivity gap, time_session_window's sessionization) becomes its
+    time-ordered event-type sequence ('view>click>purchase'), and the
+    10 most common session shapes surface with their frequency — the
+    event-timeline analysis the reference's README promises
+    (README.md:31) in its most actionable form, and the input every
+    funnel-discovery / next-action model trains on.
+
+    Ordered concatenation inside a distributed aggregate is the trap
+    here: collect_list alone is partition-order-dependent. The
+    deterministic form collects (ts, event_id, event_type) STRUCTS,
+    array_sorts inside the row (struct ordering = lexicographic on
+    the fields, so time order with the event_id tiebreak), then
+    projects and joins — the aggregate itself stays order-insensitive
+    and therefore safe under any partitioning, while the oracle's
+    ORDER BY inside string_agg spells the same contract. Plan: one
+    shuffle on user_id (session_window groupBy), per-session arrays
+    bounded by session length, then a path-keyed hash agg whose
+    cardinality is the number of DISTINCT paths;
+    TakeOrderedAndProject emits the top-10."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

@@ -135,6 +135,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_regression_trend",         # new: mergeable per-group OLS trend
     "join_asof_nearest",            # new: bidirectional as-of, one window
     "text_url_canonicalize",        # new: URL canon dedup, dual parsers
+    "time_session_paths",           # new: session path mining, ordered agg
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
