@@ -420,3 +420,31 @@ def test_dynamic_partition_pruning_injected(spark, tmp_path):
     j = fact.join(dim, "ship_year").agg(F.sum("l_quantity").alias("q"))
     plan = physical_plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_asof_nearest_both_frames_share_one_window(spark):
+    """join_asof_nearest's backward max-carry and forward min-carry
+    frames share the same (user_id, order) spec — Catalyst must fuse
+    them into ONE Window node over one user_id exchange (the whole
+    point of the merge formulation: a bidirectional as-of costs the
+    same as a single-direction one). No Join node anywhere."""
+    import re
+
+    df = load_all()["join_asof_nearest"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan, plan
+    window_nodes = re.findall(r"^[\s+:*-]*Window\b", plan, flags=re.M)
+    assert len(window_nodes) == 1, plan
+    # window hash + aggregate hash + final sort range
+    assert shuffle_exchange_count(df) <= 3, plan
+
+
+def test_session_paths_aggregate_is_order_insensitive(spark):
+    """time_session_paths must NOT contain a sort-based aggregate or
+    window for the path build — the ordering happens inside the row
+    (array_sort over collected structs), so the plan is hash
+    aggregates only plus the final top-k sort."""
+    df = load_all()["time_session_paths"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "Window" not in plan, plan
+    assert "SortAggregate" not in plan, plan
