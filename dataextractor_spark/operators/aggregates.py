@@ -1315,3 +1315,162 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: histogram-quantile sketch: B equi-width bins over the observed
+#: range. 128 bins ≈ 1% rank resolution — enough to SEE nonzero
+#: quantile error against the exact order statistic, which is what
+#: the audit reports.
+HISTQ_B = 128
+HISTQ_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "agg_histogram_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               count(*) AS n
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(CAST(floor((o_totalprice - lo) / (hi - lo)
+                                * {HISTQ_B}) AS BIGINT),
+                     {HISTQ_B - 1}) AS bin
+        FROM orders, b
+    ),
+    hist AS (
+        SELECT bin, count(*) AS c FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM hist
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in HISTQ_QS)}]) AS q),
+    pick AS (
+        SELECT q, min(bin) AS qbin
+        FROM qs JOIN cum ON cum.cum_c >= q * (SELECT n FROM b)
+        GROUP BY q
+    ),
+    est AS (
+        SELECT q,
+               lo + (qbin + (q * n - (cum_c - c)) / c) / {HISTQ_B}
+                    * (hi - lo) AS est_val
+        FROM pick JOIN cum ON pick.qbin = cum.bin CROSS JOIN b
+    ),
+    exact AS (
+        SELECT unnest([{", ".join(str(q) for q in HISTQ_QS)}]) AS q,
+               unnest(quantile_cont(o_totalprice,
+                      [{", ".join(str(q) for q in HISTQ_QS)}])) AS exact_val
+        FROM orders
+    )
+    SELECT est.q,
+           round(est_val, 4)                    AS est_val,
+           round(exact_val, 4)                  AS exact_val,
+           round(abs(est_val - exact_val), 4)   AS abs_err
+    FROM est JOIN exact ON est.q = exact.q
+    ORDER BY est.q
+    """,
+)
+def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation, fully oracled: an equi-width
+    128-bin histogram over the observed range estimates four order
+    statistics by within-bin linear interpolation, reported next to
+    the exact percentile with the absolute error made visible. This
+    closes the one gap in the sketch family's oracle coverage —
+    percentile_approx (KLL-style) can never hash-match another
+    engine's sketch (the verify skill records the measured mismatch),
+    but a DETERMINISTIC histogram sketch can, so the driver pins
+    every bin count and both engines' interpolation arithmetic.
+
+    Why this is the 100 TB quantile path: per-bin counts are plain
+    sums — map-side combinable within a scan and MERGEABLE across
+    shards/days by addition (the same property as the HLL, bloom,
+    bitmap, and count-min state), so a corpus can maintain per-
+    partition histograms and answer any quantile later without
+    revisiting rows. The plan is two 1-row/bounded aggregates (range
+    bounds, histogram), a ≤128-row cumulative window (whitelisted
+    ordering-only — grid-sized by construction, like agg_ks_drift),
+    and broadcast joins of 4-row quantile specs. Accuracy is
+    range/B per bin worst-case — the audit column shows the actual
+    error, and tightening B is a constant-factor knob, not a plan
+    change."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    b = F.broadcast(
+        o.agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    binned = o.crossJoin(b).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * HISTQ_B
+            ).cast("long"),
+            F.lit(HISTQ_B - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    )
+    qs = F.broadcast(
+        spark.createDataFrame([(q,) for q in HISTQ_QS], "q double")
+    )
+    pick = (
+        qs.join(cum.crossJoin(b.select("n")), F.col("cum_c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    est = (
+        pick.join(cum, pick["qbin"] == cum["bin"])
+        .crossJoin(b)
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + (
+                    F.col("qbin")
+                    + (F.col("q") * F.col("n") - (F.col("cum_c") - F.col("c")))
+                    / F.col("c")
+                )
+                / HISTQ_B
+                * (F.col("hi") - F.col("lo"))
+            ).alias("est_val"),
+        )
+    )
+    exact = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in HISTQ_QS])).alias(
+            "ex"
+        )
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in HISTQ_QS]).alias("q"),
+                F.col("ex").alias("exact_val"),
+            )
+        ).alias("z")
+    ).select(F.col("z.q").alias("q"), F.col("z.exact_val").alias("exact_val"))
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("est_val", 4).alias("est_val"),
+            F.round("exact_val", 4).alias("exact_val"),
+            F.round(F.abs(F.col("est_val") - F.col("exact_val")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("q")
+    )

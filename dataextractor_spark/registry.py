@@ -136,6 +136,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_asof_nearest",            # new: bidirectional as-of, one window
     "text_url_canonicalize",        # new: URL canon dedup, dual parsers
     "time_session_paths",           # new: session path mining, ordered agg
+    "agg_histogram_quantile_sketch",  # new: oracled mergeable quantiles
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an

@@ -298,6 +298,7 @@ UNPARTITIONED_WINDOW_OK = {
                                    # calendar-sized input
     "sql_recursive_months",     # month spine: calendar-sized
     "agg_ks_drift",             # binned ECDF: <=122 grid rows
+    "agg_histogram_quantile_sketch",  # cumulative window: <=128 bins
     "window_deciles",           # two-pass ranked ntile: the WINDOW input is
                                 # the 32-row per-range-partition offset table
     "etl_zorder_layout",        # z-bucket audit: fixed bucket grid
