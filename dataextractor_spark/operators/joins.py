@@ -1042,3 +1042,73 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    b AS (
+        SELECT c_custkey AS bk, nullif(c_mktsegment, 'MACHINERY') AS seg
+        FROM customer WHERE c_custkey % 3 = 1
+    ),
+    plain AS (
+        SELECT count(*) AS n FROM a JOIN b ON a.seg = b.seg
+    ),
+    nullsafe AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a.seg IS NULL THEN 1 ELSE 0 END) AS n_null_pairs
+        FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    )
+    SELECT CAST(plain.n AS BIGINT)              AS n_plain_eq,
+           CAST(nullsafe.n AS BIGINT)           AS n_null_safe,
+           CAST(nullsafe.n_null_pairs AS BIGINT) AS n_null_null_pairs,
+           CAST(nullsafe.n - plain.n AS BIGINT)  AS null_match_gain
+    FROM plain, nullsafe
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) next to
+    the plain `=` join on a key with injected NULLs (one segment
+    nullif'd away on both sides): under `=`, NULL never matches NULL
+    and those rows silently vanish from the join; under `<=>` the
+    NULL group joins like any other value. The output pins all three
+    counts — plain matches, null-safe matches, and the NULL×NULL
+    block — so the semantic difference is itself the verified result
+    (this is the classic silent-data-loss bug in key-nullable joins,
+    and the reason MERGE implementations key on `<=>`).
+
+    Physically, `<=>` stays a HASH-join key (NULL hashes like a
+    value) — Catalyst plans the same SortMergeJoin/BroadcastHashJoin
+    it would for `=`, NOT a nested loop, so the null-safe form costs
+    nothing extra at scale; the NULL group can however be a skew key
+    (every NULL lands in one partition), which is exactly what
+    join_salted_skew's treatment handles when the NULL fraction is
+    large."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("seg")
+    )
+    b = c.filter(F.col("c_custkey") % 3 == 1).select(
+        F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("bseg")
+    )
+    plain = a.join(b, a["seg"] == b["bseg"]).agg(
+        F.count(F.lit(1)).alias("n_plain_eq")
+    )
+    nullsafe = a.join(b, a["seg"].eqNullSafe(b["bseg"])).agg(
+        F.count(F.lit(1)).alias("n_null_safe"),
+        F.sum(F.when(a["seg"].isNull(), 1).otherwise(0)).alias(
+            "n_null_null_pairs"
+        ),
+    )
+    return plain.crossJoin(nullsafe).select(
+        F.col("n_plain_eq").cast("long"),
+        F.col("n_null_safe").cast("long"),
+        F.col("n_null_null_pairs").cast("long"),
+        (F.col("n_null_safe") - F.col("n_plain_eq"))
+        .cast("long")
+        .alias("null_match_gain"),
+    )

@@ -191,3 +191,57 @@ def union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("distinct_li_status").alias("set_op"), "n")
     )
     return u.unionByName(i).unionByName(e).unionByName(d).orderBy("set_op")
+
+
+@query(
+    "set_ops_all_multiplicity",
+    oracle="""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+         b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.08)
+    SELECT 'a_bag' AS set_op, count(*) AS n FROM a
+    UNION ALL
+    SELECT 'intersect_all', count(*) FROM
+        (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+    UNION ALL
+    SELECT 'intersect_distinct', count(*) FROM
+        (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*) FROM
+        (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+    UNION ALL
+    SELECT 'except_distinct', count(*) FROM
+        (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)
+    ORDER BY set_op
+    """,
+)
+def set_ops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) next
+    to their DISTINCT forms over two multisets of part keys — the
+    multiplicity rules (ALL keeps min(m,n) copies in intersect,
+    max(m−n,0) in except) that silently change row counts when a
+    migration swaps one for the other. Spark's intersectAll/exceptAll
+    implement exactly the SQL-standard bag semantics; counting all
+    five variants side by side makes the distinction hash-verifiable.
+
+    Plan: each ALL variant compiles to a single hash aggregate over
+    (value, side-count) pairs — one shuffle on the key, multiplicity
+    arithmetic in the aggregate, never a join of duplicated rows —
+    and the DISTINCT forms are partial-dedup shuffles; all five
+    branches reuse the same two pushed-filter scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.08).select("l_partkey")
+
+    def one(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("set_op"), "n"
+        )
+
+    return (
+        one("a_bag", a)
+        .unionByName(one("intersect_all", a.intersectAll(b)))
+        .unionByName(one("intersect_distinct", a.intersect(b)))
+        .unionByName(one("except_all", a.exceptAll(b)))
+        .unionByName(one("except_distinct", a.subtract(b)))
+        .orderBy("set_op")
+    )

@@ -137,6 +137,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_url_canonicalize",        # new: URL canon dedup, dual parsers
     "time_session_paths",           # new: session path mining, ordered agg
     "agg_histogram_quantile_sketch",  # new: oracled mergeable quantiles
+    "set_ops_all_multiplicity",     # new: INTERSECT/EXCEPT ALL bag semantics
+    "join_null_safe_eq",            # new: <=> vs = NULL-key join audit
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
