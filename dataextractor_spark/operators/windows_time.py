@@ -848,3 +848,53 @@ def time_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query("time_sliding_distinct_hll")  # sketch estimates → rows-only;
+# accuracy contract vs the exact query in tests/test_scale_paths.py
+def time_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SCALE PATH for time_sliding_distinct_users, made
+    concrete: ONE HLL sketch per day (hll_sketch_agg over purchasers,
+    lgK=14), then the 7-day trailing window is answered by UNIONING
+    seven day-sketches (hll_union_agg) and reading the estimate —
+    sketch-over-window composition. Where the exact form re-shuffles
+    (day, user) pairs and its state grows with users-per-window, the
+    sketch form's state is days × 16 KB REGARDLESS of user count, and
+    day-sketches are reusable for any other window length, month
+    rollup, or cross-shard merge without revisiting events — the
+    mergeability that justifies every sketch in the family.
+
+    Same window plumbing as the exact query (sequence-explode of each
+    day into the window days it serves + broadcast semi-join against
+    observed days), so the two plans differ ONLY in the aggregate
+    state — which is exactly what the accuracy contract in
+    tests/test_scale_paths.py measures (≤3% relative error vs the
+    exact counts at lgK=14). Rows-only for the driver: sketch bytes
+    are engine-specific by nature."""
+    e = load_table(spark, sf_dir, "events")
+    day_sk = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    days = day_sk.select("day").distinct()
+    exploded = day_sk.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+        "sk",
+    )
+    return (
+        exploded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("active_users_7d_est")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users_7d_est",
+        )
+        .orderBy("day")
+    )

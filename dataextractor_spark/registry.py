@@ -177,6 +177,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_hll_intersection",       # sketch set algebra w/ visible error
     "sim_recall_eval",            # recall@5 gate for the LSH index
     "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
+    "time_sliding_distinct_hll",  # sketch-over-window scale path
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",

@@ -767,3 +767,22 @@ def test_mmr_matches_reference_greedy_and_diversifies(spark):
     # average within-set redundancy
     assert all(m <= t + 1e-9 for m, t in mean_pair_sims)
     assert any(m < t - 1e-9 for m, t in mean_pair_sims)
+
+
+def test_sliding_distinct_hll_tracks_exact(spark):
+    """time_sliding_distinct_hll (per-day sketches unioned over the
+    window) must stay within 3% of time_sliding_distinct_users'
+    exact counts on every window day — the accuracy contract that
+    licenses swapping the exact plan for the sketch plan at scale."""
+    specs = load_all()
+    exact = {
+        r.day: r.active_users_7d
+        for r in specs["time_sliding_distinct_users"].fn(spark, SF_SMALL).collect()
+    }
+    est = {
+        r.day: r.active_users_7d_est
+        for r in specs["time_sliding_distinct_hll"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(1, 0.03 * n), (day, n, est[day])
