@@ -1474,3 +1474,82 @@ def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("q")
     )
+
+
+@query(
+    "agg_winsorize_stats",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders
+    )
+    SELECT round(p01, 4)                                   AS p01,
+           round(p99, 4)                                   AS p99,
+           CAST(count(*) AS BIGINT)                        AS n,
+           CAST(sum(CASE WHEN o_totalprice < p01
+                           OR o_totalprice > p99
+                         THEN 1 ELSE 0 END) AS BIGINT)     AS n_clamped,
+           round(avg(o_totalprice), 4)                     AS mean_raw,
+           round(avg(greatest(p01, least(p99, o_totalprice))), 4)
+               AS mean_winsorized,
+           round(stddev_samp(o_totalprice), 4)             AS std_raw,
+           round(stddev_samp(greatest(p01, least(p99, o_totalprice))), 4)
+               AS std_winsorized
+    FROM orders, b
+    GROUP BY p01, p99
+    """,
+)
+def agg_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics — clamp the tails at p01/p99, then
+    compare mean/std before and after: the outlier-robust
+    normalization constants a training pipeline should fit on heavy-
+    tailed features instead of raw moments (one corrupt magnitude in
+    100 TB of logs otherwise owns the z-score scale; the MAD query is
+    the detection side of this coin, winsorization the treatment).
+
+    Two passes by necessity (the exact cutpoints must exist before
+    clamping) but both single aggregates: pass 1 is the same one-pass
+    percentile buffer agg_percentiles uses, broadcast as a 1-row
+    bound; pass 2 computes raw and clamped moments TOGETHER in one
+    map-side-combinable aggregate over the fact scan (the clamp is a
+    codegen'd greatest/least — no extra scan for the 'after'
+    statistics). n_clamped makes the affected mass visible. At scale
+    pass 1 downgrades gracefully to the histogram sketch's cutpoints
+    (agg_histogram_quantile_sketch) when an exact order statistic is
+    too expensive — the treatment pass is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.broadcast(
+        o.agg(
+            F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )
+    x = F.col("o_totalprice")
+    clamped = F.greatest(F.col("p01"), F.least(F.col("p99"), x))
+    return (
+        o.crossJoin(b)
+        .groupBy("p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when((x < F.col("p01")) | (x > F.col("p99")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+            F.round(F.avg(x), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+            F.round(F.stddev_samp(x), 4).alias("std_raw"),
+            F.round(F.stddev_samp(clamped), 4).alias("std_winsorized"),
+        )
+        .select(
+            F.round("p01", 4).alias("p01"),
+            F.round("p99", 4).alias("p99"),
+            "n",
+            "n_clamped",
+            "mean_raw",
+            "mean_winsorized",
+            "std_raw",
+            "std_winsorized",
+        )
+    )

@@ -139,6 +139,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_histogram_quantile_sketch",  # new: oracled mergeable quantiles
     "set_ops_all_multiplicity",     # new: INTERSECT/EXCEPT ALL bag semantics
     "join_null_safe_eq",            # new: <=> vs = NULL-key join audit
+    "agg_winsorize_stats",          # new: tail-clamped robust moments
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
