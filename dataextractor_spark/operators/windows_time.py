@@ -898,3 +898,100 @@ def time_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "time_calendar_dim_join",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(date_trunc('day', o_orderdate)) AS lo,
+               max(date_trunc('day', o_orderdate)) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT d,
+               CASE WHEN isodow(d) <= 5 THEN 'business' ELSE 'weekend' END
+                   AS day_class,
+               CASE WHEN day(d) = 1 THEN 1 ELSE 0 END AS is_month_start
+        FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 DAY)) AS d)
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               count(*) AS n, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT cal.day_class,
+           CAST(count(*) AS BIGINT)                    AS n_days,
+           CAST(sum(CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_days,
+           CAST(coalesce(sum(n), 0) AS BIGINT)         AS n_orders,
+           round(coalesce(sum(rev), 0), 2)             AS revenue,
+           round(coalesce(sum(rev), 0)
+                 / count(*), 4)                        AS revenue_per_day,
+           CAST(sum(CASE WHEN is_month_start = 1 AND daily.d IS NOT NULL
+                         THEN n ELSE 0 END) AS BIGINT) AS month_start_orders
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    GROUP BY cal.day_class
+    ORDER BY cal.day_class
+    """,
+)
+def time_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension join — the warehouse pattern behind every
+    'business days vs weekends' question: a GENERATED date dimension
+    (ISO weekday class + month-start flag, derived attributes only —
+    no fixture mutation) left-joins the daily fact rollup so
+    zero-activity days are COUNTED rather than silently absent, which
+    is what makes revenue-per-day denominators honest (grouping the
+    fact table by its own dates can never see a day with no orders).
+
+    Plan: the fact table contributes one distributed daily hash
+    aggregate; the calendar spine is sequence()/explode from a 1-row
+    bounds aggregate (calendar-sized, broadcast into the left join);
+    attribute derivation is codegen'd date arithmetic — Spark's
+    weekday() (0=Monday) aligns with the oracle's isodow ≤ 5 rule.
+    Output is one row per day class at any fact volume. At 100 TB the
+    calendar dim is exactly the kind of bounded table the catalog
+    broadcast-hints; a persisted variant with holiday flags joins
+    identically."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    ).select(
+        "d",
+        F.when(F.weekday("d") < 5, "business")
+        .otherwise("weekend")
+        .alias("day_class"),
+        F.when(F.dayofmonth("d") == 1, 1).otherwise(0).alias(
+            "is_month_start"
+        ),
+    )
+    j = cal.join(daily, "d", "left")
+    return (
+        j.groupBy("day_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("rev"), F.lit(0.0)), 2).alias("revenue"),
+            F.round(
+                F.coalesce(F.sum("rev"), F.lit(0.0)) / F.count(F.lit(1)), 4
+            ).alias("revenue_per_day"),
+            F.sum(
+                F.when(
+                    (F.col("is_month_start") == 1) & F.col("n").isNotNull(),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("month_start_orders"),
+        )
+        .orderBy("day_class")
+    )

@@ -140,6 +140,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "set_ops_all_multiplicity",     # new: INTERSECT/EXCEPT ALL bag semantics
     "join_null_safe_eq",            # new: <=> vs = NULL-key join audit
     "agg_winsorize_stats",          # new: tail-clamped robust moments
+    "time_calendar_dim_join",       # new: generated calendar dim join
     # (the r1-green stale-recheck families below were displaced past
     # the boundary by this round's new oracled queries — a first-ever
     # driver row for a new query outranks a stale recheck of an
