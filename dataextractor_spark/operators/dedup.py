@@ -982,6 +982,7 @@ CONTAIN_T = 0.7
         SELECT doc_id, lang,
                list_filter(string_split(text, ' '), x -> x <> '') AS w
         FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
     ),
     sh AS (
         SELECT doc_id, lang,
@@ -1038,6 +1039,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w = F.filter(F.split("text", " "), lambda x: x != "")
+    # Zero-word docs are excluded on BOTH sides: Spark's fallback
+    # shingle for an empty word list is [''] (concat_ws of an empty
+    # array) while DuckDB's list_aggregate([]) is [NULL] — two such
+    # docs would "contain" each other here but not in the oracle
+    # (latent divergence flagged in round-3 advice). A no-word doc has
+    # no shingles to contain anyway, so dropping it is the semantics.
+    d = d.filter(F.size(w) > 0)
     tri = F.when(
         F.size(w) >= 3,
         F.array_distinct(

@@ -266,11 +266,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS name,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(nw) AS BIGINT) AS n_tokens FROM scored
-        UNION ALL SELECT 1, 'quality_gate', count(*), sum(nw) FROM s1
-        UNION ALL SELECT 2, 'exact_dedup', count(*), sum(nw) FROM s2
-        UNION ALL SELECT 3, 'eval_holdout', count(*), sum(nw) FROM s3
-        UNION ALL SELECT 4, 'decontaminate', count(*), sum(nw) FROM s4
-        UNION ALL SELECT 5, 'mixture_sample', count(*), sum(nw) FROM s5
+        UNION ALL SELECT 1, 'quality_gate',
+               CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, 'exact_dedup',
+               CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'eval_holdout',
+               CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'decontaminate',
+               CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s4
+        UNION ALL SELECT 5, 'mixture_sample',
+               CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s5
     ) ORDER BY stage
     """,
 )

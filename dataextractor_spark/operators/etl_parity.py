@@ -396,29 +396,34 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_merge_upsert",
     oracle="""
-    WITH updates AS (
-        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
-        FROM orders WHERE o_orderkey % 10 = 0
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, (cents * 11 + 5) // 10 AS new_cents
+        FROM base WHERE o_orderkey % 10 = 0
     ),
     inserts AS (
         SELECT o_orderkey + 100000000 AS o_orderkey,
-               round(o_totalprice / 2, 2) AS price
-        FROM orders WHERE o_orderkey % 97 = 0
+               (cents + 1) // 2 AS cents
+        FROM base WHERE o_orderkey % 97 = 0
     ),
     merged AS (
         SELECT b.o_orderkey,
-               COALESCE(u.new_price, b.o_totalprice) AS price,
+               COALESCE(u.new_cents, b.cents) AS cents,
                CASE WHEN u.o_orderkey IS NOT NULL
                     THEN 'updated' ELSE 'unchanged' END AS action
-        FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+        FROM base b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
         UNION ALL
-        SELECT o_orderkey, price, 'inserted' FROM inserts
+        SELECT o_orderkey, cents, 'inserted' FROM inserts
     )
     SELECT action,
-           count(*)                 AS n_rows,
-           round(sum(price), 2)     AS total_price,
-           min(o_orderkey)          AS min_key,
-           max(o_orderkey)          AS max_key
+           CAST(count(*) AS BIGINT)           AS n_rows,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS total_price,
+           min(o_orderkey)                    AS min_key,
+           max(o_orderkey)                    AS max_key
     FROM merged
     GROUP BY action
     ORDER BY action
@@ -433,6 +438,15 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     are derived deterministically from the base so the oracle can
     replay the identical merge.
 
+    Money math is integer CENTS end-to-end: ``round(x*1.1, 2)`` on
+    doubles is engine-divergent on half-cent values (Spark BigDecimal
+    HALF_UP on the shortest repr vs DuckDB — the round-3 driver FAIL:
+    155–1500 per-row half-cent disagreements summed into a 3–5 cent
+    hash mismatch). ``(cents*11+5) div 10`` / ``(cents+1) div 2`` are
+    the exact HALF_UP equivalents in BIGINT, identical everywhere, and
+    the aggregate stays exact (sum of cents < 2^53) until ONE final
+    division by 100.0.
+
     Plan shape (what Delta/Iceberg MERGE compiles to, minus the file
     rewrite): one equi-join of base↔updates on the key + a union of
     the insert set. At 100 TB the join shuffles only the UPDATE KEYS
@@ -440,21 +454,24 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched rows, and the whole thing stays one lazy plan — in a
     real lake sink this feeds foreachBatch dynamic-partition
     overwrite (streaming/sinks.py)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+        "o_orderkey", F.expr("(cents * 11 + 5) div 10").alias("new_cents")
     )
     inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
         (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-        F.round(F.col("o_totalprice") / 2, 2).alias("price"),
+        F.expr("(cents + 1) div 2").alias("cents"),
         F.lit("inserted").alias("action"),
     )
     merged = (
         o.join(updates, "o_orderkey", "left")
         .select(
             "o_orderkey",
-            F.coalesce("new_price", "o_totalprice").alias("price"),
-            F.when(F.col("new_price").isNotNull(), F.lit("updated"))
+            F.coalesce("new_cents", "cents").alias("cents"),
+            F.when(F.col("new_cents").isNotNull(), F.lit("updated"))
             .otherwise(F.lit("unchanged"))
             .alias("action"),
         )
@@ -464,7 +481,7 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("action")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("price"), 2).alias("total_price"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )

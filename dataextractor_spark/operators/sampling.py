@@ -730,7 +730,7 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lab AS (
         SELECT user_id, epoch_us(ts) AS us,
-               lo + CAST(0.8 * (hi - lo) AS BIGINT) AS cut
+               lo + CAST(floor(0.8 * (hi - lo)) AS BIGINT) AS cut
         FROM events, b
     ),
     tagged AS (
@@ -781,9 +781,14 @@ def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     lab = e.select("user_id", F.unix_micros("ts").alias("us")).crossJoin(b)
+    # floor() EXPLICITLY on both sides: DuckDB CAST(x AS BIGINT) rounds
+    # to nearest while Spark .cast('long') truncates — at the shipped
+    # fixtures the fractional part is 0.6, so without the floor the two
+    # engines' cut values differ by 1 µs (latent off-by-one flagged in
+    # round-3 advice).
     cut = (
         F.col("lo")
-        + (F.lit(0.8) * (F.col("hi") - F.col("lo"))).cast("long")
+        + F.floor(F.lit(0.8) * (F.col("hi") - F.col("lo"))).cast("long")
     )
     tagged = lab.select(
         "user_id",

@@ -689,14 +689,14 @@ def time_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
            CASE WHEN rev IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
-           round(CASE
+           floor(CASE
                WHEN rev IS NOT NULL THEN rev
                WHEN prev_v IS NULL THEN next_v
                WHEN next_v IS NULL THEN prev_v
                ELSE prev_v + (next_v - prev_v)
                     * date_diff('day', prev_d, d)
                     / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
-           END, 2) AS revenue_interp
+           END * 100 + 0.5) / 100.0 AS revenue_interp
     FROM j
     ORDER BY day
     """,
@@ -755,10 +755,19 @@ def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff("next_d", "prev_d").cast("double")
         )
     )
+    # NOT F.round: Spark rounds via BigDecimal-HALF_UP on the double's
+    # shortest repr while DuckDB rounds the binary value — on
+    # interpolated values that land within an ulp of a half-cent the
+    # two disagree (caught by the strict driver-mode harness at
+    # sf0.01: 483565.27 vs .28). Both engines build bit-identical
+    # doubles for the interpolation expression itself, so
+    # floor(x*100 + 0.5)/100 — pure IEEE ops — rounds identically.
     return j.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.when(F.col("rev").isNotNull(), 0).otherwise(1).alias("interpolated"),
-        F.round(interp, 2).alias("revenue_interp"),
+        (F.floor(interp * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+            "revenue_interp"
+        ),
     ).orderBy("day")
 
 

@@ -1,16 +1,29 @@
 """DuckDB-oracle comparison harness mirroring the driver's check:
-row-count + column names + order-insensitive value comparison
-(with float tolerance so legitimate accumulation-order noise below the
-rounding grain can't flake the suite — the registry convention rounds
-on both sides anyway).
+row-count + column names + order-insensitive value comparison.
+
+Two passes over ONE materialization of each side:
+
+1. *Tolerant* pass (float rel/abs 1e-6) — good diagnostics, immune to
+   legitimate accumulation-order noise below the rounding grain.
+2. *Strict driver-mode* pass — the external driver canonicalizes both
+   results through pandas (``cursor.df()`` / ``DataFrame.toPandas()``),
+   sorts columns by name, sorts rows, and hashes the VALUES INCLUDING
+   their type class. That is why a DuckDB HUGEINT ``sum()`` (pandas
+   float64 ``14892.0``) hash-mismatches a Spark BIGINT (int64
+   ``14892``) even when every value is equal (round-3 verdict,
+   ``pretrain_corpus_recipe``). To surface those artifacts locally, the
+   oracle side is fetched VIA PANDAS here too, and the strict pass
+   compares typed canonical cell reprs exactly.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from dataextractor_spark.catalog import TABLES
 
@@ -22,6 +35,33 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def _to_python(v):
+    """Collapse numpy/pandas scalar wrappers to plain Python values,
+    PRESERVING the int/float/bool/str/datetime type class — the class
+    is part of the driver's hash, so it must survive normalization."""
+    if v is None:
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return None
+        return v.to_pydatetime()
+    if isinstance(v, np.datetime64):
+        return pd.Timestamp(v).to_pydatetime()
+    if isinstance(v, float) and math.isnan(v):
+        return v  # NaN handled downstream
+    return v
+
+
+def _rows_from_pandas(pdf: pd.DataFrame) -> list[tuple]:
+    return [tuple(_to_python(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
 def _norm_cell(v):
@@ -76,18 +116,56 @@ def _close(a, b, rtol=1e-6, atol=1e-6) -> bool:
     return a == b
 
 
+def _strict_cell(v) -> str:
+    """Typed canonical repr — the unit the driver's value hash is built
+    from. ``i:5`` vs ``f:5.0`` MUST differ (that exact divergence broke
+    pretrain_corpus_recipe in round 3); NaN and None are distinct."""
+    if v is None:
+        return "none"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, datetime):
+        return f"t:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def _strict_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_strict_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
 def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
     """Assert the Spark result and DuckDB oracle agree on column names,
-    row count, and (order-insensitively) every value."""
+    row count, every value (tolerantly), AND on the strict typed
+    canonical form the driver hashes."""
     con = duck_connection(sf_dir)
     try:
-        cur = con.execute(sql)
-        oracle_cols = [d[0] for d in cur.description]
-        oracle_rows = cur.fetchall()
+        # .df() — NOT fetchall() — so DuckDB's pandas type mapping
+        # (HUGEINT→float64, DECIMAL→float64) is visible exactly as the
+        # driver sees it.
+        oracle_pdf = con.execute(sql).df()
     finally:
         con.close()
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    oracle_cols = list(oracle_pdf.columns)
+    oracle_rows = _rows_from_pandas(oracle_pdf)
+
+    spark_pdf = spark_df.toPandas()
+    spark_cols = list(spark_pdf.columns)
+    spark_rows = _rows_from_pandas(spark_pdf)
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
@@ -102,4 +180,15 @@ def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
     ]
     assert not mismatches, (
         f"{len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
+
+    # strict driver-mode pass: typed canonical rows must be identical
+    s_strict = _strict_rows(spark_cols, spark_rows)
+    o_strict = _strict_rows(oracle_cols, oracle_rows)
+    diff = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_strict, o_strict)) if a != b
+    ]
+    assert not diff, (
+        "STRICT driver-mode mismatch (values may be equal but typed "
+        f"canonical form differs — e.g. i:5 vs f:5.0); first 3: {diff[:3]}"
     )
