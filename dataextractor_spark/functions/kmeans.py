@@ -169,6 +169,16 @@ def kmeans_fit(
       the partial agg collapses them);
     - larger d: posexplode to (cell, pos, v) + per-(cell,pos) avg —
       expression count stays O(1) however wide the vectors get.
+
+    Operational note for real-scale index builds: each sweep is one
+    driver-scheduled job over the corpus (an IVF+PQ build composes
+    ~a dozen such sweeps). That shape is correct for OFFLINE builds,
+    but at 100 TB the input lineage should be pinned before the loop
+    (localCheckpoint/persist of the projected vector column — the
+    sim_ivfpq_search residual table does exactly this) and, on a real
+    cluster, `spark.cleaner.referenceTracking` plus a checkpoint
+    every few sweeps keeps the lineage and shuffle files from either
+    growing unboundedly or being re-derived after executor loss.
     """
     seeds = (
         vectors.select(id_col, vec_col)

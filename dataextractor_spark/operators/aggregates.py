@@ -1553,3 +1553,121 @@ def agg_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "std_winsorized",
         )
     )
+
+
+@query(
+    "agg_argmax_minby",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 15, '0')
+                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           arg_max(o_orderkey, ord)          AS priciest_key,
+           round(max(o_totalprice), 2)       AS priciest_price,
+           arg_min(o_orderkey, ord)          AS cheapest_key,
+           round(min(o_totalprice), 2)       AS cheapest_price
+    FROM keyed
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min surface (``max_by``/``min_by`` ≙ DuckDB
+    ``arg_max``/``arg_min``): the WHICH-row-wins companion to plain
+    max/min — one hash aggregate, no self-join back to the fact table
+    and no per-group window sort (the two plans this builtin
+    replaces). The ordering value is the fixed-width string
+    ``lpad(cents)||lpad(key)``: lexicographic order on it equals
+    numeric (price, key) order, which makes ties IMPOSSIBLE (the key
+    is unique) and therefore the winner engine-independent — max_by on
+    a raw double with duplicate prices is free to return either row,
+    which is exactly the nondeterminism an oracled query can't carry.
+
+    At 100 TB: partial max_by keeps one (ord, key) pair per group per
+    partition — same mergeable-state shape as max itself."""
+    o = load_table(spark, sf_dir, "orders")
+    ord_s = F.concat(
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            15,
+            "0",
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        o.withColumn("ord", ord_s)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("o_orderkey", F.col("ord")).alias("priciest_key"),
+            F.round(F.max("o_totalprice"), 2).alias("priciest_price"),
+            F.min_by("o_orderkey", F.col("ord")).alias("cheapest_key"),
+            F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               count(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY y),
+    n AS (SELECT sum(nxy) AS n FROM joint)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((nxy::DOUBLE / n) * ln((nxy::DOUBLE * n)
+                 / (nx::DOUBLE * ny::DOUBLE))), 6) AS mutual_info,
+           round(-sum((nxy::DOUBLE / n) * ln(nxy::DOUBLE / n)), 6)
+               AS joint_entropy
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + joint entropy between two categorical
+    columns — the dependence screen of a profiling pass (does order
+    priority carry information about status?), the bivariate
+    companion to text_entropy_kl's univariate entropy.
+
+    Plan: ONE fact scan reduces to the |X|×|Y| joint contingency
+    table; marginals re-aggregate that bounded table (never the fact
+    table) and broadcast back; the MI sum runs over ≤|X|·|Y| rows.
+    At 100 TB the only data-sized work is the first hash aggregate —
+    everything after is cardinality-sized. Float policy: every term
+    is a ratio of exact integer counts, the ~25-term sum drifts only
+    in the last ulp, 6-dp rounding is 7 orders above it."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("n"))
+    j = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    pxy = F.col("nxy").cast("double") / F.col("n")
+    lift = (F.col("nxy").cast("double") * F.col("n")) / (
+        F.col("nx").cast("double") * F.col("ny").cast("double")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(pxy * F.log(lift)), 6).alias("mutual_info"),
+        F.round(-F.sum(pxy * F.log(pxy)), 6).alias("joint_entropy"),
+    )

@@ -800,3 +800,84 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "etl_compaction_binpack",
+    oracle="""
+    WITH files AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS part_month,
+               o_orderpriority AS part_prio,
+               CAST(count(*) * 100 AS BIGINT) AS size_bytes
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    planned AS (
+        SELECT *,
+               COALESCE(sum(size_bytes) OVER (
+                   ORDER BY part_month, part_prio
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 262144 AS grp
+        FROM files
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT)        AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           min(part_month || '/' || part_prio) AS first_file,
+           max(part_month || '/' || part_prio) AS last_file
+    FROM planned
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING — the metadata pass that decides
+    which files merge into which rewrite task (the complement to
+    etl/compaction.py's staged executor: that module rewrites, this
+    query plans). Files are listed in layout order (partition key
+    order, the order a partitioned writer produced them) and packed
+    greedily by cumulative size: file f joins group
+    ⌊cumulative_bytes_before(f) / target⌋ — the streaming first-fit
+    that keeps every group within one file of the target size while
+    PRESERVING locality (a group always holds neighboring partitions,
+    so the rewrite reads contiguous key ranges and the compacted
+    files stay range-prunable).
+
+    The "file listing" is derived from the fixture (one file per
+    (month, priority) partition, size ∝ rows) so the oracle can
+    replay it; in production the input is the transaction-log /
+    listing table. Scale shape: everything here is METADATA-sized —
+    one fact-scan aggregate builds the listing, the cumulative window
+    orders file entries (thousands, not billions), and the group
+    rollup is bounded by the file count. Integer sizes end-to-end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "part_month"
+        ),
+        F.col("o_orderpriority").alias("part_prio"),
+    ).agg((F.count(F.lit(1)) * 100).alias("size_bytes"))
+    # deliberately unpartitioned window: the FILE LISTING is
+    # metadata-bounded (one row per partition-file, not per data row)
+    w = (
+        Window.orderBy("part_month", "part_prio")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    planned = files.withColumn(
+        "grp", F.floor(cum_before / F.lit(262144)).cast("long")
+    )
+    fname = F.concat_ws("/", "part_month", "part_prio")
+    return (
+        planned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.min(fname).alias("first_file"),
+            F.max(fname).alias("last_file"),
+        )
+        .orderBy("grp")
+    )

@@ -265,29 +265,52 @@ def udf_zscore_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch-based → rows-only check
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25_exact,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75_exact,
+           round(quantile_cont(o_totalprice, 0.90), 2) AS p90_exact,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p90
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the 100 TB path for order statistics (fixed
-    memory, no global sort); accuracy vs the exact percentile is
-    asserted in tests/test_scale_paths.py. The four quantiles come out
-    as SCALAR columns (p25..p90), not an array: scalar columns are
-    hashable by any downstream harness and pivot-friendly."""
+    memory, no global sort) — now with a SELF-AUDITING oracle: the
+    sketch value itself can't hash-match a different engine's sketch
+    (Spark's GK summary and DuckDB's quantile_disc disagree by a rank
+    even at accuracy ≫ n — round-2 lesson), so the query emits the
+    EXACT percentiles (oracle-checkable, same idiom as
+    agg_percentiles) plus one boolean per quantile asserting the
+    approx value sits within 0.5% of the exact one — the same bound
+    tests/test_scale_paths.py pins. The oracle pins those booleans to
+    TRUE, so a sketch drifting out of tolerance is a driver-visible
+    hash FAIL, not an unchecked rows-only row."""
     o = load_table(spark, sf_dir, "orders")
-    pcts = (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.9], 10000).alias(
-                "pcts"
-            )
-        )
+    probs = [0.25, 0.5, 0.75, 0.9]
+    names = ["p25", "p50", "p75", "p90"]
+    g = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", probs, 10000).alias("apx"),
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in probs])
+        ).alias("ext"),
     )
-    return pcts.select(
-        "o_orderstatus",
-        F.round(F.element_at("pcts", 1), 2).alias("p25"),
-        F.round(F.element_at("pcts", 2), 2).alias("p50"),
-        F.round(F.element_at("pcts", 3), 2).alias("p75"),
-        F.round(F.element_at("pcts", 4), 2).alias("p90"),
-    ).orderBy("o_orderstatus")
+    cols = [
+        F.round(F.element_at("ext", i + 1), 2).alias(f"{n}_exact")
+        for i, n in enumerate(names)
+    ] + [
+        (
+            F.abs(F.element_at("apx", i + 1) - F.element_at("ext", i + 1))
+            <= 0.005 * F.abs(F.element_at("ext", i + 1))
+        ).alias(f"ok_{n}")
+        for i, n in enumerate(names)
+    ]
+    return g.select("o_orderstatus", *cols).orderBy("o_orderstatus")
 
 
 @query(
