@@ -118,6 +118,10 @@ HEADLINE = [
     "etl_snapshot_diff",
     "agg_regression_trend",
     "join_asof_nearest",
+    "graph_triangle_count",  # r4 SHUFFLE_HASH rewrite: pin the <20s claim
+    "agg_argmax_minby",
+    "agg_mutual_information",
+    "etl_compaction_binpack",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -815,10 +815,12 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     planned AS (
         SELECT *,
-               COALESCE(sum(size_bytes) OVER (
+               -- CAST: DuckDB's windowed sum is HUGEINT and HUGEINT //
+               -- materializes as float64 in pandas; Spark side is int64
+               CAST(COALESCE(sum(size_bytes) OVER (
                    ORDER BY part_month, part_prio
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 262144 AS grp
+               ), 0) // 262144 AS BIGINT) AS grp
         FROM files
     )
     SELECT grp,

@@ -269,10 +269,10 @@ def udf_zscore_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.25), 2) AS p25_exact,
-           round(quantile_cont(o_totalprice, 0.50), 2) AS p50_exact,
-           round(quantile_cont(o_totalprice, 0.75), 2) AS p75_exact,
-           round(quantile_cont(o_totalprice, 0.90), 2) AS p90_exact,
+           floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100.0 AS p25_exact,
+           floor(quantile_cont(o_totalprice, 0.50) * 100 + 0.5) / 100.0 AS p50_exact,
+           floor(quantile_cont(o_totalprice, 0.75) * 100 + 0.5) / 100.0 AS p75_exact,
+           floor(quantile_cont(o_totalprice, 0.90) * 100 + 0.5) / 100.0 AS p90_exact,
            TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p90
     FROM orders
     GROUP BY o_orderstatus
@@ -300,8 +300,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", F.array(*[F.lit(p) for p in probs])
         ).alias("ext"),
     )
+    # floor(x*100+0.5)/100, not F.round: interpolated quantiles are
+    # doubles that can land within an ulp of a half-cent, where Spark's
+    # BigDecimal-HALF_UP and DuckDB's binary rounding disagree — the
+    # same engine-divergence time_interpolate_linear hit. Pure IEEE
+    # ops round identically in both engines (values here are positive).
     cols = [
-        F.round(F.element_at("ext", i + 1), 2).alias(f"{n}_exact")
+        (F.floor(F.element_at("ext", i + 1) * 100 + F.lit(0.5)) / F.lit(100.0))
+        .alias(f"{n}_exact")
         for i, n in enumerate(names)
     ] + [
         (

@@ -57,118 +57,53 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # -- changed this round / new / previously failing --
-    # Rows-only entries are mostly deferred below the prefix boundary:
-    # a driver rows-only row only proves the query EXECUTES, which the
-    # repo's pytest already shows — a prefix slot spent on one buys
-    # less evidence than an oracled hash row for a stale family. Two
-    # exceptions stay up top: agg_approx_percentile (the round-2 FAIL
-    # whose fix must produce a green row) and sim_ivfpq_search (this
-    # round's composed-index capstone).
-    "agg_approx_percentile",      # r2 FAIL: array col → now scalar p25..p90
-    "window_deciles",             # plan rewritten: two-pass ranked ntile
-    "profile_constraint_checks",  # plan rewritten: one lazy job
-    "rest_paged_scan",            # new: cursor-paginated REST fetch
-    "join_bucketed_colocated",    # new: zero-exchange bucketed join
-    "join_salted_skew",           # new: explicit skew-salt join
-    "text_chunk_documents",       # new: overlap chunking, md5-pinned
-    "source_corrupt_records",     # new: PERMISSIVE quarantine contract
-    "sample_uniform_k",           # new: md5-ranked portable k-sample
-    "sample_split_groupsafe",     # new: leakage-safe group split
-    "udtf_bigram_explode",        # new: Python UDTF via LATERAL
-    "text_bpe_pretokenize",       # new: GPT-2-style pretoken counts
-    "text_pii_redact",            # new: PII find/replace, content-pinned
-    "text_gopher_filters",        # new: per-rule quality reject funnel
-    "subquery_scalar_correlated", # new: TPC-H-Q2-shape scalar subquery
-    "etl_merge_upsert",           # new: MERGE semantics, per-action audit
-    "graph_pagerank",             # new: fixed-sweep PageRank, unrolled oracle
-    "dedup_span_extract",         # new: maximal duplicated-span islands
-    "text_decontaminate",         # new: train/eval 8-gram overlap gate
-    "sample_mixture_weights",     # new: domain-mixture quota resampling
-    "text_unigram_logprob",       # new: CCNet-style LM perplexity gate
-    "sample_shard_shuffle",       # new: portable shard permutation + pin
-    "etl_zorder_layout",          # new: Morton-code layout audit
-    "graph_triangle_count",       # new: degree-oriented triangle count
-    "text_collapse_repeats",      # new: stutter-run squeeze, content-pinned
-    "text_pmi_bigrams",           # new: PMI collocation mining
-    "agg_bloom_filter_audit",     # new: relational bloom w/ measured FP rate
-    "sample_weighted_ares",       # new: portable weighted reservoir sample
-    "agg_anomaly_mad",            # new: median/MAD modified z-score outliers
-    "text_entropy_kl",            # new: per-source entropy + KL domain shift
-    "join_range_bucketed",        # new: keyless range join via bucket replication
-    "sim_ivfpq_search",           # new: IVF+PQ capstone (rows-only)
-    # -- never externally verified (must stay inside the 50-window) --
-    "sort_limit_topk",
-    "union_except_intersect",
-    "sample_stratified",          # also upgraded to an oracled query this round
-    "profile_table",
-    # -- new in the round-3 fifth batch (all oracled) --
-    "agg_bitmap_distinct",        # new: exact mergeable bitmap distinct
-    "profile_drift_psi",          # new: PSI distribution-drift monitor
-    "time_downsample_ohlc",       # new: per-series OHLC candle rollup
-    "dedup_fuzzy_names",          # new: length-banded edit-distance dictionary dedup
-    "agg_ks_drift",               # new: binned two-sample KS drift statistic
-    "text_source_vocab_overlap",  # new: pairwise source vocabulary Jaccard
-    "join_asof_next_purchase",    # new: forward as-of attribution, one window
-    "agg_weighted_median",        # new: exact weighted quantiles per supplier
-    "pretrain_corpus_recipe",     # new: composed corpus-build funnel, one pass
-    "text_bm25_search",           # new: BM25 keyword retrieval, inverted-index shape
-    "scalar_bitwise_funcs",       # new: bit masks/shifts/popcount + bit aggregates
-    "window_value_range_frame",   # new: numeric-distance RANGE frame
-    "multimodal_audio_features",  # new: WAV decode → loudness stats, closed-form oracle
-    "etl_incremental_agg_merge",  # new: state+batch aggregate merge ≡ recompute
-    "source_orc_roundtrip",       # new: ORC sink/scan loss-free roundtrip
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    "agg_higher_moments",         # new: shape stats from mergeable power sums
-    "scalar_conditional_funcs",   # new: null-guard scalar surface
-    "text_hashed_linear_score",   # new: hashed-feature classifier gate
-    # -- round-3 sixth batch (all oracled; queue for the next window) --
-    "time_sliding_distinct_users",  # new: rolling 7-day distinct actives
-    "time_ewma_smooth",             # new: closed-form EWMA, one hash agg
-    "time_interpolate_linear",      # new: linear gap interpolation
-    "join_scd2_point_in_time",      # new: temporal join vs SCD2 validity
-    "agg_countmin_heavyhitters",    # new: count-min sketch w/ visible error
-    "dedup_shingle_containment",    # new: directional near-dup, prefix filter
-    "text_bigram_lm_ppl",           # new: interpolated bigram LM gate
-    "sample_temporal_split_embargo",  # new: purged time split audit
-    "etl_snapshot_diff",            # new: lakehouse snapshot change classes
-    "agg_regression_trend",         # new: mergeable per-group OLS trend
-    "join_asof_nearest",            # new: bidirectional as-of, one window
-    "text_url_canonicalize",        # new: URL canon dedup, dual parsers
-    "time_session_paths",           # new: session path mining, ordered agg
-    "agg_histogram_quantile_sketch",  # new: oracled mergeable quantiles
-    "set_ops_all_multiplicity",     # new: INTERSECT/EXCEPT ALL bag semantics
-    "join_null_safe_eq",            # new: <=> vs = NULL-key join audit
-    "agg_winsorize_stats",          # new: tail-clamped robust moments
-    "time_calendar_dim_join",       # new: generated calendar dim join
-    # (the r1-green stale-recheck families below were displaced past
-    # the boundary by this round's new oracled queries — a first-ever
-    # driver row for a new query outranks a stale recheck of an
-    # unchanged r1-green plan; the stale families queue first for the
-    # next round's window)
-    # -- r2-modified or r1-stale families: joins, dedup, aggregates --
-    "join_asof_latest_order",     # merge-form rewrite (r2), pytest-green
-    "join_star_revenue",
-    "join_broadcast_dim",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_theta_size_bands",
-    "join_full_outer_daily_activity",
-    "join_right_outer_order_counts",
-    "join_cross_grid_revenue",
-    "join_selfpair_parts",
-    "join_interval_overlap_activity",
-    "join_literal_map_dim",
-    "dedup_exact",
-    "dedup_canonical_pick",
-    "dedup_jaccard_pairs",
-    "dedup_shingle_jaccard",
-    "dedup_components",
-    "dedup_simhash",
-    "dedup_incremental_ingest",
-    # -- new-this-round rows-only entries (deferred — see note above;
-    #    each is contract-tested in pytest) --
-    "dedup_minhash_lsh",          # audit now out-of-band sentinel row
+    # ================= round-5 prefix (50 slots) =================
+    # Goal: drain the never-checked backlog (36 queries after round 4
+    # shipped an out-of-sync schedule and earned zero driver rows) and
+    # earn first post-fix rows for the six round-4 repairs. Order: the
+    # three round-4 queries that broke the schedule; the six locally-
+    # verified fixes; source_orc_roundtrip (slot-51 off-by-one victim
+    # two rounds running); the never-checked sixth-batch oracled
+    # queries; the three just-below-boundary never-checked; the twelve
+    # deferred rows-only entries; stale r1 as-of/dedup rechecks fill
+    # the tail.
+    # -- round-4 additions (were registered but unscheduled — the
+    #    defect that emptied CORRECTNESS_r04) --
+    "agg_argmax_minby",           # new r4: max_by/min_by single hash agg
+    "agg_mutual_information",     # new r4: MI from bounded contingency table
+    "etl_compaction_binpack",     # new r4: greedy small-file compaction plan
+    # -- round-4 fixes, locally hash-green, need a post-fix driver row --
+    "etl_merge_upsert",           # r3 FAIL → integer-cents fix (58da761)
+    "pretrain_corpus_recipe",     # r3 FAIL → BIGINT casts in UNION branches
+    "agg_approx_percentile",      # upgraded to self-auditing oracle
+    "time_interpolate_linear",    # rounding-idiom fix
+    "sample_temporal_split_embargo",  # cut-rounding fix
+    "dedup_shingle_containment",  # zero-word fix
+    # -- never-checked (slot-51 casualty twice) --
+    "source_orc_roundtrip",       # ORC sink/scan loss-free roundtrip
+    # -- round-3 sixth batch, all oracled, never driver-checked --
+    "time_sliding_distinct_users",  # rolling 7-day distinct actives
+    "time_ewma_smooth",             # closed-form EWMA, one hash agg
+    "join_scd2_point_in_time",      # temporal join vs SCD2 validity
+    "agg_countmin_heavyhitters",    # count-min sketch w/ visible error
+    "text_bigram_lm_ppl",           # interpolated bigram LM gate
+    "etl_snapshot_diff",            # lakehouse snapshot change classes
+    "agg_regression_trend",         # mergeable per-group OLS trend
+    "join_asof_nearest",            # bidirectional as-of, one window
+    "text_url_canonicalize",        # URL canon dedup, dual parsers
+    "time_session_paths",           # session path mining, ordered agg
+    "agg_histogram_quantile_sketch",  # oracled mergeable quantiles
+    "set_ops_all_multiplicity",     # INTERSECT/EXCEPT ALL bag semantics
+    "join_null_safe_eq",            # <=> vs = NULL-key join audit
+    "agg_winsorize_stats",          # tail-clamped robust moments
+    "time_calendar_dim_join",       # generated calendar dim join
+    "agg_higher_moments",           # shape stats from mergeable power sums
+    "scalar_conditional_funcs",     # null-guard scalar surface
+    "text_hashed_linear_score",     # hashed-feature classifier gate
+    # -- never-checked rows-only entries (each contract-tested in
+    #    pytest; a driver rows-only row closes the "never executed
+    #    under the driver" gap even without a hash) --
+    "dedup_minhash_lsh",          # audit via out-of-band sentinel row
     "sim_ann_ivf_kmeans",         # learned-codebook IVF
     "agg_hll_sketch_merge",       # mergeable distinct sketches
     "agg_frequent_items",         # one-pass heavy hitters
@@ -180,6 +115,75 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_recall_eval",            # recall@5 gate for the LSH index
     "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
     "time_sliding_distinct_hll",  # sketch-over-window scale path
+    # -- stale rechecks: r2-rewritten as-of + r1-era dedup family --
+    "join_asof_latest_order",     # merge-form rewrite (r2), pytest-green
+    "graph_triangle_count",       # r4 SHUFFLE_HASH closing-join rewrite
+    "dedup_exact",
+    "dedup_canonical_pick",
+    "dedup_jaccard_pairs",
+    "dedup_shingle_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_incremental_ingest",
+    "join_star_revenue",          # slot 50 — r1-stale star-join recheck
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- r1/r2/r3-green, stale rechecks queue here for later windows --
+    "join_broadcast_dim",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_theta_size_bands",
+    "join_full_outer_daily_activity",
+    "join_right_outer_order_counts",
+    "join_cross_grid_revenue",
+    "join_selfpair_parts",
+    "join_interval_overlap_activity",
+    "join_literal_map_dim",
+    "window_deciles",             # r3-green: two-pass ranked ntile
+    "profile_constraint_checks",  # r3-green: one lazy job
+    "rest_paged_scan",            # r3-green: cursor-paginated REST fetch
+    "join_bucketed_colocated",    # r3-green: zero-exchange bucketed join
+    "join_salted_skew",           # r3-green: explicit skew-salt join
+    "text_chunk_documents",       # r3-green: overlap chunking, md5-pinned
+    "source_corrupt_records",     # r3-green: PERMISSIVE quarantine contract
+    "sample_uniform_k",           # r3-green: md5-ranked portable k-sample
+    "sample_split_groupsafe",     # r3-green: leakage-safe group split
+    "udtf_bigram_explode",        # r3-green: Python UDTF via LATERAL
+    "text_bpe_pretokenize",       # r3-green: GPT-2-style pretoken counts
+    "text_pii_redact",            # r3-green: PII find/replace, content-pinned
+    "text_gopher_filters",        # r3-green: per-rule quality reject funnel
+    "subquery_scalar_correlated", # r3-green: TPC-H-Q2-shape scalar subquery
+    "graph_pagerank",             # r3-green: fixed-sweep PageRank
+    "dedup_span_extract",         # r3-green: maximal duplicated-span islands
+    "text_decontaminate",         # r3-green: train/eval 8-gram overlap gate
+    "sample_mixture_weights",     # r3-green: domain-mixture quota resampling
+    "text_unigram_logprob",       # r3-green: CCNet-style LM perplexity gate
+    "sample_shard_shuffle",       # r3-green: portable shard permutation + pin
+    "etl_zorder_layout",          # r3-green: Morton-code layout audit
+    "text_collapse_repeats",      # r3-green: stutter-run squeeze
+    "text_pmi_bigrams",           # r3-green: PMI collocation mining
+    "agg_bloom_filter_audit",     # r3-green: relational bloom w/ FP rate
+    "sample_weighted_ares",       # r3-green: portable weighted reservoir
+    "agg_anomaly_mad",            # r3-green: median/MAD outliers
+    "text_entropy_kl",            # r3-green: entropy + KL domain shift
+    "join_range_bucketed",        # r3-green: keyless range join
+    "sim_ivfpq_search",           # r3 rows-only: IVF+PQ capstone
+    "sort_limit_topk",            # r3-green
+    "union_except_intersect",     # r3-green
+    "sample_stratified",          # r3-green oracled
+    "profile_table",              # r3-green
+    "agg_bitmap_distinct",        # r3-green: exact mergeable bitmap distinct
+    "profile_drift_psi",          # r3-green: PSI distribution-drift monitor
+    "time_downsample_ohlc",       # r3-green: per-series OHLC candle rollup
+    "dedup_fuzzy_names",          # r3-green: edit-distance dictionary dedup
+    "agg_ks_drift",               # r3-green: binned two-sample KS drift
+    "text_source_vocab_overlap",  # r3-green: pairwise vocabulary Jaccard
+    "join_asof_next_purchase",    # r3-green: forward as-of attribution
+    "agg_weighted_median",        # r3-green: exact weighted quantiles
+    "text_bm25_search",           # r3-green: BM25 keyword retrieval
+    "scalar_bitwise_funcs",       # r3-green: bit masks/shifts/popcount
+    "window_value_range_frame",   # r3-green: numeric-distance RANGE frame
+    "multimodal_audio_features",  # r3-green: WAV decode → loudness stats
+    "etl_incremental_agg_merge",  # r3-green: agg merge ≡ recompute
     # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",

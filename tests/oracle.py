@@ -43,6 +43,11 @@ def _to_python(v):
     is part of the driver's hash, so it must survive normalization."""
     if v is None:
         return None
+    # NaT FIRST: pd.NaT is NOT an instance of pd.Timestamp, so inside
+    # the isinstance chain the check was dead code and NaT only
+    # compared equal by accidental repr symmetry.
+    if v is pd.NaT:
+        return None
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
@@ -50,8 +55,6 @@ def _to_python(v):
     if isinstance(v, (np.bool_,)):
         return bool(v)
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return None
         return v.to_pydatetime()
     if isinstance(v, np.datetime64):
         return pd.Timestamp(v).to_pydatetime()

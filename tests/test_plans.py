@@ -18,6 +18,39 @@ from dataextractor_spark.registry import load_all
 from tests.conftest import SF_SMALL
 
 
+def test_triangle_closing_join_is_shuffle_hash(spark):
+    """The triangle closing check must be a SHUFFLE_HASH left-semi join
+    (edges build, wedges stream). Under sort-merge the wedge-side sort
+    spilled hundreds of segment files per task and OOMed a default-1g
+    heap in the spill-merge buffers; the hash build has nothing to
+    sort. This pins the r4 rewrite so a hint regression is visible."""
+    df = load_all()["graph_triangle_count"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "ShuffledHashJoin" in plan, plan
+    # the semi join specifically must not have regressed to sort-merge
+    for line in plan.splitlines():
+        if "LeftSemi" in line:
+            assert "SortMergeJoin" not in line, plan
+
+
+def test_coverage_md_count_matches_registry():
+    """COVERAGE.md's header count has drifted from the registry two
+    rounds running (177 vs 180, then 180 vs 183). Pin it: the first
+    line's 'N registry queries (M DuckDB-oracled, K rows-only' must
+    equal load_all() reality."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(r"(\d+) registry queries \((\d+) DuckDB-oracled, (\d+) rows-only", text)
+    assert m, "COVERAGE.md header count line not found"
+    qs = load_all()
+    oracled = sum(1 for s in qs.values() if s.oracle)
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(qs), oracled, len(qs) - oracled,
+    ), f"COVERAGE.md says {m.groups()}, registry has ({len(qs)}, {oracled}, {len(qs) - oracled})"
+
+
 def test_flagship_pushes_filters_and_prunes(spark):
     df = load_all()["flagship_pricing_summary"].fn(spark, SF_SMALL)
     pf = " ".join(pushed_filters(df))
@@ -303,6 +336,9 @@ UNPARTITIONED_WINDOW_OK = {
                                 # the 32-row per-range-partition offset table
     "etl_zorder_layout",        # z-bucket audit: fixed bucket grid
     "text_pmi_bigrams",         # top-20 selection over min-count bigrams
+    "etl_compaction_binpack",   # cumulative window over the FILE LISTING
+                                # (one row per partition-file) — metadata-
+                                # bounded, never data rows
 }
 
 
