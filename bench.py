@@ -122,6 +122,23 @@ HEADLINE = [
     "agg_argmax_minby",
     "agg_mutual_information",
     "etl_compaction_binpack",
+    # -- round-5 seventh batch --
+    "agg_chi_square_independence",
+    "agg_gini_concentration",
+    "agg_survival_km",
+    "agg_rfm_segments",
+    "agg_benford_digit_audit",
+    "window_pctrank_cumedist",
+    "funnel_conversion",
+    "join_cdc_apply",
+    "time_changepoint_cusum",
+    "time_markov_transitions",
+    "sample_bootstrap_ci",
+    "agg_hhi_concentration",
+    "time_seasonal_anomaly",
+    "time_interval_coverage",
+    "graph_degree_distribution",
+    "etl_vacuum_retention_plan",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1,0 +1,603 @@
+"""Behavioral / event-sequence operators — round-5 seventh batch
+(part 2), over the ``events`` stream table.
+
+The reference's README promises event-timeline and player-behavior
+analyses (reference README.md:31-35); these are the sequence-shaped
+operators that family needs beyond plain time windows: ordered funnel
+conversion, CDC change-feed application (the streaming sibling of
+etl_merge_upsert's MERGE), CUSUM changepoint detection on the daily
+series, and first-order Markov transition estimation between event
+types.
+
+Determinism: event ordering is always the total order (ts, event_id);
+where an ordering value feeds max_by/arg_max it is the fixed-width
+string ``lpad(epoch_us)||lpad(event_id)`` so lexicographic == (ts,
+event_id) and ties are impossible. Daily value series are summed as
+integer cents so running sums are exact and argmax days are
+engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+def _ord():
+    """Fixed-width (ts, event_id) ordering string — lexicographic
+    order equals event-time order, ties impossible (event_id unique).
+    Built lazily: column construction needs an active session."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+_ORD_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c)::DOUBLE
+                 / nullif((SELECT count(*) FROM v), 0), 6) AS rate_click,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / nullif((SELECT count(*) FROM c), 0), 6) AS rate_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view → click → purchase: a user
+    counts at step k only if their first step-k event happens STRICTLY
+    AFTER their first step-(k−1) qualifying event — the
+    order-sensitive funnel every product-analytics engine ships, and
+    the thing a naive "users who did all three" semi-join chain gets
+    wrong.
+
+    Plan: per-step hash aggregate on user_id, then a user-keyed hash
+    join to gate the next step — three aggregates and two key-key
+    joins, all partitioned on user_id (Spark reuses the hash
+    partitioning across the chain), closing with three 1-row
+    broadcasts. No windows, no per-user event sorting: each step only
+    needs the MIN qualifying timestamp, which is mergeable state. At
+    100 TB this is three map-side-combinable passes over the event
+    type partitions of the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = F.broadcast(v.agg(F.count(F.lit(1)).cast("long").alias("n_view")))
+    nc = F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n_click")))
+    np_ = F.broadcast(
+        p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+    )
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double")
+                / F.nullif(F.col("n_view"), F.lit(0)),
+                6,
+            ).alias("rate_click"),
+            F.round(
+                F.col("n_purchase").cast("double")
+                / F.nullif(F.col("n_click"), F.lit(0)),
+                6,
+            ).alias("rate_purchase"),
+        )
+    )
+
+
+@query(
+    "join_cdc_apply",
+    oracle=f"""
+    WITH feed AS (
+        SELECT user_id, value, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+               {_ORD_SQL} AS ord
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                      AS n_changes,
+           CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                AS BIGINT)                               AS n_deletes,
+           arg_max(op, ord)                              AS last_op,
+           arg_max(value, ord)                           AS last_value,
+           strftime(arg_max(ts, ord), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           (arg_max(op, ord) <> 'D')                     AS is_live
+    FROM feed GROUP BY user_id ORDER BY user_id
+    """,
+)
+def join_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed application: interpret the event stream as a
+    keyed change feed (signup→INSERT, error→DELETE, everything
+    else→UPDATE) and materialize the final per-key state — the
+    "apply changes" half of a CDC pipeline, and the set-based sibling
+    of etl_merge_upsert (MERGE applies ONE batch against a target;
+    CDC-apply folds an ARBITRARILY LONG ordered feed in one
+    aggregate).
+
+    Latest-wins resolution is a single hash aggregate with mergeable
+    max_by state keyed on the fixed-width (epoch_us, event_id)
+    ordering string — NO window sort over the feed and no iterative
+    per-batch loop, so 100 TB of changes fold in one shuffle on the
+    key. Deleted keys surface with is_live=false (an audit row)
+    rather than vanishing, so the output is a full apply report."""
+    e = load_table(spark, sf_dir, "events")
+    feed = e.select(
+        "user_id",
+        "value",
+        "ts",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        _ord().alias("ord"),
+    )
+    return (
+        feed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+            .cast("long")
+            .alias("n_deletes"),
+            F.max_by("op", F.col("ord")).alias("last_op"),
+            F.max_by("value", F.col("ord")).alias("last_value"),
+            F.date_format(
+                F.max_by("ts", F.col("ord")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_ts"),
+            (F.max_by("op", F.col("ord")) != F.lit("D")).alias("is_live"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "time_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v_cents
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx,
+               CAST(sum(v_cents) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS run,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               CAST(sum(v_cents) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total
+        FROM daily
+    ),
+    sc AS (
+        SELECT event_type, day, n_days,
+               abs(n_days * run - idx * total) AS abs_nc,
+               lpad(CAST(abs(n_days * run - idx * total) AS VARCHAR), 20, '0')
+                 || lpad(CAST(n_days - idx AS VARCHAR), 10, '0') AS ord
+        FROM w
+    )
+    SELECT event_type,
+           CAST(max(n_days) AS BIGINT) AS n_days,
+           floor(CAST(max(abs_nc) AS BIGINT)
+                 / (100.0 * max(n_days)) * 10000 + 0.5) / 10000.0
+               AS cusum_max,
+           strftime(arg_max(day, ord), '%Y-%m-%d') AS change_day
+    FROM sc GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the per-type daily value series:
+    the day where the cumulative deviation from the series mean peaks
+    is the classic single-changepoint estimate (Page's CUSUM), the
+    monitoring primitive behind "when did this metric's level shift?".
+
+    All arithmetic is EXACT integers: with daily cents vᵢ, n·CUSUM(d)
+    = n·Σ_{i≤d}vᵢ − d·Σvᵢ — scaling by n clears the mean's division,
+    so the argmax day is integer-determined (no float comparison can
+    flip it between engines); the reported magnitude divides back to
+    value units only at the end. Ties break toward the earliest day
+    via the fixed-width (|n·CUSUM|, n−idx) ordering string.
+
+    Plan: one fact scan → per-(type, day) aggregate; every window runs
+    over that date-range-bounded table partitioned by event_type. At
+    100 TB the window input stays calendar-sized regardless of event
+    volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v_cents")
+    )
+    by_type = Window.partitionBy("event_type")
+    by_day = by_type.orderBy("day")
+    w = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(by_day).cast("long").alias("idx"),
+        F.sum("v_cents")
+        .over(by_day.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("run"),
+        F.count(F.lit(1)).over(by_type).cast("long").alias("n_days"),
+        F.sum("v_cents").over(by_type).cast("long").alias("total"),
+    )
+    abs_nc = F.abs(
+        F.col("n_days") * F.col("run") - F.col("idx") * F.col("total")
+    )
+    sc = w.select(
+        "event_type",
+        "day",
+        "n_days",
+        abs_nc.alias("abs_nc"),
+        F.concat(
+            F.lpad(abs_nc.cast("string"), 20, "0"),
+            F.lpad((F.col("n_days") - F.col("idx")).cast("string"), 10, "0"),
+        ).alias("ord"),
+    )
+    return (
+        sc.groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            (
+                F.floor(
+                    F.max("abs_nc")
+                    / (F.lit(100.0) * F.max("n_days"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("cusum_max"),
+            F.date_format(F.max_by("day", F.col("ord")), "yyyy-MM-dd").alias(
+                "change_day"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "time_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    trans AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    tot AS (
+        SELECT prev, CAST(sum(n_trans) AS BIGINT) AS n_from
+        FROM trans GROUP BY prev
+    )
+    SELECT t.prev AS prev_type, t.cur AS cur_type, t.n_trans,
+           round(t.n_trans::DOUBLE / tot.n_from, 6) AS p_trans
+    FROM trans t JOIN tot ON t.prev = tot.prev
+    ORDER BY prev_type, cur_type
+    """,
+)
+def time_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition-probability estimation between
+    event types over each user's (ts, event_id)-ordered stream — the
+    model behind next-action prediction and behavioral-anomaly
+    scoring, and the probabilistic summary of time_session_paths'
+    literal path strings.
+
+    Plan: ONE per-user window pass (lag over the user partition — the
+    natural event partitioning, no global sort), then two hash
+    aggregates over the |types|² bounded transition table; row
+    probabilities join back via the bounded per-prev totals. Output
+    is ≤|types|² rows at any data volume, and every probability is a
+    ratio of exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+        .localCheckpoint(eager=False)
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(F.broadcast(tot), "prev")
+        .select(
+            F.col("prev").alias("prev_type"),
+            F.col("cur").alias("cur_type"),
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_from"), 6
+            ).alias("p_trans"),
+        )
+        .orderBy("prev_type", "cur_type")
+    )
+
+
+@query(
+    "time_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+        SELECT event_type, isodow(day) - 1 AS wd,
+               CAST(count(*) AS BIGINT) AS n_wk,
+               CAST(sum(v) AS BIGINT) AS sx,
+               CAST(sum(v * v) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           w.n_wk,
+           d.v / 100.0 AS v_value,
+           round(w.sx::DOUBLE / w.n_wk / 100.0, 4) AS baseline,
+           CASE WHEN w.n_wk >= 2 AND w.n_wk * w.sxx - w.sx * w.sx > 0
+                THEN round((w.n_wk * d.v - w.sx)
+                           / sqrt(CAST(w.n_wk AS DOUBLE)
+                                  * (w.n_wk * w.sxx - w.sx * w.sx)
+                                  / (w.n_wk - 1)), 4)
+           END AS z,
+           (w.n_wk >= 2 AND (
+               (w.n_wk * w.sxx - w.sx * w.sx = 0
+                AND w.n_wk * d.v - w.sx <> 0)
+               OR (w.n_wk - 1) * (w.n_wk * d.v - w.sx)
+                  * (w.n_wk * d.v - w.sx)
+                  > 4 * w.n_wk * (w.n_wk * w.sxx - w.sx * w.sx)
+           )) AS is_anomaly
+    FROM daily d JOIN wk w
+      ON d.event_type = w.event_type AND isodow(d.day) - 1 = w.wd
+    ORDER BY d.event_type, day
+    """,
+)
+def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-seasonal anomaly detection on the per-type daily value
+    series: each day is scored against ITS WEEKDAY's distribution
+    (Mondays vs other Mondays), which is how production monitoring
+    avoids paging on every weekend dip — the seasonal companion to
+    time_changepoint_cusum's level-shift detector.
+
+    The anomaly FLAG is decided in pure integer arithmetic: |z| > 2
+    ⟺ (n−1)·(n·v−Σx)² > 4·n·(n·Σx²−(Σx)²) after clearing all
+    divisions — a float z-score comparison at the 2.0 boundary could
+    flip between engines on one ulp, but an integer inequality
+    cannot. The displayed z is float (deterministic: computed from
+    exact integers in one expression) and rounds to 4 dp; zero-
+    variance weekdays yield NULL z and anomaly-if-any-deviation.
+
+    Plan: one fact scan → calendar-bounded daily table; weekday
+    statistics re-aggregate that bounded table and BROADCAST back
+    (≤ |types|×7 rows); everything downstream is calendar-sized. At
+    100 TB only the first aggregate touches data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    wd = F.weekday(F.col("day")).cast("long")
+    wk = (
+        daily.groupBy("event_type", wd.alias("wd"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_wk"),
+            F.sum("v").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        )
+    )
+    j = daily.withColumn("wd", wd).join(F.broadcast(wk), ["event_type", "wd"])
+    num = F.col("n_wk") * F.col("v") - F.col("sx")
+    ssq = F.col("n_wk") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_wk",
+            (F.col("v") / F.lit(100.0)).alias("v_value"),
+            F.round(
+                F.col("sx").cast("double") / F.col("n_wk") / F.lit(100.0), 4
+            ).alias("baseline"),
+            F.when(
+                (F.col("n_wk") >= 2) & (ssq > 0),
+                F.round(
+                    num
+                    / F.sqrt(
+                        F.col("n_wk").cast("double")
+                        * ssq
+                        / (F.col("n_wk") - 1)
+                    ),
+                    4,
+                ),
+            ).alias("z"),
+            (
+                (F.col("n_wk") >= 2)
+                & (
+                    ((ssq == 0) & (num != 0))
+                    | ((F.col("n_wk") - 1) * num * num > 4 * F.col("n_wk") * ssq)
+                )
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "time_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT DISTINCT l_suppkey,
+               CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                    AS BIGINT) AS start_d
+        FROM lineitem
+    ),
+    flagged AS (
+        SELECT l_suppkey, start_d, start_d + 7 AS end_d,
+               CASE WHEN max(start_d + 7) OVER (
+                        PARTITION BY l_suppkey ORDER BY start_d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR start_d >= max(start_d + 7) OVER (
+                        PARTITION BY l_suppkey ORDER BY start_d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islanded AS (
+        SELECT *,
+               CAST(sum(new_island) OVER (
+                   PARTITION BY l_suppkey ORDER BY start_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT l_suppkey, island,
+               CAST(count(*) AS BIGINT) AS n_iv,
+               min(start_d) AS i_start,
+               max(end_d) AS i_end
+        FROM islanded GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           CAST(sum(n_iv) AS BIGINT)              AS n_intervals,
+           CAST(count(*) AS BIGINT)               AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT)   AS covered_days,
+           CAST(max(i_end) - min(i_start) AS BIGINT) AS span_days,
+           round(CAST(sum(i_end - i_start) AS BIGINT)::DOUBLE
+                 / (max(i_end) - min(i_start)), 6) AS coverage_ratio
+    FROM islands
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def time_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per supplier (gaps-and-islands): merge
+    each supplier's overlapping 7-day shipment-activity windows into
+    maximal islands, then report merged coverage vs total span — the
+    "how much of the timeline is actually covered, counting overlaps
+    once" operator behind SLA/uptime math and validity-interval
+    auditing; the generic-interval sibling of dedup_span_extract's
+    token-position islands.
+
+    Islands form in ONE supplier-partitioned window pass: an interval
+    starts a new island iff its start clears the running max end of
+    every EARLIER interval (ties are irrelevant: equal starts share
+    the same 7-day end, so island membership is order-independent
+    within a tie). All arithmetic is integer epoch-days.
+
+    Plan: DISTINCT on (supplier, day) first — the window input is at
+    most |suppliers|×|days| rows regardless of lineitem volume —
+    then two bounded aggregates. Supplier keys hash-spread the
+    window partitions; no global sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("start_d"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("start_d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("start_d") + 7).over(w_prev)
+    flagged = iv.select(
+        "l_suppkey",
+        "start_d",
+        (F.col("start_d") + 7).alias("end_d"),
+        F.when(
+            prev_end.isNull() | (F.col("start_d") >= prev_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("start_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islanded = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("long")
+    )
+    islands = islanded.groupBy("l_suppkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_iv"),
+        F.min("start_d").alias("i_start"),
+        F.max("end_d").alias("i_end"),
+    )
+    covered = F.sum(F.col("i_end") - F.col("i_start"))
+    span = F.max("i_end") - F.min("i_start")
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            covered.cast("long").alias("covered_days"),
+            span.cast("long").alias("span_days"),
+            F.round(covered.cast("double") / span, 6).alias(
+                "coverage_ratio"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -883,3 +883,113 @@ def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "etl_vacuum_retention_plan",
+    oracle="""
+    WITH files AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) * 100 AS BIGINT) AS size_bytes
+        FROM events GROUP BY 1, 2
+    ),
+    horizon AS (
+        SELECT max(day) - INTERVAL 7 DAY AS h FROM files
+    ),
+    anchored AS (
+        SELECT f.*, h.h,
+               max(CASE WHEN f.day < h.h THEN f.day END) OVER (
+                   PARTITION BY f.event_type
+               ) AS anchor_day
+        FROM files f CROSS JOIN horizon h
+    ),
+    classified AS (
+        SELECT event_type, size_bytes,
+               CASE WHEN day >= h THEN 'retain'
+                    WHEN day = anchor_day THEN 'anchor'
+                    ELSE 'expire' END AS fate
+        FROM anchored
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN fate = 'retain' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN fate = 'anchor' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anchor,
+           CAST(sum(CASE WHEN fate = 'expire' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_expired,
+           CAST(sum(CASE WHEN fate = 'expire' THEN size_bytes ELSE 0 END)
+                AS BIGINT) AS bytes_reclaimed,
+           round(sum(CASE WHEN fate = 'expire' THEN size_bytes
+                          ELSE 0 END)::DOUBLE
+                 / sum(size_bytes), 6) AS pct_reclaimed
+    FROM classified
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def etl_vacuum_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run PLANNING — the retention pass that decides which
+    dated files are reclaimable: files inside the 7-day time-travel
+    window are RETAINED, the newest file OLDER than the horizon is
+    the per-partition ANCHOR (it materializes the state readers see
+    when they query exactly at the horizon — deleting it would break
+    horizon reads, the same rule that keeps a lakehouse's last
+    pre-horizon checkpoint), and everything older is EXPIRED with its
+    reclaimable bytes totalled. Completes the lakehouse-maintenance
+    trio: etl_compaction_binpack plans rewrites, etl_snapshot_diff
+    classifies changes, this plans deletion.
+
+    The "file listing" derives from the fixture (one file per
+    (event_type, day), size ∝ rows) so the oracle replays it; in
+    production the input is the transaction log. Scale shape:
+    METADATA-sized after the first aggregate — the horizon is a
+    broadcast 1-row bound, the anchor is a partitioned window max
+    over the calendar-bounded listing, and the rollup is per
+    partition key. Only the listing aggregate touches data."""
+    e = load_table(spark, sf_dir, "events")
+    files = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg((F.count(F.lit(1)) * 100).cast("long").alias("size_bytes"))
+    horizon = F.broadcast(
+        files.agg(
+            (F.max("day") - F.expr("INTERVAL 7 DAYS")).alias("h")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    anchored = files.crossJoin(horizon).withColumn(
+        "anchor_day",
+        F.max(F.when(F.col("day") < F.col("h"), F.col("day"))).over(
+            _W.partitionBy("event_type")
+        ),
+    )
+    fate = (
+        F.when(F.col("day") >= F.col("h"), "retain")
+        .when(F.col("day") == F.col("anchor_day"), "anchor")
+        .otherwise("expire")
+    )
+    expired_bytes = F.sum(
+        F.when(F.col("fate") == "expire", F.col("size_bytes")).otherwise(0)
+    )
+    return (
+        anchored.withColumn("fate", fate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(F.col("fate") == "retain", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("fate") == "anchor", 1).otherwise(0))
+            .cast("long")
+            .alias("n_anchor"),
+            F.sum(F.when(F.col("fate") == "expire", 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired"),
+            expired_bytes.cast("long").alias("bytes_reclaimed"),
+            F.round(
+                expired_bytes.cast("double") / F.sum("size_bytes"), 6
+            ).alias("pct_reclaimed"),
+        )
+        .orderBy("event_type")
+    )

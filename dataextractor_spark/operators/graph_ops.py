@@ -264,3 +264,73 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    degs AS (
+        SELECT 'supplier' AS node_type,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM pairs GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'part' AS node_type,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM pairs GROUP BY l_partkey
+    )
+    SELECT node_type,
+           CAST(length(printf('%b', deg)) AS BIGINT) AS log2_bin,
+           CAST(count(*) AS BIGINT)                  AS n_nodes,
+           CAST(min(deg) AS BIGINT)                  AS min_deg,
+           CAST(max(deg) AS BIGINT)                  AS max_deg,
+           round(CAST(sum(deg) AS BIGINT)::DOUBLE / count(*), 4)
+               AS avg_deg
+    FROM degs
+    GROUP BY 1, 2
+    ORDER BY node_type, log2_bin
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the supplier↔part incidence
+    graph (the same graph graph_pagerank and graph_triangle_count
+    run on) — the first diagnostic of any large graph: a straight
+    line across the log-bins means power-law degrees, which is what
+    decides whether the skew mitigations (salting, high-degree
+    vertex-cut) are needed downstream.
+
+    The bin is floor(log₂ deg)+1 computed as the LENGTH OF THE BINARY
+    STRING of the integer degree (Spark ``bin()``, DuckDB
+    ``printf('%b')``) — integer-exact, immune to the
+    floor(log2(2^k)) = k−1 one-ulp trap that floating log binning
+    hits at exact powers of two.
+
+    Plan: one distinct-pair shuffle (same first stage as pagerank),
+    two bounded degree aggregates, ~a dozen output rows. Nothing
+    data-sized survives past the second aggregate at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    sup = pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.lit("supplier").alias("node_type"), "deg")
+    prt = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.lit("part").alias("node_type"), "deg")
+    degs = sup.unionByName(prt)
+    return (
+        degs.groupBy(
+            "node_type",
+            F.length(F.bin(F.col("deg"))).cast("long").alias("log2_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+            F.round(F.sum("deg").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_deg"
+            ),
+        )
+        .orderBy("node_type", "log2_bin")
+    )

@@ -1,0 +1,762 @@
+"""Statistical-analysis operators — round-5 seventh batch (part 1).
+
+The reference promises "skill-bracket analysis, gold/XP distribution,
+individual performance" style analytics (reference README.md:21-36);
+these are the inferential/diagnostic companions a profiling pass runs
+over the same star schema: independence testing (chi-square /
+Cramér's V, the significance-test sibling of agg_mutual_information),
+inequality/concentration (Gini + Lorenz top-decile share), survival
+analysis (Kaplan-Meier over customer lifetimes), RFM quantile
+segmentation, Benford first-digit auditing (a DQ fraud screen), and
+the percent_rank/cume_dist window surface.
+
+Engine-portability rules inherited from earlier rounds: money is
+integer cents (``CAST(round(x*100) AS BIGINT)``), DuckDB integer
+window/aggregate sums are HUGEINT and must be cast back to BIGINT
+before arithmetic reaches pandas, ratios of exact integers round to 6
+decimals, money-grade roundings use ``floor(x*10^k + 0.5)/10^k``, and
+any ordering fed to max_by/arg_max is a fixed-width string so
+lexicographic == numeric and ties are impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dataextractor_spark.catalog import load_table
+from dataextractor_spark.registry import query
+
+def _cents():
+    """o_totalprice as exact integer cents (lazy: column construction
+    needs an active session)."""
+    return F.round(F.col("o_totalprice") * 100).cast("long")
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+    n AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+                 CAST(count(DISTINCT x) AS BIGINT) AS dx,
+                 CAST(count(DISTINCT y) AS BIGINT) AS dy
+          FROM joint)
+    SELECT CAST(count(*) AS BIGINT)                       AS n_cells,
+           CAST(max(n) AS BIGINT)                         AS n_rows,
+           CAST(max((dx - 1) * (dy - 1)) AS BIGINT)       AS dof,
+           round(sum(power(nxy - nx::DOUBLE * ny / n, 2)
+                     / (nx::DOUBLE * ny / n)), 6)         AS chi2,
+           round(sqrt(sum(power(nxy - nx::DOUBLE * ny / n, 2)
+                          / (nx::DOUBLE * ny / n))
+                      / (max(n) * (least(max(dx), max(dy)) - 1))), 6)
+               AS cramers_v
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramér's V between two
+    categorical columns — the significance-test companion to
+    agg_mutual_information (MI says how MUCH dependence there is;
+    chi-square says whether it clears noise; V normalizes to [0,1]).
+
+    Plan shape is identical to MI and scale-safe the same way: ONE
+    fact scan → the |X|×|Y| contingency table; marginals re-aggregate
+    the bounded table (never the facts) and broadcast back; the
+    statistic sums ≤|X|·|Y| terms. Every expected count is a ratio of
+    exact integer counts, so 6-dp rounding sits far above ulp drift."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(
+        F.sum("nxy").alias("n"),
+        F.countDistinct("x").alias("dx"),
+        F.countDistinct("y").alias("dy"),
+    )
+    j = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = F.col("nx").cast("double") * F.col("ny") / F.col("n")
+    contrib = F.pow(F.col("nxy") - expected, F.lit(2)) / expected
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+        F.max((F.col("dx") - 1) * (F.col("dy") - 1)).cast("long").alias("dof"),
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(contrib)
+                / (F.max("n") * (F.least(F.max("dx"), F.max("dy")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH percust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c.c_mktsegment AS segment, p.rev_cents,
+               CAST(row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY p.rev_cents, p.o_custkey
+               ) AS BIGINT) AS i,
+               CAST(count(*) OVER (
+                   PARTITION BY c.c_mktsegment
+               ) AS BIGINT) AS n
+        FROM percust p JOIN customer c ON p.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT)                        AS n_customers,
+           CAST(sum(rev_cents) AS BIGINT) / 100.0          AS total_rev,
+           round((2.0 * CAST(sum(i * rev_cents) AS BIGINT)
+                  - (max(n) + 1.0) * CAST(sum(rev_cents) AS BIGINT))
+                 / (CAST(max(n) AS DOUBLE)
+                    * CAST(sum(rev_cents) AS BIGINT)), 6)  AS gini,
+           round(CAST(sum(CASE WHEN i > n - CAST(ceil(0.1 * n) AS BIGINT)
+                               THEN rev_cents ELSE 0 END) AS BIGINT)::DOUBLE
+                 / CAST(sum(rev_cents) AS BIGINT), 6)      AS top_decile_share
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + Lorenz top-decile share of customer revenue
+    per market segment — the inequality/concentration profile of a
+    corpus ("do 10% of the customers carry 60% of the revenue?"), the
+    same statistic a data-mixing pass computes over per-source token
+    counts to see how skewed a pretraining mixture is.
+
+    Revenue is exact integer cents, so the rank-weighted Gini identity
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) is integer arithmetic until the
+    final division: ties in revenue are broken by custkey, and because
+    swapping equal values across adjacent ranks leaves Σi·xᵢ
+    unchanged, the statistic is ordering-deterministic across engines.
+
+    Plan: one fact-scan hash aggregate to per-customer cents, a
+    key-key hash join for the segment label, ONE partitioned window
+    pass (rank + per-segment count together), one final hash
+    aggregate. At 100 TB the 5-value segment partitioning makes the
+    window a near-global sort per segment — the scale path is the
+    two-pass range-partitioned ranking window_deciles pins (per-range
+    row_number + broadcast prefix offsets); the statistic itself is
+    unchanged since it only needs ranks."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    percust = (
+        o.select("o_custkey", _cents().alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    seg = percust.join(c, percust.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "rev_cents", "o_custkey"
+    )
+    w = Window.partitionBy("segment").orderBy("rev_cents", "o_custkey")
+    ranked = seg.select(
+        "segment",
+        "rev_cents",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("segment"))
+        .cast("long")
+        .alias("n"),
+    )
+    top_cut = F.col("n") - F.ceil(F.lit(0.1) * F.col("n"))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("rev_cents") / F.lit(100.0)).alias("total_rev"),
+            F.round(
+                (
+                    F.lit(2.0) * F.sum(F.col("i") * F.col("rev_cents"))
+                    - (F.max("n") + F.lit(1.0)) * F.sum("rev_cents")
+                )
+                / (F.max("n").cast("double") * F.sum("rev_cents")),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.sum(
+                    F.when(F.col("i") > top_cut, F.col("rev_cents")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("rev_cents"),
+                6,
+            ).alias("top_decile_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "agg_survival_km",
+    oracle="""
+    WITH bounds AS (SELECT max(o_orderdate) AS max_d FROM orders),
+    cust AS (
+        SELECT o_custkey, min(o_orderdate) AS first_d,
+               max(o_orderdate) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    life AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(date_diff('day', first_d, last_d) AS BIGINT)
+                   AS duration_days,
+               CASE WHEN last_d <= max_d - INTERVAL 180 DAY
+                    THEN 1 ELSE 0 END AS ev
+        FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey
+        CROSS JOIN bounds
+    ),
+    grp AS (
+        SELECT segment, duration_days,
+               CAST(count(*) AS BIGINT) AS n_dur,
+               CAST(sum(ev) AS BIGINT) AS d_events
+        FROM life GROUP BY 1, 2
+    ),
+    km AS (
+        SELECT segment, duration_days, d_events,
+               CAST(sum(n_dur) OVER (
+                   PARTITION BY segment ORDER BY duration_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_at_risk
+        FROM grp
+    )
+    SELECT segment, duration_days, n_at_risk, d_events,
+           round(exp(sum(CASE WHEN d_events >= n_at_risk THEN -1e9
+                              ELSE ln(1.0 - d_events::DOUBLE / n_at_risk)
+                         END) OVER (
+               PARTITION BY segment ORDER BY duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM km
+    QUALIFY d_events > 0
+    ORDER BY segment, duration_days
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer lifetimes per
+    segment (lifetime = first→last order span; a lifetime is an
+    observed "churn event" only when the last order predates the
+    dataset horizon by 180 days, else right-censored) — the standard
+    retention/survival curve, here expressed entirely as relational
+    algebra: S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) becomes exp of a running sum
+    of logs over the bounded per-duration table.
+
+    The d≥n edge (last event time takes the survivor set to zero) maps
+    ln(0) to a −1e9 sentinel because Spark's ``log`` returns NULL at 0
+    while DuckDB returns −inf — exp of the sentinel underflows to
+    exactly 0.0 in both engines, and SQL sum-over-window would
+    silently SKIP a NULL term (wrong curve) rather than propagate it.
+
+    Plan: per-customer min/max (one fact scan), segment join, then
+    every window runs over the per-(segment, duration) aggregate —
+    bounded by the date range, never data-sized. The risk-set count is
+    a reversed cumulative frame instead of a self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    bounds = F.broadcast(o.agg(F.max("o_orderdate").alias("max_d")))
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    life = (
+        cust.join(c, cust.o_custkey == c.c_custkey)
+        .crossJoin(bounds)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("last_d", "first_d").cast("long").alias(
+                "duration_days"
+            ),
+            F.when(
+                F.col("last_d") <= F.col("max_d") - F.expr("INTERVAL 180 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    grp = life.groupBy("segment", "duration_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dur"),
+        F.sum("ev").cast("long").alias("d_events"),
+    )
+    w_risk = (
+        Window.partitionBy("segment")
+        .orderBy("duration_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    km = grp.select(
+        "segment",
+        "duration_days",
+        "d_events",
+        F.sum("n_dur").over(w_risk).cast("long").alias("n_at_risk"),
+    )
+    w_surv = (
+        Window.partitionBy("segment")
+        .orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    log_term = F.when(
+        F.col("d_events") >= F.col("n_at_risk"), F.lit(-1e9)
+    ).otherwise(
+        F.log(F.lit(1.0) - F.col("d_events").cast("double") / F.col("n_at_risk"))
+    )
+    return (
+        km.select(
+            "segment",
+            "duration_days",
+            "n_at_risk",
+            "d_events",
+            F.round(F.exp(F.sum(log_term).over(w_surv)), 6).alias("survival"),
+        )
+        .filter(F.col("d_events") > 0)
+        .orderBy("segment", "duration_days")
+    )
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH bounds AS (SELECT max(o_orderdate) AS max_d FROM orders),
+    percust AS (
+        SELECT o_custkey, max(o_orderdate) AS last_d,
+               CAST(count(*) AS BIGINT) AS f_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_d, max_d) AS BIGINT) AS r_days,
+               f_orders, m_cents
+        FROM percust CROSS JOIN bounds
+    ),
+    cuts AS (
+        SELECT quantile_cont(r_days, 0.25) AS r25,
+               quantile_cont(r_days, 0.50) AS r50,
+               quantile_cont(r_days, 0.75) AS r75,
+               quantile_cont(f_orders, 0.25) AS f25,
+               quantile_cont(f_orders, 0.50) AS f50,
+               quantile_cont(f_orders, 0.75) AS f75,
+               quantile_cont(m_cents, 0.25) AS m25,
+               quantile_cont(m_cents, 0.50) AS m50,
+               quantile_cont(m_cents, 0.75) AS m75
+        FROM rfm
+    ),
+    scored AS (
+        SELECT CAST(1 + CAST(r_days > r25 AS INTEGER)
+                      + CAST(r_days > r50 AS INTEGER)
+                      + CAST(r_days > r75 AS INTEGER) AS BIGINT) AS r_q,
+               CAST(1 + CAST(f_orders > f25 AS INTEGER)
+                      + CAST(f_orders > f50 AS INTEGER)
+                      + CAST(f_orders > f75 AS INTEGER) AS BIGINT) AS f_q,
+               CAST(1 + CAST(m_cents > m25 AS INTEGER)
+                      + CAST(m_cents > m50 AS INTEGER)
+                      + CAST(m_cents > m75 AS INTEGER) AS BIGINT) AS m_q,
+               f_orders, m_cents
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT)      AS n_customers,
+           CAST(sum(f_orders) AS BIGINT) AS sum_orders,
+           floor(CAST(sum(m_cents) AS BIGINT)::DOUBLE / count(*) + 0.5)
+               / 100.0                   AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic behavioral-cohort operator: label every customer 1-4 on
+    each of days-since-last-order, order count, and lifetime spend,
+    then profile the 4×4×4 segment grid. (Quartile 4 = highest VALUE
+    of the metric, so r_q=4 means LONGEST recency gap; semantic
+    inversion is a labeling choice left to the consumer.)
+
+    Exact quartile cutpoints are computed in ONE one-pass percentile
+    aggregate over the per-customer table and broadcast back (the
+    winsorize pattern; at 100 TB the documented graceful downgrade is
+    the mergeable histogram sketch's cutpoints). Quartile assignment
+    is three codegen comparisons per metric — no ntile window, no
+    global sort, so the plan is two hash aggregates + a broadcast.
+    avg_monetary uses the floor(x+0.5) idiom on exact integer-cent
+    sums, avoiding the engines' half-point round() divergence."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(o.agg(F.max("o_orderdate").alias("max_d")))
+    percust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f_orders"),
+        F.sum(_cents()).alias("m_cents"),
+    )
+    rfm = percust.crossJoin(bounds).select(
+        "o_custkey",
+        F.datediff("max_d", "last_d").cast("long").alias("r_days"),
+        "f_orders",
+        "m_cents",
+    ).localCheckpoint(eager=False)
+    cuts = F.broadcast(
+        rfm.agg(
+            *[
+                F.expr(f"percentile({m}, {p})").alias(f"{m[0]}{int(p * 100)}")
+                for m in ("r_days", "f_orders", "m_cents")
+                for p in (0.25, 0.50, 0.75)
+            ]
+        )
+    )
+
+    def _q(metric: str, pfx: str):
+        col = F.lit(1)
+        for p in (25, 50, 75):
+            col = col + (F.col(metric) > F.col(f"{pfx}{p}")).cast("int")
+        return col.cast("long")
+
+    scored = rfm.crossJoin(cuts).select(
+        _q("r_days", "r").alias("r_q"),
+        _q("f_orders", "f").alias("f_q"),
+        _q("m_cents", "m").alias("m_q"),
+        "f_orders",
+        "m_cents",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("f_orders").cast("long").alias("sum_orders"),
+            (
+                F.floor(
+                    F.sum("m_cents").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@query(
+    "agg_benford_digit_audit",
+    oracle="""
+    WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(count(*)::DOUBLE / max(n), 6) AS obs_freq,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS exp_freq,
+           round(abs(count(*)::DOUBLE / max(n)
+                     - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+    FROM d CROSS JOIN b
+    GROUP BY digit ORDER BY digit
+    """,
+)
+def agg_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the data-quality fraud/fabrication screen: natural multi-scale
+    amounts follow P(d) = log10(1+1/d); synthetic or truncated data
+    does not, and the per-digit deviation column shows exactly where.
+
+    The digit is extracted from the INTEGER CENTS string (first char
+    of cents = first significant digit of the price for any price
+    ≥ $0.01, since ×100 only shifts the decimal point) — no log10/
+    floor(log10(x)) on doubles, whose value at exact powers of ten is
+    an engine-divergence trap. Total row count arrives by broadcast
+    (no unpartitioned window). One fact scan, 9-row output; expected
+    frequency is a closed-form log both engines evaluate identically
+    to well under the 6-dp rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.broadcast(o.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    d = o.select(
+        F.substring(_cents().cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    exp_freq = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    obs_freq = F.count(F.lit(1)).cast("double") / F.max("n")
+    return (
+        d.crossJoin(b)
+        .groupBy("digit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(obs_freq, 6).alias("obs_freq"),
+            F.round(exp_freq, 6).alias("exp_freq"),
+            F.round(F.abs(obs_freq - exp_freq), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "window_pctrank_cumedist",
+    oracle="""
+    SELECT c_mktsegment AS segment, c_custkey, c_acctbal AS acctbal,
+           round(percent_rank() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal
+           ), 6) AS pct_rank,
+           round(cume_dist() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal
+           ), 6) AS cume_dist
+    FROM customer
+    ORDER BY segment, c_custkey
+    """,
+)
+def window_pctrank_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist window surface: the normalized-rank
+    pair ("this customer's balance beats X% of their segment") that
+    completes the ranking-window family next to row_number/rank/
+    dense_rank/ntile. Both are tie-correct by definition (percent_rank
+    shares rank across ties, cume_dist counts peers ≤ current), and
+    both are ratios of exact integers — deterministic across engines
+    at 6 dp.
+
+    The window partitions by segment; at 100 TB the per-segment sort
+    is the same distributed-ranking problem window_deciles solves with
+    the two-pass range-partition + broadcast-offsets plan — the
+    normalized rank formulas only need (rank, n) per row, both of
+    which that pattern provides."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    ).orderBy("segment", "c_custkey")
+
+
+#: Poisson(1) CDF cutoffs as 8-hex-char thresholds: an md5-derived
+#: uniform u (first 8 hex chars) maps to weight k = #{cutoffs < u}.
+#: Fixed-width lowercase hex compares lexicographically ≡ numerically
+#: (the repo's portable-randomness idiom), so both engines derive the
+#: IDENTICAL Poisson weight for every (row, replicate) pair.
+_POIS_CUTS = (
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71",
+)
+_N_BOOT = 20
+
+
+def _bootstrap_oracle() -> str:
+    w = "(" + " + ".join(
+        f"CASE WHEN h >= '{c}' THEN 1 ELSE 0 END" for c in _POIS_CUTS
+    ) + ")"
+    return f"""
+    WITH expanded AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               b,
+               substring(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                             || CAST(b AS VARCHAR)), 1, 8) AS h
+        FROM orders, range({_N_BOOT}) t(b)
+    ),
+    reps AS (
+        SELECT b,
+               CAST(sum({w} * cents) AS BIGINT)::DOUBLE
+                   / CAST(sum({w}) AS BIGINT) / 100.0 AS mean_b
+        FROM expanded GROUP BY b
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s_cents
+        FROM orders
+    )
+    SELECT n_rows,
+           floor(s_cents::DOUBLE / n_rows / 100.0 * 10000 + 0.5) / 10000.0
+               AS mean,
+           floor(quantile_cont(mean_b, 0.025) * 10000 + 0.5) / 10000.0
+               AS ci_lo,
+           floor(quantile_cont(mean_b, 0.975) * 10000 + 0.5) / 10000.0
+               AS ci_hi,
+           round(stddev_samp(mean_b), 6) AS boot_se
+    FROM reps CROSS JOIN base
+    GROUP BY n_rows, s_cents
+    """
+
+
+@query("sample_bootstrap_ci", oracle=_bootstrap_oracle())
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order total
+    — the standard-error machinery a profiling pass needs to say "the
+    mean is 151,230 ± 740" instead of a bare point estimate. Each of
+    the 20 replicates reweights every row by an independent
+    Poisson(1) draw (the classic streaming bootstrap: at n→∞,
+    multinomial resampling converges to i.i.d. Poisson weights), and
+    the CI is the 2.5%/97.5% empirical quantiles of the replicate
+    means.
+
+    Randomness is md5(o_orderkey # replicate) mapped through the
+    Poisson CDF as fixed-width HEX THRESHOLD compares — seedless,
+    partition-independent, and bit-identical in any engine, so the
+    oracle reproduces every weight exactly.
+
+    Scale shape: the oracle materializes the 20× row expansion
+    (honest at sf0.01); the Spark plan instead evaluates all 20
+    replicates as 40 CODEGEN'D AGGREGATE COLUMNS in ONE pass over the
+    fact table — no expansion, mergeable integer sums, 20 replicate
+    means in a single row; the quantile runs over 20 numbers. At
+    100 TB that is one fact scan with a 40-column partial aggregate,
+    identical cost profile to a plain mean."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = _cents()
+
+    def w(b: int):
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("#"),
+                    F.lit(str(b)),
+                )
+            ),
+            1,
+            8,
+        )
+        expr = F.lit(0)
+        for c in _POIS_CUTS:
+            expr = expr + (h >= F.lit(c)).cast("int")
+        return expr.cast("long")
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).alias("s_cents"),
+    ]
+    for b in range(_N_BOOT):
+        wb = w(b)
+        aggs.append(F.sum(wb * cents).alias(f"ws_{b}"))
+        aggs.append(F.sum(wb).alias(f"wn_{b}"))
+    one = o.agg(*aggs)
+    mean_terms = ", ".join(
+        f"CAST(ws_{b} AS DOUBLE) / wn_{b} / 100.0" for b in range(_N_BOOT)
+    )
+    reps = one.select(
+        "n_rows",
+        "s_cents",
+        F.expr(f"stack({_N_BOOT}, {mean_terms}) AS mean_b"),
+    )
+    return reps.groupBy("n_rows", "s_cents").agg(
+        (
+            F.floor(
+                F.col("s_cents").cast("double")
+                / F.col("n_rows")
+                / 100.0
+                * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("mean"),
+        (
+            F.floor(F.expr("percentile(mean_b, 0.025)") * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("ci_lo"),
+        (
+            F.floor(F.expr("percentile(mean_b, 0.975)") * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("ci_hi"),
+        F.round(F.stddev_samp("mean_b"), 6).alias("boot_se"),
+    ).select("n_rows", "mean", "ci_lo", "ci_hi", "boot_se")
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH persup AS (
+        SELECT s.s_nationkey,
+               l.l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount))
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS total_rev,
+           round(10000.0 * CAST(sum(rev * rev) AS BIGINT)
+                 / CAST(sum(rev) AS BIGINT)
+                 / CAST(sum(rev) AS BIGINT), 4) AS hhi,
+           round(CAST(max(rev) AS BIGINT)::DOUBLE
+                 / CAST(sum(rev) AS BIGINT), 6) AS top_share
+    FROM persup p JOIN nation n ON p.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation over
+    supplier revenue shares (HHI in points, 0..10000) plus the top
+    supplier's share — the antitrust-style concentration screen, and
+    next to agg_gini_concentration the second standard inequality
+    measure (HHI weighs the LARGEST shares quadratically; Gini weighs
+    the whole distribution).
+
+    Float discipline: Σshareᵢ² is computed as Σrᵢ²/R² with rᵢ =
+    supplier revenue in exact INTEGER DOLLARS, so the numerator is an
+    integer sum (order-free across engines) and the only float op is
+    the final division — no accumulation-order drift on a sum of
+    double squares. Integer-dollar granularity is part of the metric
+    definition; headroom: rᵢ² stays under 2⁶³ through ~10⁹-dollar
+    suppliers.
+
+    Plan: fact-scan hash aggregate keyed (nation, suppkey) after a
+    key-key supplier join, then a bounded per-nation aggregate; the
+    25-row nation dim broadcasts onto the bounded per-supplier
+    table. One shuffle on the fact table at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("long")
+    persup = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    return (
+        persup.join(F.broadcast(n), persup.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev").cast("long").alias("total_rev"),
+            F.round(
+                F.lit(10000.0)
+                * F.sum(F.col("rev") * F.col("rev"))
+                / F.sum("rev")
+                / F.sum("rev"),
+                4,
+            ).alias("hhi"),
+            F.round(
+                F.max("rev").cast("double") / F.sum("rev"), 6
+            ).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

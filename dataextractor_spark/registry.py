@@ -67,6 +67,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # queries; the three just-below-boundary never-checked; the twelve
     # deferred rows-only entries; stale r1 as-of/dedup rechecks fill
     # the tail.
+    # -- round-5 seventh batch (all oracled; statistics.py /
+    #    behavior.py) --
+    "agg_chi_square_independence",  # new r5: chi²/Cramér's V vs MI
+    "agg_gini_concentration",       # new r5: Gini + Lorenz top-decile
+    "agg_survival_km",              # new r5: Kaplan-Meier retention curve
+    "agg_rfm_segments",             # new r5: RFM quartile grid, no ntile
+    "agg_benford_digit_audit",      # new r5: first-digit DQ fraud screen
+    "window_pctrank_cumedist",      # new r5: normalized-rank windows
+    "funnel_conversion",            # new r5: ordered 3-step funnel
+    "join_cdc_apply",               # new r5: change-feed fold, max_by state
+    "time_changepoint_cusum",       # new r5: integer-exact CUSUM argmax
+    "time_markov_transitions",      # new r5: transition matrix per user
     # -- round-4 additions (were registered but unscheduled — the
     #    defect that emptied CORRECTNESS_r04) --
     "agg_argmax_minby",           # new r4: max_by/min_by single hash agg
@@ -113,11 +125,26 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_phash_neardup",   # dHash banded image near-dup
     "agg_hll_intersection",       # sketch set algebra w/ visible error
     "sim_recall_eval",            # recall@5 gate for the LSH index
-    "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
     "time_sliding_distinct_hll",  # sketch-over-window scale path
-    # -- stale rechecks: r2-rewritten as-of + r1-era dedup family --
+    # -- slot 50: the r4 SHUFFLE_HASH closing-join rewrite needs a
+    #    post-rewrite driver row (plan changed since its r3 green) --
+    "graph_triangle_count",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- round-5 eighth batch (all oracled, pytest-green at sf0.001 +
+    #    sf0.01): lands just below the boundary — the seventh batch
+    #    and the older never-checked backlog took the round-5 slots;
+    #    these lead the round-6 window --
+    "sample_bootstrap_ci",        # new r5: Poisson bootstrap, 1-pass cols
+    "agg_hhi_concentration",      # new r5: integer-exact HHI per nation
+    "time_seasonal_anomaly",      # new r5: weekday baseline, int |z|>2
+    "time_interval_coverage",     # new r5: gaps-and-islands union length
+    "graph_degree_distribution",  # new r5: binary-length log2 bins
+    "etl_vacuum_retention_plan",  # new r5: retention/anchor/expire plan
+    # (displaced by the round-5 batch: the r1-era dedup family +
+    # join_star/join_asof_latest stale rechecks and one rows-only
+    # entry queue first for the NEXT window, per the verdict's
+    # stale-row ledger)
     "join_asof_latest_order",     # merge-form rewrite (r2), pytest-green
-    "graph_triangle_count",       # r4 SHUFFLE_HASH closing-join rewrite
     "dedup_exact",
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
@@ -125,8 +152,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_simhash",
     "dedup_incremental_ingest",
-    "join_star_revenue",          # slot 50 — r1-stale star-join recheck
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    "join_star_revenue",
+    "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
     # -- r1/r2/r3-green, stale rechecks queue here for later windows --
     "join_broadcast_dim",
     "join_semi_customers_with_orders",
@@ -277,6 +304,7 @@ def load_all() -> dict[str, QuerySpec]:
     # Imports live here (not module top) so importing the registry stays
     # cheap and cycles are impossible.
     from dataextractor_spark.operators import aggregates  # noqa: F401
+    from dataextractor_spark.operators import behavior  # noqa: F401
     from dataextractor_spark.operators import dedup  # noqa: F401
     from dataextractor_spark.operators import enrichment  # noqa: F401
     from dataextractor_spark.operators import etl_parity  # noqa: F401
@@ -289,6 +317,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dataextractor_spark.operators import scalars  # noqa: F401
     from dataextractor_spark.operators import similarity  # noqa: F401
     from dataextractor_spark.operators import sql_surface  # noqa: F401
+    from dataextractor_spark.operators import statistics  # noqa: F401
     from dataextractor_spark.operators import text  # noqa: F401
     from dataextractor_spark.operators import windows  # noqa: F401
     from dataextractor_spark.operators import windows_time  # noqa: F401

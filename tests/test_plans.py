@@ -485,3 +485,53 @@ def test_session_paths_aggregate_is_order_insensitive(spark):
     plan = physical_plan(df, "simple")
     assert "Window" not in plan, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_bootstrap_ci_is_single_pass(spark):
+    """sample_bootstrap_ci's 20 replicates must be aggregate COLUMNS,
+    not a row expansion: exactly ONE scan of orders in the plan (the
+    oracle's 20× cross-join expansion is the thing the Spark plan
+    exists to avoid), and no join/generate below the aggregate."""
+    df = load_all()["sample_bootstrap_ci"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert plan.count("orders.parquet") == 1, plan
+    # the only generator is the 20-row stack of replicate means ABOVE
+    # the fact aggregate, never a per-row explode
+    agg_at = plan.find("HashAggregate")
+    assert agg_at != -1, plan
+
+
+def test_seasonal_anomaly_broadcasts_weekday_stats(spark):
+    """time_seasonal_anomaly joins daily facts to the bounded
+    (type, weekday) stats via BROADCAST — a shuffle join here would
+    shuffle the calendar table for a ≤|types|×7-row build side."""
+    df = load_all()["time_seasonal_anomaly"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interval_coverage_windows_run_on_distinct(spark):
+    """time_interval_coverage's island windows must sit ABOVE the
+    DISTINCT aggregate (window input = |suppliers|×|days| bounded
+    table, never raw lineitem rows)."""
+    df = load_all()["time_interval_coverage"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    win_at = plan.find("Window")
+    assert win_at != -1, plan
+    below = plan[win_at:]
+    # the dedup aggregate (partial+final) appears below the window
+    assert below.count("HashAggregate") >= 2, plan
+
+
+def test_funnel_joins_are_keyed_on_user(spark):
+    """funnel_conversion's step gating must be key-key joins on
+    user_id (no cartesian / broadcast nested loop in the step chain;
+    the only BNL joins are the final three 1-row count broadcasts)."""
+    df = load_all()["funnel_conversion"].fn(spark, SF_SMALL)
+    plan = physical_plan(df, "simple")
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line or "Inner" in line  # 1-row combines
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
