@@ -786,3 +786,127 @@ def test_sliding_distinct_hll_tracks_exact(spark):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(1, 0.03 * n), (day, n, est[day])
+
+
+def test_gini_bounds_and_degenerate_equality(spark):
+    """Gini contract: 0 ≤ G < 1 on real data, and an equal-revenue
+    synthetic distribution scores EXACTLY 0 (the rank identity's
+    closed-form check); top-decile share is always ≥ 0.1·n/n ≈ its
+    uniform floor and ≤ 1."""
+    specs = load_all()
+    rows = specs["agg_gini_concentration"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0, r
+        assert 0.0 < r.top_decile_share <= 1.0, r
+        # top decile of customers must hold at least its uniform share
+        assert r.top_decile_share >= 0.1 - 1.0 / r.n_customers, r
+    # degenerate: every "customer" equal revenue → Gini exactly 0
+    df = spark.range(100).select(
+        F.lit("S").alias("segment"),
+        F.lit(500).alias("rev_cents"),
+        F.col("id").alias("o_custkey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("segment").orderBy("rev_cents", "o_custkey")
+    ranked = df.select(
+        "segment",
+        "rev_cents",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).cast("long").alias("n"),
+    )
+    g = ranked.groupBy("segment").agg(
+        (
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("rev_cents"))
+                - (F.max("n") + F.lit(1.0)) * F.sum("rev_cents")
+            )
+            / (F.max("n").cast("double") * F.sum("rev_cents"))
+        ).alias("gini")
+    ).first()
+    assert abs(g.gini) < 1e-12
+
+
+def test_km_survival_is_monotone_decreasing(spark):
+    """Kaplan-Meier contract: within a segment, survival is
+    non-increasing in duration and confined to [0, 1]; the risk set
+    shrinks monotonically."""
+    rows = load_all()["agg_survival_km"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.duration_days)
+        last_s, last_n = 1.0 + 1e-9, None
+        for r in rs:
+            assert 0.0 <= r.survival <= last_s + 1e-9, (seg, r)
+            if last_n is not None:
+                assert r.n_at_risk <= last_n, (seg, r)
+            last_s, last_n = r.survival, r.n_at_risk
+
+
+def test_funnel_counts_are_monotone(spark):
+    """Funnel contract: each ordered step can only lose users, and
+    rates sit in (0, 1]."""
+    r = load_all()["funnel_conversion"].fn(spark, SF_SMALL).first()
+    assert r.n_view >= r.n_click >= r.n_purchase >= 0
+    assert 0.0 <= r.rate_click <= 1.0 and 0.0 <= r.rate_purchase <= 1.0
+
+
+def test_hhi_bounds_and_top_share_consistency(spark):
+    """HHI contract: 10000/n ≤ HHI ≤ 10000 (uniform floor, monopoly
+    ceiling), and HHI ≥ 10000·top_share² (the largest share alone
+    contributes that much)."""
+    rows = load_all()["agg_hhi_concentration"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6, r
+        assert r.hhi >= 10000.0 * r.top_share**2 - 1e-4, r
+
+
+def test_markov_rows_sum_to_one(spark):
+    """Transition-matrix contract: outgoing probabilities per prev
+    state sum to 1 (up to the 6-dp rounding of each term)."""
+    rows = load_all()["time_markov_transitions"].fn(spark, SF_SMALL).collect()
+    assert rows
+    sums: dict = {}
+    for r in rows:
+        sums[r.prev_type] = sums.get(r.prev_type, 0.0) + r.p_trans
+    for prev, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """Bootstrap contract: ci_lo ≤ mean ≤ ci_hi and se > 0 (the mean
+    of the full sample sits inside its own percentile CI on any
+    non-degenerate fixture)."""
+    r = load_all()["sample_bootstrap_ci"].fn(spark, SF_SMALL).first()
+    assert r.ci_lo <= r.mean <= r.ci_hi, r
+    assert r.boot_se > 0
+
+
+def test_interval_coverage_invariants(spark):
+    """Islands contract: covered_days ≤ span_days, n_islands ≤
+    n_intervals, and coverage(single-island supplier) == span."""
+    rows = load_all()["time_interval_coverage"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.covered_days <= r.span_days, r
+        assert 1 <= r.n_islands <= r.n_intervals, r
+        if r.n_islands == 1:
+            assert r.covered_days == r.span_days, r
+
+
+def test_vacuum_plan_partitions_full_and_anchored(spark):
+    """Retention contract: fates partition the listing exactly, and
+    every partition with any pre-horizon file keeps EXACTLY ONE
+    anchor (the horizon-read guarantee)."""
+    rows = load_all()["etl_vacuum_retention_plan"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_retained + r.n_anchor + r.n_expired == r.n_files, r
+        assert r.n_anchor in (0, 1), r
+        if r.n_expired > 0:
+            assert r.n_anchor == 1, r
