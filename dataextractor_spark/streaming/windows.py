@@ -235,3 +235,59 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def funnel_user_stage(stream: DataFrame) -> DataFrame:
+    """Streaming form of the ordered view→click→purchase funnel
+    (operators/behavior.py funnel_conversion) as a custom stateful
+    operator: per-user state is the three first-qualifying-event
+    timestamps, advanced monotonically as micro-batches arrive, and
+    each update emits the user's current funnel stage (0 none … 3
+    purchased).
+
+    State is three integers per user — O(|users|), never event
+    history. The operator assumes in-order delivery per user (the
+    staged replay guarantees it; a production deployment would put a
+    watermark-sorted buffer in front, or accept the standard
+    streaming-funnel approximation where a late step-k event cannot
+    retroactively qualify). The BATCH funnel_conversion is the
+    definitional truth the equivalence test pins this against.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        t_view, t_click, t_purchase = (
+            state.get if state.exists else (None, None, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts, etype in zip(batch["ts"], batch["event_type"]):
+            t = int(ts.value // 1000)  # epoch micros
+            if etype == "view":
+                if t_view is None:
+                    t_view = t
+            elif etype == "click":
+                if t_view is not None and t > t_view and t_click is None:
+                    t_click = t
+            elif etype == "purchase":
+                if t_click is not None and t > t_click and t_purchase is None:
+                    t_purchase = t
+        state.update((t_view, t_click, t_purchase))
+        stage = (
+            3 if t_purchase is not None
+            else 2 if t_click is not None
+            else 1 if t_view is not None
+            else 0
+        )
+        yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, stage INT",
+        stateStructType="t_view BIGINT, t_click BIGINT, t_purchase BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

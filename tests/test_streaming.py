@@ -288,3 +288,31 @@ def test_events_replay_datasource_full_drain(spark):
         F.max(F.expr("ts_ns div 1000")).alias("hi"),
     ).first()
     assert (b.s, b.lo, b.hi) == (s.s, s.lo, s.hi)
+
+
+def test_streaming_funnel_equals_batch(spark, staged):
+    """The stateful streaming funnel's final per-user stages must
+    reproduce the batch funnel_conversion counts exactly: users at
+    stage ≥1 == n_view, ≥2 == n_click, ==3 == n_purchase (in-order
+    staged replay; sentinel user filtered)."""
+    from dataextractor_spark.streaming.windows import funnel_user_stage
+
+    out = run_available_now(
+        funnel_user_stage(events_stream(spark, str(staged / "input"))),
+        query_name="t_funnel_stage",
+        output_mode="update",
+        checkpoint_dir=str(staged / "ckpt_funnel"),
+    )
+    # update mode re-emits per micro-batch; stage is monotone, so the
+    # user's final stage is the max emitted
+    final = (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .collect()
+    )
+    n1 = sum(1 for r in final if r.stage >= 1)
+    n2 = sum(1 for r in final if r.stage >= 2)
+    n3 = sum(1 for r in final if r.stage >= 3)
+    batch = load_all()["funnel_conversion"].fn(spark, SF_SMALL).first()
+    assert (n1, n2, n3) == (batch.n_view, batch.n_click, batch.n_purchase)
