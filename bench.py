@@ -139,6 +139,11 @@ HEADLINE = [
     "time_interval_coverage",
     "graph_degree_distribution",
     "etl_vacuum_retention_plan",
+    "agg_permutation_test",
+    "agg_tail_cvar",
+    "agg_skyline_pareto",
+    "time_burstiness",
+    "source_binaryfile_scan",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

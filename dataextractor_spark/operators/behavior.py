@@ -601,3 +601,71 @@ def time_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "time_burstiness",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT)   AS n_events,
+           round(CAST(sum(c) AS BIGINT)::DOUBLE / count(*), 6) AS mean_daily,
+           round((count(*) * CAST(sum(c * c) AS BIGINT)
+                  - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))::DOUBLE
+                 / (count(*) * (count(*) - 1))
+                 / (CAST(sum(c) AS BIGINT)::DOUBLE / count(*)), 6) AS fano,
+           round((sqrt((count(*) * CAST(sum(c * c) AS BIGINT)
+                        - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))::DOUBLE
+                       / (count(*) * (count(*) - 1)))
+                  - CAST(sum(c) AS BIGINT)::DOUBLE / count(*))
+                 / (sqrt((count(*) * CAST(sum(c * c) AS BIGINT)
+                          - CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))::DOUBLE
+                         / (count(*) * (count(*) - 1)))
+                    + CAST(sum(c) AS BIGINT)::DOUBLE / count(*)), 6)
+               AS burstiness
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def time_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile of the daily event-count series per type:
+    the Fano factor (variance/mean — 1 for a Poisson process, >1 for
+    bursty arrivals) and the Goh–Barabási burstiness coefficient
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the dispersion diagnostics that
+    decide whether arrival-rate capacity planning can assume Poisson
+    (and, for this engine, whether a key's event stream needs skew
+    treatment).
+
+    All moments derive from INTEGER power sums of integer daily
+    counts ((nΣc²−(Σc)²) exactly), so variance is drift-free; the
+    only float ops are the final divisions and one sqrt — identical
+    on identical inputs. One fact scan to the calendar-bounded daily
+    table, one bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.count(F.lit(1))
+    sc = F.sum("c")
+    scc = F.sum(F.col("c") * F.col("c"))
+    var = (n * scc - sc * sc).cast("double") / (n * (n - 1))
+    mean = sc.cast("double") / n
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_days"),
+            sc.cast("long").alias("n_events"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(var / mean, 6).alias("fano"),
+            F.round(
+                (F.sqrt(var) - mean) / (F.sqrt(var) + mean), 6
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

@@ -729,3 +729,74 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_mod")
     )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                 AS n_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum(doc_id) AS BIGINT)              AS sum_doc_id,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+    FROM documents
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` source — the multimodal
+    ingestion path SURVEY.md §2.3 names for object-store payloads
+    (one row per file: path, length, content bytes). The query round-
+    trips the documents' synthetic payloads through REAL files: each
+    task writes its partition's payloads as ``<doc_id>.bin``, the
+    binaryFile scan reads them back, the doc id is recovered from the
+    path, and the aggregate (count, byte total, id checksum, distinct
+    md5 of CONTENT) is oracled against the documents table directly —
+    so a lost, truncated, or corrupted byte anywhere in the
+    write→list→read cycle breaks the hash match.
+
+    Scale notes: the file write is foreachPartition (distributed, no
+    driver collection); binaryFile listing parallelizes across
+    executors and carries ``pathGlobFilter``/recursive options for
+    object-store layouts; content only travels into the one aggregate
+    that hashes it. Payload granularity (file-per-doc) is the
+    demo shape — production groups small payloads into archive
+    formats, which is the documents-table form the REST of the
+    multimodal family consumes."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"dataextractor_spark_binsrc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # idempotent re-stage: a stale listing from a prior fixture shape
+    # would otherwise leak extra files into the scan
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_partition(rows):
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(write_partition)
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("payload_md5"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.countDistinct("payload_md5").cast("long").alias(
+            "n_distinct_payloads"
+        ),
+    )

@@ -760,3 +760,314 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_N_PERM = 20
+
+
+def _perm_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_a
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT)          AS n,
+               CAST(sum(is_a) AS BIGINT)         AS n_a,
+               CAST(sum(cents) AS BIGINT)        AS s,
+               CAST(sum(is_a * cents) AS BIGINT) AS s_a,
+               CAST(floor(sum(is_a)::DOUBLE / count(*) * 4294967296.0)
+                    AS BIGINT)                   AS cutoff
+        FROM base
+    ),
+    perms AS (
+        SELECT b,
+               CAST(sum(CASE WHEN CAST('0x' || substring(
+                       md5(CAST(k AS VARCHAR) || '#p' || CAST(b AS VARCHAR)),
+                       1, 8) AS BIGINT) < cutoff THEN cents ELSE 0 END)
+                    AS BIGINT) AS ps,
+               CAST(sum(CASE WHEN CAST('0x' || substring(
+                       md5(CAST(k AS VARCHAR) || '#p' || CAST(b AS VARCHAR)),
+                       1, 8) AS BIGINT) < cutoff THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pn
+        FROM base CROSS JOIN tot, range({_N_PERM}) t(b)
+        GROUP BY b
+    ),
+    scored AS (
+        SELECT CASE WHEN pn > 0 AND pn < n THEN
+                   abs(ps::DOUBLE / pn - (s - ps)::DOUBLE / (n - pn))
+                   >= abs(s_a::DOUBLE / n_a - (s - s_a)::DOUBLE / (n - n_a))
+               ELSE FALSE END AS extreme
+        FROM perms CROSS JOIN tot
+    )
+    SELECT n_a,
+           n - n_a AS n_b,
+           floor((s_a::DOUBLE / n_a - (s - s_a)::DOUBLE / (n - n_a))
+                 / 100.0 * 10000 + 0.5) / 10000.0 AS diff_obs,
+           round((1.0 + (SELECT sum(CASE WHEN extreme THEN 1 ELSE 0 END)
+                         FROM scored)) / ({_N_PERM} + 1.0), 6) AS p_value,
+           CAST({_N_PERM} AS BIGINT) AS k_perms
+    FROM tot
+    """
+
+
+@query("agg_permutation_test", oracle=_perm_oracle())
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test for the difference in mean order
+    totals between URGENT and non-urgent orders — the exact-inference
+    companion to sample_bootstrap_ci (the bootstrap quantifies
+    uncertainty of an estimate; the permutation test asks whether the
+    observed group difference survives random relabeling). Each of
+    the 20 pseudo-permutations reassigns rows to group A with the
+    observed group-A probability via the md5 HEX→INT threshold (the
+    random-allocation variant of the label-shuffle test; group sizes
+    are binomial around n_a, which is the standard large-n
+    approximation), and p = (1 + #extreme)/(K+1) with the +1
+    smoothing that keeps p valid.
+
+    Every replicate mean is a ratio of exact integer-cent sums, so
+    the |diff_k| ≥ |diff_obs| comparisons are deterministic across
+    engines; the md5-derived assignment is bit-identical (DuckDB
+    parses '0x'-hex, Spark conv(, 16, 10) — same 32-bit integer).
+
+    Scale shape: pass 1 is one aggregate (sizes + cutoff, broadcast
+    back); pass 2 evaluates all 20 permutations as 40 codegen'd
+    aggregate columns in ONE fact scan — the oracle honestly replays
+    the 20× expansion instead."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = _cents()
+    is_a = (F.col("o_orderpriority") == "1-URGENT").cast("int")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        is_a.alias("is_a"),
+    )
+    tot = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_a").cast("long").alias("n_a"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("is_a") * F.col("cents")).alias("s_a"),
+            F.floor(
+                F.sum("is_a").cast("double")
+                / F.count(F.lit(1))
+                * F.lit(4294967296.0)
+            )
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+
+    def flag(b: int):
+        h = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("k").cast("string"), F.lit(f"#p{b}")
+                )
+            ),
+            1,
+            8,
+        )
+        return (F.conv(h, 16, 10).cast("long") < F.col("cutoff")).cast("int")
+
+    aggs = [
+        F.max("n").alias("n"),
+        F.max("n_a").alias("n_a"),
+        F.max("s").alias("s"),
+        F.max("s_a").alias("s_a"),
+    ]
+    for b in range(_N_PERM):
+        fb = flag(b)
+        aggs.append(F.sum(fb * F.col("cents")).alias(f"ps_{b}"))
+        aggs.append(F.sum(fb).cast("long").alias(f"pn_{b}"))
+    row = base.crossJoin(tot).agg(*aggs)
+    d_obs = F.abs(
+        F.col("s_a").cast("double") / F.col("n_a")
+        - (F.col("s") - F.col("s_a")).cast("double")
+        / (F.col("n") - F.col("n_a"))
+    )
+    extreme_sum = F.lit(0)
+    for b in range(_N_PERM):
+        pn, ps = F.col(f"pn_{b}"), F.col(f"ps_{b}")
+        d_b = F.abs(
+            ps.cast("double") / pn
+            - (F.col("s") - ps).cast("double") / (F.col("n") - pn)
+        )
+        extreme_sum = extreme_sum + F.when(
+            (pn > 0) & (pn < F.col("n")) & (d_b >= d_obs), 1
+        ).otherwise(0)
+    signed_obs = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - (F.col("s") - F.col("s_a")).cast("double")
+        / (F.col("n") - F.col("n_a"))
+    )
+    return row.select(
+        F.col("n_a"),
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        (
+            F.floor(signed_obs / F.lit(100.0) * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("diff_obs"),
+        F.round(
+            (F.lit(1.0) + extreme_sum) / F.lit(float(_N_PERM + 1)), 6
+        ).alias("p_value"),
+        F.lit(_N_PERM).cast("long").alias("k_perms"),
+    )
+
+
+@query(
+    "agg_tail_cvar",
+    oracle="""
+    WITH cuts AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.95) AS p95
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(max(c.p95) * 10000 + 0.5) / 10000.0 AS var_p95,
+           CAST(sum(CASE WHEN o.o_totalprice > c.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tail_n,
+           floor(CAST(sum(CASE WHEN o.o_totalprice > c.p95
+                          THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT)::DOUBLE
+                 / nullif(sum(CASE WHEN o.o_totalprice > c.p95
+                              THEN 1 ELSE 0 END), 0)
+                 / 100.0 * 10000 + 0.5) / 10000.0 AS cvar
+    FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk (p95) + conditional VaR (expected shortfall: the
+    mean of everything BEYOND p95) per order priority — the
+    tail-risk pair that answers "when it's bad, how bad?", and the
+    tail-conditional complement to agg_winsorize_stats (winsorize
+    clamps the tail away; CVaR characterizes it).
+
+    Same two-pass shape as winsorize, per group: pass 1 computes the
+    exact per-group p95 in one percentile aggregate and BROADCASTS
+    the ≤|groups| cutpoints back; pass 2 is one fact scan computing
+    the tail membership, count, and integer-cent tail sum together.
+    Both engines interpolate the same cutpoint from the same sorted
+    values, so tail membership is identical; the tail mean uses the
+    floor-rounding idiom on exact cent sums. At 100 TB pass 1
+    downgrades to the mergeable histogram sketch's cutpoint, pass 2
+    unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = F.broadcast(
+        o.groupBy("o_orderpriority").agg(
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95")
+        )
+    )
+    tail = F.col("o_totalprice") > F.col("p95")
+    return (
+        o.join(cuts, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.floor(F.max("p95") * 10000 + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("var_p95"),
+            F.sum(tail.cast("int")).cast("long").alias("tail_n"),
+            (
+                F.floor(
+                    F.sum(F.when(tail, _cents()).otherwise(0)).cast("double")
+                    / F.nullif(F.sum(tail.cast("int")), F.lit(0))
+                    / 100.0
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("cvar"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ),
+    scored AS (
+        SELECT *,
+               max(p_size) OVER (
+                   PARTITION BY p_brand ORDER BY price_cents
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS m_cheaper,
+               max(p_size) OVER (
+                   PARTITION BY p_brand, price_cents
+               ) AS m_same
+        FROM pts
+    )
+    SELECT p_brand, p_partkey, p_size,
+           price_cents / 100.0 AS retailprice
+    FROM scored
+    WHERE (m_cheaper IS NULL OR m_cheaper < p_size)
+      AND m_same <= p_size
+    ORDER BY p_brand, price_cents, p_partkey
+    """,
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: per brand, the parts not
+    dominated on (price ↓, size ↑) — no other part is both at-most-
+    as-expensive and at-least-as-big with strictness in one
+    dimension. The classic multi-objective query (Börzsönyi et al.'s
+    SKYLINE OF) that nested-loop formulations solve in O(n²); in 2-D
+    it collapses to ONE sorted window pass: sort by price, keep a row
+    iff its size beats the running max size of every strictly-cheaper
+    row (and no same-price row is strictly bigger).
+
+    Integer domains only (cents, size), so dominance comparisons
+    cannot drift. The RANGE frame keyed on price_cents handles
+    price ties exactly: the strictly-cheaper max excludes the whole
+    tied group, the same-price max resolves within it.
+
+    Plan: one scan, two windows over the same brand-partitioned sort
+    (a single exchange + sort serves both), one filter. At 100 TB
+    with few partitions the same plan runs on a range-partitioned
+    sort (the window_deciles two-pass path) — still one data pass."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_cents")
+    scored = pts.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("m_cheaper"),
+        F.max("p_size").over(w_same).alias("m_same"),
+    )
+    return (
+        scored.filter(
+            (F.col("m_cheaper").isNull() | (F.col("m_cheaper") < F.col("p_size")))
+            & (F.col("m_same") <= F.col("p_size"))
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_size",
+            (F.col("price_cents") / F.lit(100.0)).alias("retailprice"),
+        )
+        .orderBy("p_brand", "retailprice", "p_partkey")
+    )

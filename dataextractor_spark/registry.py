@@ -140,6 +140,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_interval_coverage",     # new r5: gaps-and-islands union length
     "graph_degree_distribution",  # new r5: binary-length log2 bins
     "etl_vacuum_retention_plan",  # new r5: retention/anchor/expire plan
+    # -- round-5 ninth batch (all oracled) --
+    "agg_permutation_test",       # new r5: md5-deterministic label test
+    "agg_tail_cvar",              # new r5: per-group VaR + shortfall
+    "agg_skyline_pareto",         # new r5: 2-D skyline in one window
+    "time_burstiness",            # new r5: Fano + Goh-Barabási B
+    "source_binaryfile_scan",     # new r5: binaryFile round-trip, oracled
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
