@@ -144,6 +144,7 @@ HEADLINE = [
     "agg_skyline_pareto",
     "time_burstiness",
     "source_binaryfile_scan",
+    "graph_bfs_levels",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -334,3 +334,116 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "log2_bin")
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT 's' || CAST(s AS VARCHAR) AS src,
+               'p' || CAST(p AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 'p' || CAST(p AS VARCHAR), 's' || CAST(s AS VARCHAR)
+        FROM pairs
+    ),
+    l0 AS (
+        SELECT 's' || CAST(min(l_suppkey) AS VARCHAR) AS node FROM lineitem
+    ),
+    l1 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN l0 ON e.src = l0.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+          AND e.dst NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+          AND e.dst NOT IN (SELECT node FROM l1)
+          AND e.dst NOT IN (SELECT node FROM l2)
+    ),
+    l4 AS (
+        SELECT DISTINCT e.dst AS node FROM e JOIN l3 ON e.src = l3.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+          AND e.dst NOT IN (SELECT node FROM l1)
+          AND e.dst NOT IN (SELECT node FROM l2)
+          AND e.dst NOT IN (SELECT node FROM l3)
+    ),
+    levels AS (
+        SELECT CAST(0 AS BIGINT) AS level, node FROM l0
+        UNION ALL SELECT 1, node FROM l1
+        UNION ALL SELECT 2, node FROM l2
+        UNION ALL SELECT 3, node FROM l3
+        UNION ALL SELECT 4, node FROM l4
+    )
+    SELECT level,
+           CASE WHEN substring(node, 1, 1) = 's' THEN 'supplier'
+                ELSE 'part' END AS node_type,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM levels
+    GROUP BY 1, 2
+    ORDER BY level, node_type
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability levels (4 sweeps) from a
+    deterministic seed (the minimum lineitem supplier) over the
+    supplier↔part incidence graph — the iterative-traversal operator
+    next to graph_pagerank's fixed-sweep power iteration: frontier_k+1
+    = neighbors(frontier_k) ∖ visited, entirely as join + anti-join
+    algebra (Pregel-as-relational-ops), with the oracle unrolling the
+    identical four sweeps as CTEs so every frontier's membership is
+    hash-pinned.
+
+    The bipartite structure makes levels alternate node types
+    (supplier seeds → parts at odd levels → suppliers at even), which
+    the output shape exposes as a built-in sanity check.
+
+    At 100 TB: each sweep is one key-key hash join (edges ⋈ frontier)
+    plus one anti-join against the visited set — both hash-partitioned
+    on the node id, the standard distributed BFS; frontiers pin via
+    localCheckpoint so sweep k+1 never re-derives sweep k's lineage,
+    and per-sweep state is one row per reached node, never adjacency
+    on the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seed = li.agg(
+        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
+    )
+    visited = seed.withColumn("level", F.lit(0).cast("long")).localCheckpoint(
+        eager=False
+    )
+    frontier = visited.select("node")
+    for k in range(1, 5):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(k).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy(
+            "level",
+            F.when(F.substring("node", 1, 1) == "s", "supplier")
+            .otherwise("part")
+            .alias("node_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("level", "node_type")
+    )

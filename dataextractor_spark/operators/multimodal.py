@@ -739,6 +739,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(doc_id) AS BIGINT)              AS sum_doc_id,
            CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
     FROM documents
+    WHERE doc_id < 500
     """,
 )
 def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,7 +766,16 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded file-per-doc shard (doc_id < 500 — the same set at every
+    # sf): file-per-row is the DEMO granularity; at corpus scale the
+    # payloads live in archive/lakehouse formats and binaryFile reads
+    # the archives, so an unbounded per-row listing would misrepresent
+    # the production shape AND litter 50k tmp files at sf0.1
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
     out = os.path.join(
         tempfile.gettempdir(),
         f"dataextractor_spark_binsrc_{os.path.basename(os.path.normpath(sf_dir))}",

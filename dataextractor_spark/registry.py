@@ -146,6 +146,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_skyline_pareto",         # new r5: 2-D skyline in one window
     "time_burstiness",            # new r5: Fano + Goh-Barabási B
     "source_binaryfile_scan",     # new r5: binaryFile round-trip, oracled
+    "graph_bfs_levels",           # new r5: 4-sweep BFS, unrolled oracle
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
