@@ -145,6 +145,7 @@ HEADLINE = [
     "time_burstiness",
     "source_binaryfile_scan",
     "graph_bfs_levels",
+    "time_lag_xcorr",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

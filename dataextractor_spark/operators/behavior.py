@@ -675,3 +675,104 @@ def time_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "time_lag_xcorr",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(sum(CASE WHEN event_type = 'view'
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(8)),
+    paired AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+    )
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round((count(*) * CAST(sum(x * y) AS BIGINT)
+                  - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))
+                 / sqrt((count(*) * CAST(sum(x * x) AS BIGINT)
+                         - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT))::DOUBLE
+                        * (count(*) * CAST(sum(y * y) AS BIGINT)
+                           - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT))::DOUBLE),
+                 6) AS pearson_r
+    FROM paired
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def time_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the view and purchase daily
+    value series: Pearson r of (view value on day d, purchase value
+    on day d+lag) for lags 0..7 — the "does today's browsing predict
+    tomorrow's buying, and with what delay?" diagnostic, and the
+    bivariate-sequence companion to agg_regression_trend (same-day
+    OLS) and time_seasonal_anomaly (univariate seasonality).
+
+    Both series come out of ONE fact scan as conditional integer-cent
+    sums on the shared day spine; the 8 lag alignments join the
+    calendar-bounded daily table against itself through an 8-row lag
+    spine, and every correlation derives from integer power sums —
+    the only float ops are one sqrt and one division per lag, so r is
+    drift-free across engines at 6 dp.
+
+    At 100 TB: data-sized work is the single daily aggregate;
+    everything after runs on |days|×8 rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(F.col("day").alias("d_a"), "x")
+    b = daily.select(F.col("day").alias("d_b"), "y")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("d_b")
+            == F.col("d_a") + F.col("lag") * F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return (
+        paired.groupBy("lag")
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt(
+                    (n * sxx - sx * sx).cast("double")
+                    * (n * syy - sy * sy).cast("double")
+                ),
+                6,
+            ).alias("pearson_r"),
+        )
+        .orderBy("lag")
+    )

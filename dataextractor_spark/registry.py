@@ -147,6 +147,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_burstiness",            # new r5: Fano + Goh-Barabási B
     "source_binaryfile_scan",     # new r5: binaryFile round-trip, oracled
     "graph_bfs_levels",           # new r5: 4-sweep BFS, unrolled oracle
+    "time_lag_xcorr",             # new r5: lead-lag Pearson r, int sums
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
