@@ -146,6 +146,8 @@ HEADLINE = [
     "source_binaryfile_scan",
     "graph_bfs_levels",
     "time_lag_xcorr",
+    "agg_mode_deterministic",
+    "agg_grouping_id_rollup",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

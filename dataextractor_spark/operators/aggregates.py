@@ -1671,3 +1671,109 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(pxy * F.log(lift)), 6).alias("mutual_info"),
         F.round(-F.sum(pxy * F.log(pxy)), 6).alias("joint_entropy"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS val,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT grp,
+           arg_max(val, lpad(CAST(c AS VARCHAR), 12, '0') || val) AS mode_val,
+           CAST(max(c) AS BIGINT)       AS mode_count,
+           CAST(sum(c) AS BIGINT)       AS n_rows,
+           round(max(c)::DOUBLE / sum(c), 6) AS mode_share
+    FROM counts
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — the
+    categorical central-tendency aggregate. Both engines ship a
+    native ``mode()`` whose TIE behavior is undefined (Spark picks an
+    arbitrary winner, DuckDB an implementation-defined one), which is
+    exactly the nondeterminism an oracled query cannot carry; the
+    portable form is max_by over the value-count table with the
+    fixed-width (count, value) ordering string, so ties break to the
+    lexicographically largest value IDENTICALLY everywhere.
+
+    Plan: one fact-scan hash aggregate to the bounded (group, value)
+    count table, then a bounded max_by rollup — two mergeable
+    aggregates, no sort, the same shape a 100 TB mode computation
+    must take (native mode's in-memory value map per group is the
+    thing this decomposition replaces)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderstatus").alias("val"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ord_s = F.concat(
+        F.lpad(F.col("c").cast("string"), 12, "0"), F.col("val")
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.max_by("val", ord_s).alias("mode_val"),
+            F.max("c").cast("long").alias("mode_count"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("mode_share"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '(all)')          AS prio,
+           coalesce(o_orderstatus, '(all)')            AS status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT)   AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)     AS g_status,
+           CAST(count(*) AS BIGINT)                    AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0                                 AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY g_prio, g_status, prio, status
+    """,
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() disambiguation — the SQL-surface detail
+    that separates "this key is genuinely NULL in the data" from
+    "this row is a subtotal": grouping flags are part of the rollup
+    contract (agg_rollup pins the totals; this pins the FLAGS), and
+    coalescing the display label through '(all)' is only safe
+    BECAUSE the flag travels alongside it.
+
+    Plan: Spark expands the rollup to grouping sets in one Expand +
+    hash aggregate over a single fact scan — the flags are literals
+    per grouping set, costing nothing. Revenue aggregates as exact
+    integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("prio"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            "g_prio",
+            "g_status",
+            "n",
+            "revenue",
+        )
+        .orderBy("g_prio", "g_status", "prio", "status")
+    )

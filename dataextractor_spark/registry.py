@@ -148,6 +148,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "source_binaryfile_scan",     # new r5: binaryFile round-trip, oracled
     "graph_bfs_levels",           # new r5: 4-sweep BFS, unrolled oracle
     "time_lag_xcorr",             # new r5: lead-lag Pearson r, int sums
+    "agg_mode_deterministic",     # new r5: tie-proof portable mode
+    "agg_grouping_id_rollup",     # new r5: GROUPING() flag surface
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
