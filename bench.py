@@ -148,6 +148,9 @@ HEADLINE = [
     "time_lag_xcorr",
     "agg_mode_deterministic",
     "agg_grouping_id_rollup",
+    "time_yoy_growth",
+    "time_cohort_ltv",
+    "attr_last_touch",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -776,3 +776,103 @@ def time_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "attr_last_touch",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS channel
+        FROM events
+    ),
+    carried AS (
+        SELECT *,
+               last_value(channel IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS attributed
+        FROM tagged
+    )
+    SELECT coalesce(attributed, '(none)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM events
+                                     WHERE event_type = 'purchase'), 6)
+               AS share,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY channel
+    """,
+)
+def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the LAST
+    preceding non-purchase event (channel) of the same user — the
+    standard marketing-attribution operator, and the carry-forward
+    sibling of the as-of family (funnel_conversion gates ordered
+    steps; attribution asks which channel owned the conversion).
+
+    One user-partitioned window pass does everything: channels carry
+    forward via last_value IGNORE NULLS over the strictly-preceding
+    frame (a purchase at the same instant as a channel event sees it
+    iff its event_id orders later — the total (ts, event_id) order
+    makes the tie deterministic), purchases read the carried value,
+    and unattributed purchases surface as '(none)' instead of
+    vanishing. Purchase value aggregates as exact integer cents.
+
+    At 100 TB: one shuffle on user_id, then a bounded per-channel
+    rollup — no joins at all."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "channel"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.withColumn(
+        "attributed", F.last("channel", ignorenulls=True).over(w)
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    # aggregate FIRST, then derive the share from the bounded channel
+    # table — the denominator re-aggregates ≤|channels| rows instead
+    # of a second pass over the window output
+    grouped = (
+        purchases.groupBy(
+            F.coalesce(F.col("attributed"), F.lit("(none)")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("attributed_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = F.broadcast(
+        grouped.agg(F.sum("n_purchases").cast("long").alias("n_total"))
+    )
+    return (
+        grouped.crossJoin(total)
+        .select(
+            "channel",
+            "n_purchases",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+            "attributed_value",
+        )
+        .orderBy("channel")
+    )

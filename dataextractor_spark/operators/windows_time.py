@@ -1004,3 +1004,152 @@ def time_calendar_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_class")
     )
+
+
+@query(
+    "time_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_orderpriority AS prio,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, yr,
+           cents / 100.0 AS revenue,
+           round((cents - lag(cents) OVER w)::DOUBLE
+                 / lag(cents) OVER w, 6) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY prio ORDER BY yr)
+    ORDER BY prio, yr
+    """,
+)
+def time_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority — the BI
+    staple every period-comparison dashboard runs: one lag window
+    over the |priorities|×|years| yearly rollup. Growth is a ratio
+    of exact integer-cent sums (first year NULL by definition).
+
+    At 100 TB only the yearly aggregate touches data; the lag window
+    runs over a few dozen rows."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("prio").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "prio",
+        "yr",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.round((F.col("cents") - prev).cast("double") / prev, 6).alias(
+            "yoy_growth"
+        ),
+    ).orderBy("prio", "yr")
+
+
+@query(
+    "time_cohort_ltv",
+    oracle="""
+    WITH pm AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    coh AS (
+        SELECT o_custkey, min(m) AS cohort_m FROM pm GROUP BY 1
+    ),
+    cells AS (
+        SELECT strftime(c.cohort_m, '%Y-%m') AS cohort,
+               CAST(date_diff('month', c.cohort_m, pm.m) AS BIGINT)
+                   AS age_months,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(pm.cents) AS BIGINT) AS cents
+        FROM pm JOIN coh c ON pm.o_custkey = c.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, age_months, n_active,
+           floor(CAST(sum(cents) OVER (
+                     PARTITION BY cohort ORDER BY age_months
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT)::DOUBLE
+                 / first_value(n_active) OVER (
+                     PARTITION BY cohort ORDER BY age_months
+                 ) / 100.0 * 10000 + 0.5) / 10000.0 AS cum_ltv
+    FROM cells
+    ORDER BY cohort, age_months
+    """,
+)
+def time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; each cell is the cohort's cumulative revenue per FOUNDING
+    member through month N — the money-dimension companion to
+    time_cohort_retention's activity triangle (retention asks "did
+    they come back", LTV asks "what are they worth by age N").
+
+    Cohort size is recovered without a join: every founding member
+    has a row at age 0 (their first month has spend by definition),
+    so first_value over the age-ordered cohort partition IS the
+    denominator — the same trick the retention triangle uses.
+
+    Plan: one fact shuffle to the (customer, month) table; cohorts
+    re-aggregate it (customer-sized, key join back); every window
+    runs over the months² triangle. Exact integer cents end-to-end;
+    cum_ltv is a ratio of exact integers rounded at 4 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    pm = (
+        o.groupBy(
+            "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    coh = pm.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    cells = (
+        pm.join(coh, "o_custkey")
+        .groupBy(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort"),
+            F.months_between(F.col("m"), F.col("cohort_m"))
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_first = Window.partitionBy("cohort").orderBy("age_months")
+    return cells.select(
+        "cohort",
+        "age_months",
+        "n_active",
+        # floor idiom, not round(): the integer quotient cents/size
+        # lands exactly on 4-dp half-points (engines' round() diverges
+        # there — caught by the strict harness at sf0.001)
+        (
+            F.floor(
+                F.sum("cents").over(w_cum).cast("double")
+                / F.first("n_active").over(w_first)
+                / F.lit(100.0)
+                * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("cum_ltv"),
+    ).orderBy("cohort", "age_months")

@@ -150,6 +150,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_lag_xcorr",             # new r5: lead-lag Pearson r, int sums
     "agg_mode_deterministic",     # new r5: tie-proof portable mode
     "agg_grouping_id_rollup",     # new r5: GROUPING() flag surface
+    "time_yoy_growth",            # new r5: lag window on yearly rollup
+    "time_cohort_ltv",            # new r5: money-dim cohort triangle
+    "attr_last_touch",            # new r5: carry-forward attribution
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
