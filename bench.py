@@ -151,6 +151,8 @@ HEADLINE = [
     "time_yoy_growth",
     "time_cohort_ltv",
     "attr_last_touch",
+    "sample_balanced_downsample",
+    "time_peak_detection",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

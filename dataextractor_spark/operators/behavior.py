@@ -876,3 +876,77 @@ def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "time_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, day, v,
+               lag(v)  OVER w AS prev_v,
+               lead(v) OVER w AS next_v
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           v / 100.0      AS v_value,
+           prev_v / 100.0 AS prev_value,
+           next_v / 100.0 AS next_value
+    FROM ctx
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND v > prev_v AND v >= next_v
+    ORDER BY event_type, day
+    """,
+)
+def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection on the per-type daily series:
+    a day is a peak iff it strictly beats the previous day and is at
+    least the next day (the strict/non-strict asymmetry dedupes
+    plateau tops to their FIRST day); series endpoints are excluded.
+    The elementary signal-processing primitive under alerting and
+    seasonality eyeballing, complementing time_changepoint_cusum
+    (level shifts) and time_seasonal_anomaly (distributional
+    outliers).
+
+    All comparisons are exact integer cents — no float boundary can
+    flip a peak between engines. One lag/lead window over the
+    calendar-bounded daily table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v").over(w).alias("prev_v"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("v") > F.col("prev_v"))
+            & (F.col("v") >= F.col("next_v"))
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("v") / F.lit(100.0)).alias("v_value"),
+            (F.col("prev_v") / F.lit(100.0)).alias("prev_value"),
+            (F.col("next_v") / F.lit(100.0)).alias("next_value"),
+        )
+        .orderBy("event_type", "day")
+    )

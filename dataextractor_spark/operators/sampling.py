@@ -816,3 +816,78 @@ def sample_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+@query(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH k AS (
+        SELECT min(c) AS k FROM (
+            SELECT count(*) AS c FROM events GROUP BY event_type
+        )
+    ),
+    ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN rn <= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after,
+           CAST(sum(CASE WHEN rn <= k THEN event_id ELSE 0 END) AS BIGINT)
+               AS selected_checksum
+    FROM ranked CROSS JOIN k
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class (event type) is cut
+    to the MINORITY class's size by keeping its top-k rows under the
+    md5 ranking — the class-rebalancing step an ML-prep pipeline runs
+    before training on skewed labels, and the per-class-quota member
+    of the sampling family (stratified keeps a fixed FRACTION per
+    stratum; uniform_k keeps a global k; this equalizes counts).
+
+    The md5(event_id) rank is the family's portable-permutation
+    idiom: seedless, partition-independent, reproducible in any
+    engine — so the SELECTED SET itself is pinned by the checksum
+    column, not just its size. One per-class window pass; the k
+    bound is a broadcast 1-row aggregate of the bounded class-count
+    table. At 100 TB the exact-rank window downgrades to the
+    documented md5-hex-threshold approximation (sample_stratified's
+    path) when a full per-class sort is too expensive; the checksum
+    contract is unchanged."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    k = F.broadcast(counts.agg(F.min("c").alias("k")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = e.select("event_type", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.when(F.col("rn") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.col("event_id")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("selected_checksum"),
+        )
+        .orderBy("event_type")
+    )

@@ -153,6 +153,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_yoy_growth",            # new r5: lag window on yearly rollup
     "time_cohort_ltv",            # new r5: money-dim cohort triangle
     "attr_last_touch",            # new r5: carry-forward attribution
+    "sample_balanced_downsample", # new r5: per-class quota, md5-pinned
+    "time_peak_detection",        # new r5: integer-exact local maxima
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
