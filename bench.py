@@ -153,6 +153,8 @@ HEADLINE = [
     "attr_last_touch",
     "sample_balanced_downsample",
     "time_peak_detection",
+    "agg_share_of_parent",
+    "agg_pareto_8020",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1071,3 +1071,159 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "retailprice", "p_partkey")
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH leaf AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    parent AS (
+        SELECT prio, CAST(sum(cents) AS BIGINT) AS p_cents
+        FROM leaf GROUP BY prio
+    ),
+    total AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM leaf)
+    SELECT l.prio, l.status,
+           l.cents / 100.0 AS revenue,
+           round(l.cents::DOUBLE / p.p_cents, 6) AS share_of_parent,
+           round(l.cents::DOUBLE / t.t_cents, 6) AS share_of_total
+    FROM leaf l JOIN parent p ON l.prio = p.prio CROSS JOIN total t
+    ORDER BY l.prio, l.status
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis — each (priority, status)
+    leaf's revenue share of its priority PARENT and of the grand
+    total, the "% of parent" column every OLAP drill-down shows next
+    to the rollup subtotals (agg_grouping_id_rollup pins the subtotal
+    rows themselves; this pins the ratios between levels).
+
+    Plan: ONE fact scan to the bounded leaf table; parent and total
+    re-aggregate the leaf table (never the facts) and broadcast back
+    — the same bounded-reaggregation shape as the MI/chi-square
+    contingency queries. All shares are ratios of exact integer-cent
+    sums."""
+    o = load_table(spark, sf_dir, "orders")
+    leaf = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.sum(_cents()).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    parent = leaf.groupBy("prio").agg(F.sum("cents").alias("p_cents"))
+    total = leaf.agg(F.sum("cents").alias("t_cents"))
+    return (
+        leaf.join(F.broadcast(parent), "prio")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prio",
+            "status",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / F.col("p_cents"), 6
+            ).alias("share_of_parent"),
+            F.round(
+                F.col("cents").cast("double") / F.col("t_cents"), 6
+            ).alias("share_of_total"),
+        )
+        .orderBy("prio", "status")
+    )
+
+
+@query(
+    "agg_pareto_8020",
+    oracle="""
+    WITH percust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c.c_mktsegment AS segment, p.cents,
+               CAST(row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY p.cents DESC, p.o_custkey
+               ) AS BIGINT) AS i,
+               CAST(sum(p.cents) OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY p.cents DESC, p.o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(sum(p.cents) OVER (
+                   PARTITION BY c.c_mktsegment
+               ) AS BIGINT) AS tot,
+               CAST(count(*) OVER (
+                   PARTITION BY c.c_mktsegment
+               ) AS BIGINT) AS n
+        FROM percust p JOIN customer c ON p.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN 5 * cum >= 4 * tot THEN i END) AS BIGINT)
+               AS n_to_80pct,
+           round(min(CASE WHEN 5 * cum >= 4 * tot THEN i END)::DOUBLE
+                 / max(n), 6) AS frac_to_80pct
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout: per segment, how many top customers (by
+    revenue, descending) it takes to reach 80% of segment revenue —
+    the headline scalar the Lorenz curve (agg_gini_concentration)
+    compresses to, and the number a data-mixing pass quotes when
+    deciding whether a long tail of sources is worth keeping.
+
+    The crossing test is the INTEGER inequality 5·cum ≥ 4·total (no
+    0.8·total float threshold to straddle an ulp), and the crossing
+    rank is the min rank satisfying it — deterministic because
+    descending revenue ties break by custkey identically in both
+    engines.
+
+    Plan: the gini/skyline shape — per-customer hash aggregate,
+    segment join, ONE partitioned window pass (rank + running sum +
+    per-segment totals fused over the same sort), bounded rollup; the
+    100 TB path swaps the per-segment sort for the range-partitioned
+    two-pass ranking, unchanged arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    percust = o.groupBy("o_custkey").agg(F.sum(_cents()).alias("cents"))
+    seg = percust.join(c, percust.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents", "o_custkey"
+    )
+    by_seg = Window.partitionBy("segment")
+    w_ord = by_seg.orderBy(F.desc("cents"), "o_custkey")
+    ranked = seg.select(
+        "segment",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("cents")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cents").over(by_seg).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(by_seg).cast("long").alias("n"),
+    )
+    crossing = F.min(
+        F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("i"))
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            crossing.cast("long").alias("n_to_80pct"),
+            F.round(crossing.cast("double") / F.max("n"), 6).alias(
+                "frac_to_80pct"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -155,6 +155,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "attr_last_touch",            # new r5: carry-forward attribution
     "sample_balanced_downsample", # new r5: per-class quota, md5-pinned
     "time_peak_detection",        # new r5: integer-exact local maxima
+    "agg_share_of_parent",        # new r5: OLAP %-of-parent ratios
+    "agg_pareto_8020",            # new r5: integer-exact 80/20 crossing
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
