@@ -155,6 +155,7 @@ HEADLINE = [
     "time_peak_detection",
     "agg_share_of_parent",
     "agg_pareto_8020",
+    "udf_grouped_minmax_norm",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -515,3 +515,92 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correlated subquery. Identical text runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_CORR_SQL)
+
+
+@query(
+    "udf_grouped_minmax_norm",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ext AS (
+        SELECT prio, CAST(min(cents) AS BIGINT) AS mn,
+               CAST(max(cents) AS BIGINT) AS mx
+        FROM base GROUP BY prio
+    ),
+    normed AS (
+        SELECT b.prio,
+               CAST((b.cents - e.mn) * 1000000 // (e.mx - e.mn) AS BIGINT)
+                   AS inorm
+        FROM base b JOIN ext e ON b.prio = e.prio
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT)    AS n,
+           CAST(min(inorm) AS BIGINT)  AS min_inorm,
+           CAST(max(inorm) AS BIGINT)  AS max_inorm,
+           round(CAST(sum(inorm) AS BIGINT)::DOUBLE / count(*)
+                 / 1000000.0, 6)       AS mean_norm
+    FROM normed
+    GROUP BY prio
+    ORDER BY prio
+    """,
+)
+def udf_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-MAP pandas UDF (``applyInPandas``) — the fourth and
+    last sanctioned Python-UDF shape, now under an exact oracle (the
+    scalar, grouped-aggregate, and table-function shapes are pinned
+    by udf_zscore_median / udtf_bigram_explode; the engine's other
+    applyInPandas uses live in rows-only ANN queries): each
+    priority's order totals are min-max normalized INSIDE an
+    Arrow-batched pandas function, and the result is hash-matched
+    against the pure-SQL replay.
+
+    The normalization emits scaled INTEGERS — floor((cents−min)·10⁶ /
+    (max−min)) in int64 — because the honest float form would hand
+    pandas a vectorized double division whose per-row results are
+    fine but whose downstream float SUM is accumulation-order
+    dependent; integer outputs make the cross-engine comparison
+    exact with zero tolerance games.
+
+    Scale notes: applyInPandas shuffles once on the group key and
+    streams each group through Arrow; per-group state is one pandas
+    frame, so group cardinality (5 here) is the parallelism bound —
+    the docstringed caveat that grouped-map UDFs need
+    many-more-groups-than-cores to scale, which is exactly why the
+    engine's hot paths prefer JVM expressions."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"]
+        mn, mx = c.min(), c.max()
+        return pd.DataFrame(
+            {
+                "prio": pdf["prio"],
+                "inorm": (c - mn) * 1000000 // (mx - mn),
+            }
+        )
+
+    normed = base.groupBy("prio").applyInPandas(
+        norm, "prio string, inorm long"
+    )
+    return (
+        normed.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("inorm").cast("long").alias("min_inorm"),
+            F.max("inorm").cast("long").alias("max_inorm"),
+            F.round(
+                F.sum("inorm").cast("double") / F.count(F.lit(1)) / 1000000.0,
+                6,
+            ).alias("mean_norm"),
+        )
+        .orderBy("prio")
+    )
