@@ -156,6 +156,8 @@ HEADLINE = [
     "agg_share_of_parent",
     "agg_pareto_8020",
     "udf_grouped_minmax_norm",
+    "time_forecast_backtest",
+    "agg_fulfillment_latency",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -950,3 +950,87 @@ def time_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "time_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           round(CAST(sum(abs(a.v - p.v)) AS BIGINT)::DOUBLE
+                 / CAST(sum(abs(a.v)) AS BIGINT), 6)  AS wape,
+           round(CAST(sum(a.v - p.v) AS BIGINT)::DOUBLE
+                 / CAST(sum(a.v) AS BIGINT), 6)       AS bias,
+           floor(CAST(sum(abs(a.v - p.v)) AS BIGINT)::DOUBLE
+                 / count(*) / 100.0 * 100 + 0.5) / 100.0 AS mae
+    FROM daily a
+    JOIN daily p ON p.event_type = a.event_type
+                AND p.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def time_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: evaluate the seasonal-naive baseline
+    (predict each day = same weekday last week) with WAPE, bias, and
+    MAE per event type — the evaluation harness every forecasting
+    pipeline needs BEFORE any model, because seasonal-naive is the
+    benchmark a model must beat (and WAPE is the scale-free metric
+    that survives aggregation across series, unlike MAPE's
+    divide-by-small-actual blowups).
+
+    The 7-day alignment is a CALENDAR-exact self-join on the bounded
+    daily table (day = day − 7), not a lag(7) row offset — row
+    offsets silently misalign when a series has gap days. Every
+    metric is a ratio of exact integer-cent sums; MAE rounds through
+    the floor idiom.
+
+    At 100 TB only the daily aggregate touches data; the self-join
+    and metric rollup run on calendar-bounded rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("event_type", "day", F.col("v").alias("actual"))
+    p = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("v").alias("pred"),
+    )
+    err = F.col("actual") - F.col("pred")
+    return (
+        a.join(p, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.round(
+                F.sum(F.abs(err)).cast("double") / F.sum(F.abs("actual")), 6
+            ).alias("wape"),
+            F.round(
+                F.sum(err).cast("double") / F.sum("actual"), 6
+            ).alias("bias"),
+            (
+                F.floor(
+                    F.sum(F.abs(err)).cast("double")
+                    / F.count(F.lit(1))
+                    / 100.0
+                    * 100
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

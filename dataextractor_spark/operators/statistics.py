@@ -1227,3 +1227,69 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "agg_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS prio,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(quantile_cont(days, 0.50) * 100 + 0.5) / 100.0 AS p50_days,
+           floor(quantile_cont(days, 0.90) * 100 + 0.5) / 100.0 AS p90_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           round(CAST(sum(days) AS BIGINT)::DOUBLE / count(*), 4)
+               AS mean_days
+    FROM lat
+    GROUP BY prio
+    ORDER BY prio
+    """,
+)
+def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency distribution (order date → line
+    ship date) per priority: p50/p90/max/mean days — the operational
+    SLA lens on the fact table (does URGENT actually ship faster?),
+    and a percentile query whose input is INTEGER DAYS, so the
+    interpolated quantiles are exact ratios of small integers and
+    the floor idiom closes the last half-point gap.
+
+    Plan: one key-key fact join (lineitem ⋈ orders on the order key —
+    the star schema's co-partitionable edge, bucketable at scale),
+    then a single percentile+moments aggregate per bounded priority
+    group. At 100 TB pass-1 percentile state downgrades to the
+    histogram sketch as usual; integer-day granularity means the
+    sketch is exact anyway (bounded distinct values)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    return (
+        lat.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.floor(F.expr("percentile(days, 0.50)") * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("p50_days"),
+            (
+                F.floor(F.expr("percentile(days, 0.90)") * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("p90_days"),
+            F.max("days").cast("long").alias("max_days"),
+            F.round(
+                F.sum("days").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_days"),
+        )
+        .orderBy("prio")
+    )

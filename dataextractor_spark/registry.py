@@ -158,6 +158,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_share_of_parent",        # new r5: OLAP %-of-parent ratios
     "agg_pareto_8020",            # new r5: integer-exact 80/20 crossing
     "udf_grouped_minmax_norm",    # new r5: applyInPandas under an oracle
+    "time_forecast_backtest",     # new r5: seasonal-naive WAPE/bias/MAE
+    "agg_fulfillment_latency",    # new r5: SLA latency percentiles
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
