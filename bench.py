@@ -158,6 +158,8 @@ HEADLINE = [
     "udf_grouped_minmax_norm",
     "time_forecast_backtest",
     "agg_fulfillment_latency",
+    "agg_seasonality_strength",
+    "join_basket_affinity",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1034,3 +1034,102 @@ def time_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+        SELECT event_type, isodow(day) - 1 AS wd,
+               CAST(count(*) AS BIGINT) AS nw,
+               CAST(sum(v) AS BIGINT) AS sx,
+               CAST(sum(v * v) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS ss
+        FROM daily GROUP BY 1
+    )
+    SELECT t.event_type,
+           t.n AS n_days,
+           round(sum(w.sxx - w.sx::DOUBLE * w.sx / w.nw)
+                 / (max(t.ss) - max(t.s)::DOUBLE * max(t.s) / max(t.n)), 6)
+               AS resid_frac,
+           round(1.0 - sum(w.sxx - w.sx::DOUBLE * w.sx / w.nw)
+                 / (max(t.ss) - max(t.s)::DOUBLE * max(t.s) / max(t.n)), 6)
+               AS seasonality_strength
+    FROM tot t JOIN wk w ON t.event_type = w.event_type
+    GROUP BY t.event_type, t.n
+    ORDER BY t.event_type
+    """,
+)
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-strength decomposition: the fraction of a daily
+    series' variance explained by its weekday means — R² of the
+    pure-seasonal model, computed as 1 − SS_within-weekday / SS_total.
+    This is the quantitative answer to "is this series seasonal
+    enough that time_seasonal_anomaly's weekday baseline is the right
+    detector, or is time_changepoint_cusum's level model better?" —
+    the model-selection statistic for the engine's own anomaly
+    family.
+
+    Both sums of squares derive from integer power sums
+    (Σv², (Σv)²/n) per weekday and per series; the 7-term residual
+    sum accumulates doubles but each term is an exact-integer ratio,
+    so drift is ulps under the 6-dp rounding. Only the daily
+    aggregate touches data; weekday and total statistics re-aggregate
+    the calendar-bounded table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    wk = daily.groupBy(
+        "event_type", F.weekday(F.col("day")).cast("long").alias("wd")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    ss_within = F.sum(
+        F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("nw")
+    )
+    ss_total = (
+        F.max("ss") - F.max("s").cast("double") * F.max("s") / F.max("n")
+    )
+    return (
+        tot.join(wk, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.round(ss_within / ss_total, 6).alias("resid_frac"),
+            F.round(F.lit(1.0) - ss_within / ss_total, 6).alias(
+                "seasonality_strength"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "resid_frac",
+            "seasonality_strength",
+        )
+        .orderBy("event_type")
+    )

@@ -1293,3 +1293,127 @@ def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "join_basket_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    item_n AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS cab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    scored AS (
+        SELECT p.pa, p.pb, p.cab, ia.c AS ca, ib.c AS cb, n.n,
+               round(p.cab::DOUBLE * n.n / (ia.c * ib.c), 6) AS lift,
+               lpad(CAST(CAST(round(p.cab::DOUBLE * n.n * 1000000
+                                    / (ia.c * ib.c)) AS BIGINT)
+                         AS VARCHAR), 18, '0')
+                 || lpad(CAST(p.pa AS VARCHAR), 12, '0')
+                 || lpad(CAST(p.pb AS VARCHAR), 12, '0') AS ord
+        FROM pair_n p
+        JOIN item_n ia ON p.pa = ia.l_partkey
+        JOIN item_n ib ON p.pb = ib.l_partkey
+        CROSS JOIN n_orders n
+    )
+    SELECT pa, pb, cab AS n_cooccur,
+           round(cab::DOUBLE / n, 6)  AS support,
+           round(cab::DOUBLE / ca, 6) AS confidence_a_b,
+           lift
+    FROM scored
+    ORDER BY ord DESC
+    LIMIT 20
+    """,
+)
+def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining: support, confidence, and LIFT
+    for part pairs co-occurring in an order (reference README.md:26
+    "most efficient hero combinations" is exactly this shape) — the
+    association-rule layer on top of join_selfpair_parts' raw pair
+    join: selfpair demonstrates the join, this ranks the top-20 pairs
+    by how much MORE often they co-occur than independence predicts.
+
+    Determinism: the ranking key is the fixed-width string of
+    round(lift·10⁶) (an exact integer ratio scaled before rounding)
+    + both part keys, so the top-20 cut cannot be reordered or split
+    by float ties. The min-support HAVING (≥3 co-occurrences) is the
+    standard Apriori support prune and keeps the scored set small.
+
+    At 100 TB: per-order pair enumeration is bounded by basket size
+    (TPC-H ≤7 lines/order — quadratic only in the small basket, the
+    same bound every frequent-itemset miner relies on); item and
+    pair counts are hash aggregates; the n_orders scalar broadcasts;
+    the final top-20 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n_orders = F.broadcast(
+        items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    )
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    scored = (
+        pairs.join(item_n.withColumnRenamed("l_partkey", "pa"), "pa")
+        .withColumnRenamed("c", "ca")
+        .join(
+            item_n.withColumnRenamed("l_partkey", "pb").withColumnRenamed(
+                "c", "cb"
+            ),
+            "pb",
+        )
+        .crossJoin(n_orders)
+    )
+    lift_scaled = F.round(
+        F.col("cab").cast("double") * F.col("n") * 1000000
+        / (F.col("ca") * F.col("cb"))
+    ).cast("long")
+    ord_s = F.concat(
+        F.lpad(lift_scaled.cast("string"), 18, "0"),
+        F.lpad(F.col("pa").cast("string"), 12, "0"),
+        F.lpad(F.col("pb").cast("string"), 12, "0"),
+    )
+    return (
+        scored.withColumn("ord", ord_s)
+        .orderBy(F.desc("ord"))
+        .limit(20)
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").alias("n_cooccur"),
+            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("cab").cast("double") * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

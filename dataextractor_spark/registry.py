@@ -160,6 +160,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "udf_grouped_minmax_norm",    # new r5: applyInPandas under an oracle
     "time_forecast_backtest",     # new r5: seasonal-naive WAPE/bias/MAE
     "agg_fulfillment_latency",    # new r5: SLA latency percentiles
+    "agg_seasonality_strength",   # new r5: weekday-R² model selector
+    "join_basket_affinity",       # new r5: support/confidence/lift top-20
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
