@@ -160,6 +160,8 @@ HEADLINE = [
     "agg_fulfillment_latency",
     "agg_seasonality_strength",
     "join_basket_affinity",
+    "time_new_vs_returning",
+    "time_dormancy_reactivation",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1133,3 +1133,157 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "time_new_vs_returning",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    ),
+    daily AS (
+        SELECT du.day,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM du JOIN firsts f ON du.user_id = f.user_id
+        GROUP BY du.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_active,
+           n_new,
+           n_active - n_new AS n_returning,
+           CAST(sum(n_new) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_unique_users
+    FROM daily
+    ORDER BY day
+    """,
+)
+def time_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each day's active users decomposed into
+    first-ever-seen (new) vs returning, with the running count of
+    all-time unique users — the DAU decomposition every growth
+    dashboard leads with, and the accounting identity behind
+    time_cohort_retention (a cohort IS one day's n_new followed
+    through time).
+
+    Plan: one DISTINCT (day, user) shuffle; first-seen days
+    re-aggregate that user-bounded table and join back on user_id
+    (key-key); the cumulative window runs over the CALENDAR-bounded
+    daily rollup (whitelisted unpartitioned window on ≤|days| rows).
+    Every column is an exact integer count."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint(eager=False)
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w_cum).cast("long").alias("cum_unique_users"),
+    ).orderBy("day")
+
+
+@query(
+    "time_dormancy_reactivation",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                             AND ts - prev_ts >= INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_reactivations,
+               CAST(max(CASE WHEN prev_ts IS NOT NULL
+                             THEN epoch_us(ts) - epoch_us(prev_ts)
+                             ELSE 0 END) AS BIGINT)
+                   AS max_gap_us
+        FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_reactivations,
+           round(max_gap_us / 86400000000.0, 4) AS max_gap_days,
+           (n_reactivations > 0) AS ever_dormant
+    FROM gaps
+    ORDER BY user_id
+    """,
+)
+def time_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy/reactivation accounting: per user, how many times
+    they returned after ≥7 days of silence, and their longest-ever
+    gap — the churn-and-resurrection counter that complements
+    time_new_vs_returning (which can't distinguish a steady regular
+    from a lapsing-and-returning user) and agg_survival_km (which
+    sees only the final churn, not intermediate dormancy).
+
+    The gap test compares native timestamp intervals (exact
+    microsecond integers under the hood in BOTH engines), and the
+    reported max gap converts exact epoch-microsecond differences —
+    no float enters until the final display division.
+
+    Plan: ONE user-partitioned lag window (the natural event
+    partitioning, shared shape with time_markov_transitions), then a
+    per-user hash aggregate. Nothing is calendar- or
+    driver-bounded-unsafe at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    is_react = F.when(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") >= F.col("prev_ts") + F.expr("INTERVAL 7 DAYS")),
+        1,
+    ).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(is_react).cast("long").alias("n_reactivations"),
+            F.max(
+                F.when(F.col("prev_ts").isNotNull(), gap_us).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_reactivations",
+            F.round(F.col("max_gap_us") / F.lit(86400000000.0), 4).alias(
+                "max_gap_days"
+            ),
+            (F.col("n_reactivations") > 0).alias("ever_dormant"),
+        )
+        .orderBy("user_id")
+    )

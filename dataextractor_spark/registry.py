@@ -162,6 +162,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_fulfillment_latency",    # new r5: SLA latency percentiles
     "agg_seasonality_strength",   # new r5: weekday-R² model selector
     "join_basket_affinity",       # new r5: support/confidence/lift top-20
+    "time_new_vs_returning",      # new r5: DAU growth accounting
+    "time_dormancy_reactivation", # new r5: gap/resurrection counter
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's

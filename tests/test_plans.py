@@ -339,6 +339,9 @@ UNPARTITIONED_WINDOW_OK = {
     "etl_compaction_binpack",   # cumulative window over the FILE LISTING
                                 # (one row per partition-file) — metadata-
                                 # bounded, never data rows
+    "time_new_vs_returning",    # cumulative-unique window over the DAILY
+                                # rollup — calendar-bounded (≤|days| rows),
+                                # never per-user or per-event rows
 }
 
 
