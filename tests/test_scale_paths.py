@@ -910,3 +910,78 @@ def test_vacuum_plan_partitions_full_and_anchored(spark):
         assert r.n_anchor in (0, 1), r
         if r.n_expired > 0:
             assert r.n_anchor == 1, r
+
+
+def test_basket_affinity_metrics_consistent(spark):
+    """Association-rule contracts: support ≤ confidence ≤ 1, lift > 0,
+    co-occurrence count respects the min-support prune, and lift is
+    internally consistent with support/confidence up to rounding."""
+    rows = load_all()["join_basket_affinity"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.n_cooccur >= 3, r
+        assert 0.0 < r.support <= r.confidence_a_b <= 1.0, r
+        assert r.lift > 0, r
+        assert r.pa < r.pb, r
+
+
+def test_forecast_backtest_metrics_bounded(spark):
+    """Backtest contracts: WAPE ≥ |bias| (triangle inequality on the
+    same denominator), MAE ≥ 0, and every series evaluates ≥1 day."""
+    rows = load_all()["time_forecast_backtest"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_eval >= 1, r
+        assert r.wape >= abs(r.bias) - 1e-9, r
+        assert r.mae >= 0, r
+
+
+def test_new_vs_returning_accounting_identity(spark):
+    """Growth-accounting identities: active = new + returning on every
+    day, cum_unique is non-decreasing, and its final value equals the
+    total distinct user count."""
+    rows = (
+        load_all()["time_new_vs_returning"].fn(spark, SF_SMALL).collect()
+    )
+    assert rows
+    prev = 0
+    for r in rows:  # already day-ordered
+        assert r.n_active == r.n_new + r.n_returning, r
+        assert r.cum_unique_users >= prev, r
+        prev = r.cum_unique_users
+    from dataextractor_spark.catalog import load_table as _lt
+
+    n_users = _lt(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert prev == n_users
+
+
+def test_cdc_apply_state_consistent(spark):
+    """CDC contracts: every key appears once, deletes ≤ changes, and
+    is_live agrees with last_op."""
+    rows = load_all()["join_cdc_apply"].fn(spark, SF_SMALL).collect()
+    keys = [r.user_id for r in rows]
+    assert len(keys) == len(set(keys)) > 0
+    for r in rows:
+        assert 0 <= r.n_deletes <= r.n_changes, r
+        assert r.is_live == (r.last_op != "D"), r
+
+
+def test_skyline_is_mutually_nondominated(spark):
+    """Skyline contract: within a brand, no returned point dominates
+    another (price ≤ AND size ≥ with strictness in one)."""
+    rows = load_all()["agg_skyline_pareto"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, rs in by_brand.items():
+        for a in rs:
+            for b in rs:
+                if a.p_partkey == b.p_partkey:
+                    continue
+                dominates = (
+                    a.retailprice <= b.retailprice
+                    and a.p_size >= b.p_size
+                    and (a.retailprice < b.retailprice or a.p_size > b.p_size)
+                )
+                assert not dominates, (brand, a, b)
