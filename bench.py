@@ -162,6 +162,8 @@ HEADLINE = [
     "join_basket_affinity",
     "time_new_vs_returning",
     "time_dormancy_reactivation",
+    "agg_reorder_rate",
+    "time_active_streaks",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

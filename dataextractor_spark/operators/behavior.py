@@ -1287,3 +1287,76 @@ def time_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "time_active_streaks",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              date_trunc('day', ts)) AS BIGINT) AS d
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS BIGINT) AS grp
+        FROM ud
+    ),
+    streaks AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_streaks,
+           CAST(max(len) AS BIGINT)  AS longest_streak,
+           CAST(sum(len) AS BIGINT)  AS active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (longest streak,
+    streak count, total active days) — the engagement metric behind
+    every "N-day streak" product surface, computed with the CANONICAL
+    gaps-and-islands idiom: within a user's sorted distinct days,
+    ``day_number − row_number()`` is CONSTANT exactly along each
+    consecutive run, so one window + two hash aggregates replace any
+    per-user iteration. (time_interval_coverage merges generalized
+    overlapping intervals with a running-max-end flag; unit-width
+    day streaks admit this strictly cheaper subtraction form — the
+    engine carries both idioms deliberately.)
+
+    All integer epoch-day arithmetic. One DISTINCT (user, day)
+    shuffle bounds the window input by |users|×|days| regardless of
+    event volume; the window partitions on the natural user key."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = ud.select(
+        "user_id",
+        "d",
+        (F.col("d") - F.row_number().over(w).cast("long")).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

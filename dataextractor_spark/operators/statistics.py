@@ -1417,3 +1417,79 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_reorder_rate",
+    oracle="""
+    WITH cp AS (
+        SELECT l.l_partkey, o.o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_buyers,
+               CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeat
+        FROM cp GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_buyers) AS BIGINT) AS n_buyer_pairs,
+           CAST(sum(n_repeat) AS BIGINT) AS n_repeat_pairs,
+           round(CAST(sum(n_repeat) AS BIGINT)::DOUBLE
+                 / CAST(sum(n_buyers) AS BIGINT), 6) AS repeat_rate,
+           CAST(sum(CASE WHEN n_repeat > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parts_with_repeat,
+           round(sum(CASE WHEN n_repeat > 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS part_repeat_frac
+    FROM per_part
+    """,
+)
+def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase (reorder) profile: what fraction of
+    (customer, part) relationships involve more than one order, and
+    what fraction of parts have ANY repeat buyer — the loyalty/
+    consumable-vs-durable diagnostic next to join_basket_affinity
+    (affinity asks what sells TOGETHER; reorder asks what sells
+    AGAIN).
+
+    Plan: the co-partitionable lineitem⋈orders key join, a hash
+    aggregate to the (customer, part) relationship table, a
+    re-aggregate to per-part counts, and a final 1-row rollup — each
+    stage strictly smaller than the last, all counts exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    per_part = cp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum(F.when(F.col("n_orders") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat"),
+    )
+    return per_part.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n_buyers").cast("long").alias("n_buyer_pairs"),
+        F.sum("n_repeat").cast("long").alias("n_repeat_pairs"),
+        F.round(
+            F.sum("n_repeat").cast("double") / F.sum("n_buyers"), 6
+        ).alias("repeat_rate"),
+        F.sum(F.when(F.col("n_repeat") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_parts_with_repeat"),
+        F.round(
+            F.sum(F.when(F.col("n_repeat") > 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("part_repeat_frac"),
+    )

@@ -164,6 +164,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_basket_affinity",       # new r5: support/confidence/lift top-20
     "time_new_vs_returning",      # new r5: DAU growth accounting
     "time_dormancy_reactivation", # new r5: gap/resurrection counter
+    "agg_reorder_rate",           # new r5: repeat-purchase profile
+    "time_active_streaks",        # new r5: d - row_number islands
     # (displaced by the round-5 batch: the r1-era dedup family +
     # join_star/join_asof_latest stale rechecks and one rows-only
     # entry queue first for the NEXT window, per the verdict's
