@@ -396,18 +396,25 @@ def time_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            w.n_wk,
            d.v / 100.0 AS v_value,
            round(w.sx::DOUBLE / w.n_wk / 100.0, 4) AS baseline,
-           CASE WHEN w.n_wk >= 2 AND w.n_wk * w.sxx - w.sx * w.sx > 0
-                THEN round((w.n_wk * d.v - w.sx)
-                           / sqrt(CAST(w.n_wk AS DOUBLE)
-                                  * (w.n_wk * w.sxx - w.sx * w.sx)
-                                  / (w.n_wk - 1)), 4)
+           CASE WHEN w.n_wk >= 2
+                 AND w.n_wk::DOUBLE * w.sxx::DOUBLE
+                     - w.sx::DOUBLE * w.sx::DOUBLE > 0
+                THEN round((w.n_wk::DOUBLE * d.v::DOUBLE - w.sx::DOUBLE)
+                           / sqrt(w.n_wk::DOUBLE
+                                  * (w.n_wk::DOUBLE * w.sxx::DOUBLE
+                                     - w.sx::DOUBLE * w.sx::DOUBLE)
+                                  / (w.n_wk::DOUBLE - 1.0)), 4)
            END AS z,
            (w.n_wk >= 2 AND (
-               (w.n_wk * w.sxx - w.sx * w.sx = 0
-                AND w.n_wk * d.v - w.sx <> 0)
-               OR (w.n_wk - 1) * (w.n_wk * d.v - w.sx)
-                  * (w.n_wk * d.v - w.sx)
-                  > 4 * w.n_wk * (w.n_wk * w.sxx - w.sx * w.sx)
+               (w.n_wk::DOUBLE * w.sxx::DOUBLE
+                    - w.sx::DOUBLE * w.sx::DOUBLE = 0
+                AND w.n_wk::DOUBLE * d.v::DOUBLE - w.sx::DOUBLE <> 0)
+               OR (w.n_wk::DOUBLE - 1.0)
+                  * (w.n_wk::DOUBLE * d.v::DOUBLE - w.sx::DOUBLE)
+                  * (w.n_wk::DOUBLE * d.v::DOUBLE - w.sx::DOUBLE)
+                  > 4.0 * w.n_wk::DOUBLE
+                    * (w.n_wk::DOUBLE * w.sxx::DOUBLE
+                       - w.sx::DOUBLE * w.sx::DOUBLE)
            )) AS is_anomaly
     FROM daily d JOIN wk w
       ON d.event_type = w.event_type AND isodow(d.day) - 1 = w.wd
@@ -421,12 +428,13 @@ def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids paging on every weekend dip — the seasonal companion to
     time_changepoint_cusum's level-shift detector.
 
-    The anomaly FLAG is decided in pure integer arithmetic: |z| > 2
-    ⟺ (n−1)·(n·v−Σx)² > 4·n·(n·Σx²−(Σx)²) after clearing all
-    divisions — a float z-score comparison at the 2.0 boundary could
-    flip between engines on one ulp, but an integer inequality
-    cannot. The displayed z is float (deterministic: computed from
-    exact integers in one expression) and rounds to 4 dp; zero-
+    The anomaly FLAG is decided by the cleared-denominator
+    inequality |z| > 2 ⟺ (n−1)·(n·v−Σx)² > 4·n·(n·Σx²−(Σx)²), with
+    every OPERAND cast to double before the products are formed —
+    identical operand order on both engines means identical IEEE
+    doubles, while the integer form would wrap int64 (vs DuckDB's
+    HUGEINT) once daily cent sums pass ~1e9. The displayed z is
+    float (deterministic: same double pipeline) at 4 dp; zero-
     variance weekdays yield NULL z and anomaly-if-any-deviation.
 
     Plan: one fact scan → calendar-bounded daily table; weekday
@@ -453,8 +461,20 @@ def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = daily.withColumn("wd", wd).join(F.broadcast(wk), ["event_type", "wd"])
-    num = F.col("n_wk") * F.col("v") - F.col("sx")
-    ssq = F.col("n_wk") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # z/flag arithmetic runs in DOUBLE on both engines: the integer
+    # forms ((n−1)·num² vs 4·n·ssq) overflow int64 once daily cent
+    # sums reach ~1e9 while DuckDB promotes to HUGEINT — casting the
+    # OPERANDS (not the products) keeps both engines on identical
+    # IEEE doubles at any magnitude the int64 AGGREGATES themselves
+    # can hold (sx < 2^63 total cents per weekday group; sxx bounds
+    # daily sums at ~3.0e9 cents ≈ $30M/day/type — the documented
+    # headroom, same convention as agg_hhi_concentration).
+    nd = F.col("n_wk").cast("double")
+    vd = F.col("v").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    numd = nd * vd - sxd
+    ssqd = nd * sxxd - sxd * sxd
     return (
         j.select(
             "event_type",
@@ -465,22 +485,20 @@ def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sx").cast("double") / F.col("n_wk") / F.lit(100.0), 4
             ).alias("baseline"),
             F.when(
-                (F.col("n_wk") >= 2) & (ssq > 0),
+                (F.col("n_wk") >= 2) & (ssqd > 0),
                 F.round(
-                    num
-                    / F.sqrt(
-                        F.col("n_wk").cast("double")
-                        * ssq
-                        / (F.col("n_wk") - 1)
-                    ),
+                    numd / F.sqrt(nd * ssqd / (nd - F.lit(1.0))),
                     4,
                 ),
             ).alias("z"),
             (
                 (F.col("n_wk") >= 2)
                 & (
-                    ((ssq == 0) & (num != 0))
-                    | ((F.col("n_wk") - 1) * num * num > 4 * F.col("n_wk") * ssq)
+                    ((ssqd == 0) & (numd != 0))
+                    | (
+                        (nd - F.lit(1.0)) * numd * numd
+                        > F.lit(4.0) * nd * ssqd
+                    )
                 )
             ).alias("is_anomaly"),
         )

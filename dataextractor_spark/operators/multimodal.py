@@ -754,16 +754,19 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a lost, truncated, or corrupted byte anywhere in the
     write→list→read cycle breaks the hash match.
 
-    Scale notes: the file write is foreachPartition (distributed, no
-    driver collection); binaryFile listing parallelizes across
-    executors and carries ``pathGlobFilter``/recursive options for
-    object-store layouts; content only travels into the one aggregate
-    that hashes it. Payload granularity (file-per-doc) is the
+    Scale notes: the file write is foreachPartition (no driver
+    collection), but staging to the LOCAL filesystem only works when
+    executors share the driver's FS — i.e. local mode, which is
+    exactly this demo's environment; a real cluster would stage to a
+    shared object-store URI instead (the binaryFile reader side is
+    identical either way). The listing parallelizes across executors
+    and carries ``pathGlobFilter``/recursive options for object-store
+    layouts; content only travels into the one aggregate that hashes
+    it. Payload granularity (file-per-doc) is the
     demo shape — production groups small payloads into archive
     formats, which is the documents-table form the REST of the
     multimodal family consumes."""
     import os
-    import shutil
     import tempfile
 
     # bounded file-per-doc shard (doc_id < 500 — the same set at every
@@ -776,14 +779,13 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .select("doc_id", "text")
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"dataextractor_spark_binsrc_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    # idempotent re-stage: a stale listing from a prior fixture shape
-    # would otherwise leak extra files into the scan
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    # per-invocation unique staging dir: a FIXED shared path raced
+    # when two invocations on the same sf ran concurrently (bench +
+    # pytest) — one rmtree'd/rewrote while the other's binaryFile
+    # listing was in flight. mkdtemp isolates each invocation; the
+    # ≤500-file dir is left for the OS tmp reaper because the scan is
+    # lazy (files must outlive this builder until the driver collects)
+    out = tempfile.mkdtemp(prefix="dataextractor_spark_binsrc_")
 
     def write_partition(rows):
         for r in rows:

@@ -532,8 +532,10 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     normed AS (
         SELECT b.prio,
-               CAST((b.cents - e.mn) * 1000000 // (e.mx - e.mn) AS BIGINT)
-                   AS inorm
+               CASE WHEN e.mx = e.mn THEN CAST(0 AS BIGINT)
+                    ELSE CAST((b.cents - e.mn) * 1000000
+                              // (e.mx - e.mn) AS BIGINT)
+               END AS inorm
         FROM base b JOIN ext e ON b.prio = e.prio
     )
     SELECT prio,
@@ -581,12 +583,15 @@ def udf_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         c = pdf["cents"]
         mn, mx = c.min(), c.max()
-        return pd.DataFrame(
-            {
-                "prio": pdf["prio"],
-                "inorm": (c - mn) * 1000000 // (mx - mn),
-            }
-        )
+        # degenerate group (all values equal): floordiv by zero would
+        # yield inf/NaN and break the declared `inorm long` Arrow
+        # schema, while the SQL replay's integer //0 fails differently
+        # — pin both sides to inorm=0 instead
+        if mx == mn:
+            inorm = pd.Series(0, index=c.index, dtype="int64")
+        else:
+            inorm = (c - mn) * 1000000 // (mx - mn)
+        return pd.DataFrame({"prio": pdf["prio"], "inorm": inorm})
 
     normed = base.groupBy("prio").applyInPandas(
         norm, "prio string, inorm long"
