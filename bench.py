@@ -224,6 +224,15 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
     sys.stdout.flush()
+    # DRIVER CONTRACT (measured, not assumed): the driver parses the
+    # LAST stdout line as JSON from a bounded output-tail capture.
+    # Round 3 emitted all 84 per-query timings in that line and the
+    # capture truncated it → BENCH_r03 `parsed: null`; rounds 5+ emit
+    # this compact form and the driver parsed it (rc=0, non-null).
+    # The full ~140-query map is therefore delivered twice out-of-band
+    # — BENCH_detail.json on disk and the EARLY detail line above —
+    # and the tail line stays small on purpose: 5 slowest + total +
+    # n_queries + a pointer to the detail file.
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )  # keep a "queries" key (driver contract) but bounded: 5 slowest

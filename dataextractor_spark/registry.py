@@ -57,120 +57,58 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ================= round-5 prefix (50 slots) =================
-    # Goal: drain the never-checked backlog (36 queries after round 4
-    # shipped an out-of-sync schedule and earned zero driver rows) and
-    # earn first post-fix rows for the six round-4 repairs. Order: the
-    # three round-4 queries that broke the schedule; the six locally-
-    # verified fixes; source_orc_roundtrip (slot-51 off-by-one victim
-    # two rounds running); the never-checked sixth-batch oracled
-    # queries; the three just-below-boundary never-checked; the twelve
-    # deferred rows-only entries; stale r1 as-of/dedup rechecks fill
-    # the tail.
-    # -- round-5 seventh batch (all oracled; statistics.py /
-    #    behavior.py) --
-    "agg_chi_square_independence",  # new r5: chi²/Cramér's V vs MI
-    "agg_gini_concentration",       # new r5: Gini + Lorenz top-decile
-    "agg_survival_km",              # new r5: Kaplan-Meier retention curve
-    "agg_rfm_segments",             # new r5: RFM quartile grid, no ntile
-    "agg_benford_digit_audit",      # new r5: first-digit DQ fraud screen
-    "window_pctrank_cumedist",      # new r5: normalized-rank windows
-    "funnel_conversion",            # new r5: ordered 3-step funnel
-    "join_cdc_apply",               # new r5: change-feed fold, max_by state
-    "time_changepoint_cusum",       # new r5: integer-exact CUSUM argmax
-    "time_markov_transitions",      # new r5: transition matrix per user
-    # -- round-4 additions (were registered but unscheduled — the
-    #    defect that emptied CORRECTNESS_r04) --
-    "agg_argmax_minby",           # new r4: max_by/min_by single hash agg
-    "agg_mutual_information",     # new r4: MI from bounded contingency table
-    "etl_compaction_binpack",     # new r4: greedy small-file compaction plan
-    # -- round-4 fixes, locally hash-green, need a post-fix driver row --
-    "etl_merge_upsert",           # r3 FAIL → integer-cents fix (58da761)
-    "pretrain_corpus_recipe",     # r3 FAIL → BIGINT casts in UNION branches
-    "agg_approx_percentile",      # upgraded to self-auditing oracle
-    "time_interpolate_linear",    # rounding-idiom fix
-    "sample_temporal_split_embargo",  # cut-rounding fix
-    "dedup_shingle_containment",  # zero-word fix
-    # -- never-checked (slot-51 casualty twice) --
-    "source_orc_roundtrip",       # ORC sink/scan loss-free roundtrip
-    # -- round-3 sixth batch, all oracled, never driver-checked --
-    "time_sliding_distinct_users",  # rolling 7-day distinct actives
-    "time_ewma_smooth",             # closed-form EWMA, one hash agg
-    "join_scd2_point_in_time",      # temporal join vs SCD2 validity
-    "agg_countmin_heavyhitters",    # count-min sketch w/ visible error
-    "text_bigram_lm_ppl",           # interpolated bigram LM gate
-    "etl_snapshot_diff",            # lakehouse snapshot change classes
-    "agg_regression_trend",         # mergeable per-group OLS trend
-    "join_asof_nearest",            # bidirectional as-of, one window
-    "text_url_canonicalize",        # URL canon dedup, dual parsers
-    "time_session_paths",           # session path mining, ordered agg
-    "agg_histogram_quantile_sketch",  # oracled mergeable quantiles
-    "set_ops_all_multiplicity",     # INTERSECT/EXCEPT ALL bag semantics
-    "join_null_safe_eq",            # <=> vs = NULL-key join audit
-    "agg_winsorize_stats",          # tail-clamped robust moments
-    "time_calendar_dim_join",       # generated calendar dim join
-    "agg_higher_moments",           # shape stats from mergeable power sums
-    "scalar_conditional_funcs",     # null-guard scalar surface
-    "text_hashed_linear_score",     # hashed-feature classifier gate
-    # -- never-checked rows-only entries (each contract-tested in
-    #    pytest; a driver rows-only row closes the "never executed
-    #    under the driver" gap even without a hash) --
-    "dedup_minhash_lsh",          # audit via out-of-band sentinel row
-    "sim_ann_ivf_kmeans",         # learned-codebook IVF
-    "agg_hll_sketch_merge",       # mergeable distinct sketches
-    "agg_frequent_items",         # one-pass heavy hitters
-    "sim_pq_compress",            # product-quantization audit
-    "sim_pq_adc_search",          # ADC top-k over PQ codes
-    "sim_semantic_dedup",         # SemDeDup cluster-then-prune
-    "multimodal_phash_neardup",   # dHash banded image near-dup
-    "agg_hll_intersection",       # sketch set algebra w/ visible error
-    "sim_recall_eval",            # recall@5 gate for the LSH index
-    "time_sliding_distinct_hll",  # sketch-over-window scale path
-    # -- slot 50: the r4 SHUFFLE_HASH closing-join rewrite needs a
-    #    post-rewrite driver row (plan changed since its r3 green) --
-    "graph_triangle_count",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- round-5 eighth batch (all oracled, pytest-green at sf0.001 +
-    #    sf0.01): lands just below the boundary — the seventh batch
-    #    and the older never-checked backlog took the round-5 slots;
-    #    these lead the round-6 window --
-    "sample_bootstrap_ci",        # new r5: Poisson bootstrap, 1-pass cols
-    "agg_hhi_concentration",      # new r5: integer-exact HHI per nation
-    "time_seasonal_anomaly",      # new r5: weekday baseline, int |z|>2
-    "time_interval_coverage",     # new r5: gaps-and-islands union length
+    # ================= round-6 prefix (50 slots) =================
+    # Goal: drain the never-driver-checked ledger to ZERO. 35
+    # queries have no CORRECTNESS row in any round:
+    # sim_mmr_diversify (displaced by rotation three rounds
+    # running — leads, per the r5 verdict), the three round-6
+    # additions (stdlib-PNG codec; the two batch-form watermark
+    # oracles that make streaming driver-visible), and the 31
+    # late-round-5 entries that landed after the r5 window was
+    # already full. The remaining 15 slots refresh the OLDEST
+    # stale evidence: the dedup/as-of family whose r1 rows
+    # predate their r2 merge-form/prefix-filter rewrites, then
+    # r1-era join rows.
+    "sim_mmr_diversify",  # MMR re-rank; greedy contract in tests
+    # -- round-6 additions --
+    "multimodal_png_codec",       # new r6: stdlib-zlib PNG, all 5 filters
+    "streaming_late_discard_audit",   # new r6: watermark kept/dropped audit
+    "streaming_watermark_frontier",   # new r6: per-batch frontier split
+    # -- round-5 eighth/ninth batches (oracled, never checked) --
+    "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
+    "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
+    "time_seasonal_anomaly",  # new r5: weekday baseline, int |z|>2
+    "time_interval_coverage",  # new r5: gaps-and-islands union length
     "graph_degree_distribution",  # new r5: binary-length log2 bins
     "etl_vacuum_retention_plan",  # new r5: retention/anchor/expire plan
-    # -- round-5 ninth batch (all oracled) --
-    "agg_permutation_test",       # new r5: md5-deterministic label test
-    "agg_tail_cvar",              # new r5: per-group VaR + shortfall
-    "agg_skyline_pareto",         # new r5: 2-D skyline in one window
-    "time_burstiness",            # new r5: Fano + Goh-Barabási B
-    "source_binaryfile_scan",     # new r5: binaryFile round-trip, oracled
-    "graph_bfs_levels",           # new r5: 4-sweep BFS, unrolled oracle
-    "time_lag_xcorr",             # new r5: lead-lag Pearson r, int sums
-    "agg_mode_deterministic",     # new r5: tie-proof portable mode
-    "agg_grouping_id_rollup",     # new r5: GROUPING() flag surface
-    "time_yoy_growth",            # new r5: lag window on yearly rollup
-    "time_cohort_ltv",            # new r5: money-dim cohort triangle
-    "attr_last_touch",            # new r5: carry-forward attribution
-    "sample_balanced_downsample", # new r5: per-class quota, md5-pinned
-    "time_peak_detection",        # new r5: integer-exact local maxima
-    "agg_share_of_parent",        # new r5: OLAP %-of-parent ratios
-    "agg_pareto_8020",            # new r5: integer-exact 80/20 crossing
-    "udf_grouped_minmax_norm",    # new r5: applyInPandas under an oracle
-    "time_forecast_backtest",     # new r5: seasonal-naive WAPE/bias/MAE
-    "agg_fulfillment_latency",    # new r5: SLA latency percentiles
-    "agg_seasonality_strength",   # new r5: weekday-R² model selector
-    "join_basket_affinity",       # new r5: support/confidence/lift top-20
-    "time_new_vs_returning",      # new r5: DAU growth accounting
-    "time_dormancy_reactivation", # new r5: gap/resurrection counter
-    "agg_reorder_rate",           # new r5: repeat-purchase profile
-    "time_active_streaks",        # new r5: d - row_number islands
-    # (displaced by the round-5 batch: the r1-era dedup family +
-    # join_star/join_asof_latest stale rechecks and one rows-only
-    # entry queue first for the NEXT window, per the verdict's
-    # stale-row ledger)
-    "join_asof_latest_order",     # merge-form rewrite (r2), pytest-green
+    "agg_permutation_test",  # new r5: md5-deterministic label test
+    "agg_tail_cvar",  # new r5: per-group VaR + shortfall
+    "agg_skyline_pareto",  # new r5: 2-D skyline in one window
+    "time_burstiness",  # new r5: Fano + Goh-Barabási B
+    "source_binaryfile_scan",  # new r5: binaryFile round-trip, oracled
+    "graph_bfs_levels",  # new r5: 4-sweep BFS, unrolled oracle
+    "time_lag_xcorr",  # new r5: lead-lag Pearson r, int sums
+    "agg_mode_deterministic",  # new r5: tie-proof portable mode
+    "agg_grouping_id_rollup",  # new r5: GROUPING() flag surface
+    "time_yoy_growth",  # new r5: lag window on yearly rollup
+    "time_cohort_ltv",  # new r5: money-dim cohort triangle
+    "attr_last_touch",  # new r5: carry-forward attribution
+    "sample_balanced_downsample",  # new r5: per-class quota, md5-pinned
+    "time_peak_detection",  # new r5: integer-exact local maxima
+    "agg_share_of_parent",  # new r5: OLAP %-of-parent ratios
+    "agg_pareto_8020",  # new r5: integer-exact 80/20 crossing
+    "udf_grouped_minmax_norm",  # new r5: applyInPandas under an oracle
+    "time_forecast_backtest",  # new r5: seasonal-naive WAPE/bias/MAE
+    "agg_fulfillment_latency",  # new r5: SLA latency percentiles
+    "agg_seasonality_strength",  # new r5: weekday-R² model selector
+    "join_basket_affinity",  # new r5: support/confidence/lift top-20
+    "time_new_vs_returning",  # new r5: DAU growth accounting
+    "time_dormancy_reactivation",  # new r5: gap/resurrection counter
+    "agg_reorder_rate",  # new r5: repeat-purchase profile
+    "time_active_streaks",  # new r5: d - row_number islands
+    # -- stale-evidence refreshes: r1 rows predate the r2
+    #    rewrites (dedup family, as-of) or are plain r1-era --
+    "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
@@ -179,71 +117,68 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_incremental_ingest",
     "join_star_revenue",
-    "sim_mmr_diversify",          # MMR re-rank; greedy contract in tests
-    # -- r1/r2/r3-green, stale rechecks queue here for later windows --
     "join_broadcast_dim",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "join_theta_size_bands",
     "join_full_outer_daily_activity",
     "join_right_outer_order_counts",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- remaining stale-r1 join rechecks queue first for r7 --
     "join_cross_grid_revenue",
     "join_selfpair_parts",
     "join_interval_overlap_activity",
     "join_literal_map_dim",
-    "window_deciles",             # r3-green: two-pass ranked ntile
+    "window_deciles",  # r3-green: two-pass ranked ntile
     "profile_constraint_checks",  # r3-green: one lazy job
-    "rest_paged_scan",            # r3-green: cursor-paginated REST fetch
-    "join_bucketed_colocated",    # r3-green: zero-exchange bucketed join
-    "join_salted_skew",           # r3-green: explicit skew-salt join
-    "text_chunk_documents",       # r3-green: overlap chunking, md5-pinned
-    "source_corrupt_records",     # r3-green: PERMISSIVE quarantine contract
-    "sample_uniform_k",           # r3-green: md5-ranked portable k-sample
-    "sample_split_groupsafe",     # r3-green: leakage-safe group split
-    "udtf_bigram_explode",        # r3-green: Python UDTF via LATERAL
-    "text_bpe_pretokenize",       # r3-green: GPT-2-style pretoken counts
-    "text_pii_redact",            # r3-green: PII find/replace, content-pinned
-    "text_gopher_filters",        # r3-green: per-rule quality reject funnel
-    "subquery_scalar_correlated", # r3-green: TPC-H-Q2-shape scalar subquery
-    "graph_pagerank",             # r3-green: fixed-sweep PageRank
-    "dedup_span_extract",         # r3-green: maximal duplicated-span islands
-    "text_decontaminate",         # r3-green: train/eval 8-gram overlap gate
-    "sample_mixture_weights",     # r3-green: domain-mixture quota resampling
-    "text_unigram_logprob",       # r3-green: CCNet-style LM perplexity gate
-    "sample_shard_shuffle",       # r3-green: portable shard permutation + pin
-    "etl_zorder_layout",          # r3-green: Morton-code layout audit
-    "text_collapse_repeats",      # r3-green: stutter-run squeeze
-    "text_pmi_bigrams",           # r3-green: PMI collocation mining
-    "agg_bloom_filter_audit",     # r3-green: relational bloom w/ FP rate
-    "sample_weighted_ares",       # r3-green: portable weighted reservoir
-    "agg_anomaly_mad",            # r3-green: median/MAD outliers
-    "text_entropy_kl",            # r3-green: entropy + KL domain shift
-    "join_range_bucketed",        # r3-green: keyless range join
-    "sim_ivfpq_search",           # r3 rows-only: IVF+PQ capstone
-    "sort_limit_topk",            # r3-green
-    "union_except_intersect",     # r3-green
-    "sample_stratified",          # r3-green oracled
-    "profile_table",              # r3-green
-    "agg_bitmap_distinct",        # r3-green: exact mergeable bitmap distinct
-    "profile_drift_psi",          # r3-green: PSI distribution-drift monitor
-    "time_downsample_ohlc",       # r3-green: per-series OHLC candle rollup
-    "dedup_fuzzy_names",          # r3-green: edit-distance dictionary dedup
-    "agg_ks_drift",               # r3-green: binned two-sample KS drift
+    "rest_paged_scan",  # r3-green: cursor-paginated REST fetch
+    "join_bucketed_colocated",  # r3-green: zero-exchange bucketed join
+    "join_salted_skew",  # r3-green: explicit skew-salt join
+    "text_chunk_documents",  # r3-green: overlap chunking, md5-pinned
+    "source_corrupt_records",  # r3-green: PERMISSIVE quarantine contract
+    "sample_uniform_k",  # r3-green: md5-ranked portable k-sample
+    "sample_split_groupsafe",  # r3-green: leakage-safe group split
+    "udtf_bigram_explode",  # r3-green: Python UDTF via LATERAL
+    "text_bpe_pretokenize",  # r3-green: GPT-2-style pretoken counts
+    "text_pii_redact",  # r3-green: PII find/replace, content-pinned
+    "text_gopher_filters",  # r3-green: per-rule quality reject funnel
+    "subquery_scalar_correlated",  # r3-green: TPC-H-Q2-shape scalar subquery
+    "graph_pagerank",  # r3-green: fixed-sweep PageRank
+    "dedup_span_extract",  # r3-green: maximal duplicated-span islands
+    "text_decontaminate",  # r3-green: train/eval 8-gram overlap gate
+    "sample_mixture_weights",  # r3-green: domain-mixture quota resampling
+    "text_unigram_logprob",  # r3-green: CCNet-style LM perplexity gate
+    "sample_shard_shuffle",  # r3-green: portable shard permutation + pin
+    "etl_zorder_layout",  # r3-green: Morton-code layout audit
+    "text_collapse_repeats",  # r3-green: stutter-run squeeze
+    "text_pmi_bigrams",  # r3-green: PMI collocation mining
+    "agg_bloom_filter_audit",  # r3-green: relational bloom w/ FP rate
+    "sample_weighted_ares",  # r3-green: portable weighted reservoir
+    "agg_anomaly_mad",  # r3-green: median/MAD outliers
+    "text_entropy_kl",  # r3-green: entropy + KL domain shift
+    "join_range_bucketed",  # r3-green: keyless range join
+    "sim_ivfpq_search",  # r3 rows-only: IVF+PQ capstone
+    "sort_limit_topk",  # r3-green
+    "union_except_intersect",  # r3-green
+    "sample_stratified",  # r3-green oracled
+    "profile_table",  # r3-green
+    "agg_bitmap_distinct",  # r3-green: exact mergeable bitmap distinct
+    "profile_drift_psi",  # r3-green: PSI distribution-drift monitor
+    "time_downsample_ohlc",  # r3-green: per-series OHLC candle rollup
+    "dedup_fuzzy_names",  # r3-green: edit-distance dictionary dedup
+    "agg_ks_drift",  # r3-green: binned two-sample KS drift
     "text_source_vocab_overlap",  # r3-green: pairwise vocabulary Jaccard
-    "join_asof_next_purchase",    # r3-green: forward as-of attribution
-    "agg_weighted_median",        # r3-green: exact weighted quantiles
-    "text_bm25_search",           # r3-green: BM25 keyword retrieval
-    "scalar_bitwise_funcs",       # r3-green: bit masks/shifts/popcount
-    "window_value_range_frame",   # r3-green: numeric-distance RANGE frame
+    "join_asof_next_purchase",  # r3-green: forward as-of attribution
+    "agg_weighted_median",  # r3-green: exact weighted quantiles
+    "text_bm25_search",  # r3-green: BM25 keyword retrieval
+    "scalar_bitwise_funcs",  # r3-green: bit masks/shifts/popcount
+    "window_value_range_frame",  # r3-green: numeric-distance RANGE frame
     "multimodal_audio_features",  # r3-green: WAV decode → loudness stats
     "etl_incremental_agg_merge",  # r3-green: agg merge ≡ recompute
-    # -- r1-stale ETL rows --
     "etl_flatten_array",
     "etl_dict_unpivot",
     "etl_epoch_tz",
     "etl_json_normalize",
-    # (pure-built-in aggregate rows displaced by the round-3 additions:
-    # unchanged since r1, pytest-green at sf0.1 — lowest re-check risk)
     "agg_stats",
     "agg_percentiles",
     "agg_count_distinct",
@@ -271,7 +206,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "curation_pipeline",
     "flagship_pricing_summary",
     "filter_predicates",
-    # -- verified green in round 2: re-check last --
     "sim_topk_cosine",
     "sim_knn_batch",
     "sim_neardup_pairs",
@@ -318,6 +252,58 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_framesample",
     "multimodal_resize",
+    # -- the round-5 window: all 50 driver-green in
+    #    CORRECTNESS_r05 — freshest evidence, re-check last --
+    "agg_chi_square_independence",  # new r5: chi²/Cramér's V vs MI
+    "agg_gini_concentration",  # new r5: Gini + Lorenz top-decile
+    "agg_survival_km",  # new r5: Kaplan-Meier retention curve
+    "agg_rfm_segments",  # new r5: RFM quartile grid, no ntile
+    "agg_benford_digit_audit",  # new r5: first-digit DQ fraud screen
+    "window_pctrank_cumedist",  # new r5: normalized-rank windows
+    "funnel_conversion",  # new r5: ordered 3-step funnel
+    "join_cdc_apply",  # new r5: change-feed fold, max_by state
+    "time_changepoint_cusum",  # new r5: integer-exact CUSUM argmax
+    "time_markov_transitions",  # new r5: transition matrix per user
+    "agg_argmax_minby",  # new r4: max_by/min_by single hash agg
+    "agg_mutual_information",  # new r4: MI from bounded contingency table
+    "etl_compaction_binpack",  # new r4: greedy small-file compaction plan
+    "etl_merge_upsert",  # r3 FAIL → integer-cents fix (58da761)
+    "pretrain_corpus_recipe",  # r3 FAIL → BIGINT casts in UNION branches
+    "agg_approx_percentile",  # upgraded to self-auditing oracle
+    "time_interpolate_linear",  # rounding-idiom fix
+    "sample_temporal_split_embargo",  # cut-rounding fix
+    "dedup_shingle_containment",  # zero-word fix
+    "source_orc_roundtrip",  # ORC sink/scan loss-free roundtrip
+    "time_sliding_distinct_users",  # rolling 7-day distinct actives
+    "time_ewma_smooth",  # closed-form EWMA, one hash agg
+    "join_scd2_point_in_time",  # temporal join vs SCD2 validity
+    "agg_countmin_heavyhitters",  # count-min sketch w/ visible error
+    "text_bigram_lm_ppl",  # interpolated bigram LM gate
+    "etl_snapshot_diff",  # lakehouse snapshot change classes
+    "agg_regression_trend",  # mergeable per-group OLS trend
+    "join_asof_nearest",  # bidirectional as-of, one window
+    "text_url_canonicalize",  # URL canon dedup, dual parsers
+    "time_session_paths",  # session path mining, ordered agg
+    "agg_histogram_quantile_sketch",  # oracled mergeable quantiles
+    "set_ops_all_multiplicity",  # INTERSECT/EXCEPT ALL bag semantics
+    "join_null_safe_eq",  # <=> vs = NULL-key join audit
+    "agg_winsorize_stats",  # tail-clamped robust moments
+    "time_calendar_dim_join",  # generated calendar dim join
+    "agg_higher_moments",  # shape stats from mergeable power sums
+    "scalar_conditional_funcs",  # null-guard scalar surface
+    "text_hashed_linear_score",  # hashed-feature classifier gate
+    "dedup_minhash_lsh",  # audit via out-of-band sentinel row
+    "sim_ann_ivf_kmeans",  # learned-codebook IVF
+    "agg_hll_sketch_merge",  # mergeable distinct sketches
+    "agg_frequent_items",  # one-pass heavy hitters
+    "sim_pq_compress",  # product-quantization audit
+    "sim_pq_adc_search",  # ADC top-k over PQ codes
+    "sim_semantic_dedup",  # SemDeDup cluster-then-prune
+    "multimodal_phash_neardup",  # dHash banded image near-dup
+    "agg_hll_intersection",  # sketch set algebra w/ visible error
+    "sim_recall_eval",  # recall@5 gate for the LSH index
+    "time_sliding_distinct_hll",  # sketch-over-window scale path
+    "graph_triangle_count",
 )
 
 
@@ -344,6 +330,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dataextractor_spark.operators import similarity  # noqa: F401
     from dataextractor_spark.operators import sql_surface  # noqa: F401
     from dataextractor_spark.operators import statistics  # noqa: F401
+    from dataextractor_spark.operators import streaming_audit  # noqa: F401
     from dataextractor_spark.operators import text  # noqa: F401
     from dataextractor_spark.operators import windows  # noqa: F401
     from dataextractor_spark.operators import windows_time  # noqa: F401

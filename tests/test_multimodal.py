@@ -125,6 +125,41 @@ def test_wav_rejects_garbage():
         _decode_bmp(b"PNG...")
 
 
+def test_png_codec_roundtrip_all_filters():
+    from dataextractor_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    # non-constant rows so Sub/Average/Paeth predictions are nontrivial
+    rows = [
+        bytes((x * 7 + y * 13) % 256 for x in range(11 * 3))
+        for y in range(9)
+    ]
+    for ft in range(5):  # each single filter type end-to-end
+        payload = _encode_png(rows, 11, 9, lambda y: ft)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert _decode_png(payload) == (11, 9, rows)
+    # mixed filters (the query's cycling plan)
+    assert _decode_png(_encode_png(rows, 11, 9)) == (11, 9, rows)
+
+
+def test_png_decode_rejects_corruption():
+    from dataextractor_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rows = [bytes((x + y) % 256 for x in range(4 * 3)) for y in range(3)]
+    payload = bytearray(_encode_png(rows, 4, 3))
+    with pytest.raises(ValueError):
+        _decode_png(b"not a png at all")
+    # flip one IDAT byte → CRC check must catch it
+    payload[len(payload) - 20] ^= 0xFF
+    with pytest.raises(ValueError):
+        _decode_png(bytes(payload))
+
+
 # --- real media through Spark -----------------------------------------
 
 

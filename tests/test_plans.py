@@ -342,6 +342,11 @@ UNPARTITIONED_WINDOW_OK = {
     "time_new_vs_returning",    # cumulative-unique window over the DAILY
                                 # rollup — calendar-bounded (≤|days| rows),
                                 # never per-user or per-event rows
+    "streaming_late_discard_audit",  # running-max watermark window over
+                                     # the PER-MICRO-BATCH table (one row
+                                     # per 6-hour arrival bucket of the
+                                     # corpus span) — never event rows
+    "streaming_watermark_frontier",  # same bounded per-batch table
 }
 
 

@@ -316,3 +316,74 @@ def test_streaming_funnel_equals_batch(spark, staged):
     n3 = sum(1 for r in final if r.stage >= 3)
     batch = load_all()["funnel_conversion"].fn(spark, SF_SMALL).first()
     assert (n1, n2, n3) == (batch.n_view, batch.n_click, batch.n_purchase)
+
+
+def test_late_discard_audit_matches_streaming_engine(spark, tmp_path):
+    """The oracled batch watermark audit (streaming_late_discard_audit)
+    must agree with the REAL streaming engine: stage the deterministic
+    arrival replay as one file per micro-batch, run an actual
+    readStream → withWatermark → tumbling aggregation in append mode,
+    and assert the engine's emitted per-window counts equal the
+    audit's per-window kept counts — including ≥1 genuinely DROPPED
+    straggler, so the discard accounting is exercised, not vacuous."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.streaming_audit import (
+        _batch_watermarks,
+        _with_arrival,
+        stage_arrival_replay,
+    )
+
+    # first week of sf0.001 ≈ 30 micro-batches, contains two straggler
+    # redeliveries whose 1-day windows close before they arrive
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+
+    # batch-audit side: same construction as the registry query
+    arr = _with_arrival(events)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_ts")
+    ev = (
+        arr.join(F.broadcast(wm), "batch_id")
+        .withColumn(
+            "win_end", F.expr("timestampadd(DAY, 1, date_trunc('DAY', ts))")
+        )
+    )
+    kept_pred = F.col("wm_ts").isNull() | (F.col("win_end") > F.col("wm_ts"))
+    n_total = ev.count()
+    kept = ev.filter(kept_pred)
+    n_kept = kept.count()
+    assert n_total - n_kept >= 1, "fixture must exercise the discard path"
+    expected = sorted(
+        (r.window_start, r.n)
+        for r in kept.groupBy(F.date_trunc("day", "ts").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+        .collect()
+    )
+
+    # engine side: real file-source replay of the same arrival model
+    input_dir = str(tmp_path / "arrival_input")
+    stage_arrival_replay(spark, events, input_dir)
+    agg = (
+        events_stream(spark, input_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    out = run_available_now(
+        agg,
+        query_name="t_wm_audit",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_wm_audit"),
+    ).filter(F.col("window_start") < "2024-02")  # drop sentinel window
+    got = sorted((r.window_start, r.n) for r in out.collect())
+    assert got == expected
