@@ -985,3 +985,48 @@ def test_skyline_is_mutually_nondominated(spark):
                     and (a.retailprice < b.retailprice or a.p_size > b.p_size)
                 )
                 assert not dominates, (brand, a, b)
+
+
+def test_inherent_cost_leaders_scale_slope(spark):
+    """Pin the SCALING SLOPE of the two inherent-cost bench leaders so
+    a plan regression (a lost broadcast, an accidental all-pairs join)
+    surfaces as a slope break instead of an opinion: wall-clock each at
+    sf0.01 and sf0.1 (10x the data) and assert the ratio stays inside
+    the plan's predicted envelope — triangle counting's wedge volume
+    grows ~ m^1.5 (10x data -> <= ~31.6x work), IVF+PQ search grows
+    ~ linearly in n (<= 10x). Fixed per-query overhead (planning,
+    k-means codebook sweeps, shuffle setup) only SHRINKS the measured
+    ratio as data grows, so the one-sided envelope (slope bound x2
+    noise headroom, denominator floored at 0.75 s so a fast small run
+    can't inflate the ratio) is safe for a correct plan and broken by
+    any super-slope one: an O(m^2) triangle plan or an all-pairs ADC
+    scan lands 1-2 orders of magnitude outside it."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    sf_mid, sf_big = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+    if not (os.path.isdir(sf_mid) and os.path.isdir(sf_big)):
+        _pytest.skip("sf0.01/sf0.1 fixtures not present")
+
+    def wall(name: str, sf: str) -> float:
+        fn = load_all()[name].fn
+        t0 = time.monotonic()
+        fn(spark, sf).count()
+        return time.monotonic() - t0
+
+    for name, slope_bound in [
+        ("graph_triangle_count", 10.0**1.5),
+        ("sim_ivfpq_search", 10.0),
+    ]:
+        wall(name, sf_mid)  # warm: caches the mid-scale scan + plans
+        t_mid = min(wall(name, sf_mid), wall(name, sf_mid))
+        t_big = wall(name, sf_big)
+        ratio = t_big / max(t_mid, 0.75)
+        assert ratio <= 2.0 * slope_bound, (
+            f"{name}: sf0.1/sf0.01 wall-clock ratio {ratio:.1f} "
+            f"exceeds 2x the plan's predicted slope {slope_bound:.1f} "
+            f"(t_mid={t_mid:.2f}s, t_big={t_big:.2f}s) — the physical "
+            "plan has likely regressed to a super-slope strategy"
+        )
