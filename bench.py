@@ -164,6 +164,11 @@ HEADLINE = [
     "time_dormancy_reactivation",
     "agg_reorder_rate",
     "time_active_streaks",
+    # -- round-6 additions --
+    "multimodal_png_codec",
+    "streaming_late_discard_audit",
+    "streaming_watermark_frontier",
+    "streaming_dedup_replay_audit",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

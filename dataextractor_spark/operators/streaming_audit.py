@@ -27,13 +27,26 @@ Replay model (all closed-form, engine-portable):
   (``floor(epoch(arrival)/21600)``) — data-independent boundaries,
   matching a clock-triggered source, and crucially NO global sort is
   needed to assign them (a per-row expression, scan-parallel);
-- the watermark entering batch ``b`` is Spark's:
-  ``max(event time over batches < b) − 1 hour`` (watermarks advance
-  on batch COMMIT, so a batch's own data never gates itself);
-- an event is DROPPED as too-late iff its tumbling 1-day window has
-  already been finalized when it arrives: ``window_end <= watermark``
-  (the boundary the equivalence test pins against Spark's stateful
-  aggregation eviction).
+- Spark's stateful operators carry TWO watermark values per batch
+  (SPARK-40925, required for chained stateful operators): the
+  EVICTION watermark of batch ``b`` is
+  ``wm(b) = max(event time over batches < b) − 1 hour`` (state is
+  expired/emitted at the END of batch ``b`` using it), while the
+  LATE-EVENT filter on ``b``'s input uses the PREVIOUS batch's value
+  ``wm_late(b) = wm(prev(b))`` — one non-empty batch older — so rows
+  an upstream operator emitted at eviction time can't be dropped as
+  late downstream. The distinction is measured, not assumed: the
+  dedup equivalence test discriminates the two on real engine runs
+  (43/43 duplicate fates match the prev-watermark rule; the
+  current-watermark rule misclassifies 17);
+- an event is DROPPED as too-late iff its tumbling 1-day window is
+  behind the late-filter watermark on arrival:
+  ``window_end <= wm_late(batch)``. An event in the one-batch gap
+  (``wm_late < window_end <= wm``) is accepted, re-opens its
+  already-evicted window, and is re-emitted as a second append row
+  for that window at the end of its batch — so "kept" here means
+  "contributes to some emitted row", and the engine-side test sums
+  duplicate window emissions before comparing.
 
 Scale notes: the per-event classification is one scan + a broadcast
 join against the tiny per-batch watermark table (one row per 6-hour
@@ -86,7 +99,11 @@ _ARRIVAL_SQL = f"""
                max(bmax) OVER (ORDER BY batch_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND 1 PRECEDING)
-                   - INTERVAL {WM_DELAY_S} SECOND AS wm_ts
+                   - INTERVAL {WM_DELAY_S} SECOND AS wm_ts,
+               max(bmax) OVER (ORDER BY batch_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 2 PRECEDING)
+                   - INTERVAL {WM_DELAY_S} SECOND AS wm_late_ts
         FROM bm
     )
 """
@@ -115,35 +132,45 @@ def _with_arrival(e: DataFrame) -> DataFrame:
 
 def _batch_watermarks(arr: DataFrame) -> DataFrame:
     """Per-batch watermark table: batch_id, bmax (batch's max event
-    time), n_events, wm_ts (watermark ENTERING the batch = running max
-    of prior bmax − delay; NULL for the first batch). Bounded: one row
-    per 6-hour bucket of the corpus' span — the ordering-only window
-    runs over THIS table, never over events."""
+    time), n_events, wm_ts (EVICTION watermark during the batch =
+    running max of prior bmax − delay; NULL for the first batch), and
+    wm_late_ts (LATE-EVENT filter watermark = the previous non-empty
+    batch's wm_ts, i.e. the running max lagged one more row — Spark's
+    two-watermark rule, see module docstring). Bounded: one row per
+    6-hour bucket of the corpus' span — the ordering-only windows run
+    over THIS table, never over events."""
     bm = arr.groupBy("batch_id").agg(
         F.max("ts").alias("bmax"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    w = (
-        Window.orderBy("batch_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w1 = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    w2 = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -2)
     return bm.withColumn(
         "wm_ts",
-        F.timestamp_add("SECOND", F.lit(-WM_DELAY_S), F.max("bmax").over(w)),
+        F.timestamp_add("SECOND", F.lit(-WM_DELAY_S), F.max("bmax").over(w1)),
+    ).withColumn(
+        "wm_late_ts",
+        F.timestamp_add("SECOND", F.lit(-WM_DELAY_S), F.max("bmax").over(w2)),
     )
 
 
 def stage_arrival_replay(
-    spark: SparkSession, events: DataFrame, out_dir: str
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    arrivals: DataFrame | None = None,
 ) -> list[int]:
     """Materialize the replay model as a REAL file stream: one parquet
     file per arrival micro-batch, mtimes set explicitly in batch order
     (no sleeps) so the file source's oldest-first listing delivers
     exactly one arrival bucket per trigger with maxFilesPerTrigger=1.
     A far-future sentinel file lands last to push the watermark past
-    every real window (append mode then emits them all). Test/demo
-    infrastructure: the per-batch driver loop is O(#buckets), fine for
-    a bounded replay, not a production write path."""
+    every real window (append mode then emits them all). ``arrivals``
+    overrides the default jitter-only model with a prebuilt arrivals
+    frame (events columns + ``batch_id``) — the redelivery audit
+    passes its duplicated-copy union here. Test/demo infrastructure:
+    the per-batch driver loop is O(#buckets), fine for a bounded
+    replay, not a production write path."""
     import glob
     import os
     import shutil
@@ -151,7 +178,7 @@ def stage_arrival_replay(
 
     from dataextractor_spark.streaming.windows import sentinel_ts_for
 
-    arr = _with_arrival(events)
+    arr = _with_arrival(events) if arrivals is None else arrivals
     cols = events.columns
     batch_ids = [
         r[0]
@@ -197,21 +224,23 @@ def stage_arrival_replay(
     oracle=_ARRIVAL_SQL
     + """
     , ev AS (
-        SELECT b.*, w.wm_ts,
+        SELECT b.*, w.wm_late_ts,
                date_trunc('day', b.ts) AS win_start,
                date_trunc('day', b.ts) + INTERVAL 1 DAY AS win_end
         FROM b JOIN wm w ON b.batch_id = w.batch_id
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           CAST(count(*) FILTER (WHERE wm_ts IS NULL OR win_end > wm_ts)
+           CAST(count(*) FILTER (WHERE wm_late_ts IS NULL
+                                    OR win_end > wm_late_ts)
                 AS BIGINT) AS n_kept,
-           CAST(count(*) FILTER (WHERE wm_ts IS NOT NULL
-                                   AND win_end <= wm_ts)
+           CAST(count(*) FILTER (WHERE wm_late_ts IS NOT NULL
+                                   AND win_end <= wm_late_ts)
                 AS BIGINT) AS n_dropped_late,
-           CAST(count(DISTINCT CASE WHEN wm_ts IS NULL OR win_end > wm_ts
+           CAST(count(DISTINCT CASE WHEN wm_late_ts IS NULL
+                                      OR win_end > wm_late_ts
                                     THEN user_id END)
                 AS BIGINT) AS n_kept_users,
-           CAST(sum(CASE WHEN wm_ts IS NULL OR win_end > wm_ts
+           CAST(sum(CASE WHEN wm_late_ts IS NULL OR win_end > wm_late_ts
                          THEN CAST(round(value * 100) AS BIGINT)
                          ELSE 0 END)
                 AS BIGINT) AS kept_value_cents
@@ -230,14 +259,19 @@ def streaming_late_discard_audit(
     users and value mass — the audit every production watermark needs
     (is the delay budget actually covering the transport tail?).
 
-    An event is dropped iff its window was finalized before it
-    arrived: ``window_end <= watermark(batch)``. The companion
-    equivalence test replays the SAME model through a real
-    ``readStream`` + watermark + append-mode aggregation and asserts
-    the emitted per-window counts equal ``n_kept`` here."""
+    An event is dropped iff its window is behind the LATE-FILTER
+    watermark (the previous non-empty batch's eviction watermark —
+    Spark's two-watermark rule, module docstring) when it arrives:
+    ``window_end <= wm_late(batch)``. "Kept" means the event
+    contributes to some emitted append row, including the one-batch
+    gap where a straggler re-opens an already-evicted window and the
+    engine emits a second row for it. The companion equivalence test
+    replays the SAME model through a real ``readStream`` + watermark
+    + append-mode aggregation and asserts the per-window emission
+    TOTALS equal ``n_kept`` here."""
     e = load_table(spark, sf_dir, "events")
     arr = _with_arrival(e)
-    wm = _batch_watermarks(arr).select("batch_id", "wm_ts")
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
     ev = (
         arr.join(F.broadcast(wm), "batch_id")
         .withColumn("win_start", F.date_trunc("day", F.col("ts")))
@@ -245,7 +279,9 @@ def streaming_late_discard_audit(
             "win_end", F.expr("timestampadd(DAY, 1, win_start)")
         )
     )
-    kept = F.col("wm_ts").isNull() | (F.col("win_end") > F.col("wm_ts"))
+    kept = F.col("wm_late_ts").isNull() | (
+        F.col("win_end") > F.col("wm_late_ts")
+    )
     cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy("win_start")
@@ -280,11 +316,11 @@ def streaming_late_discard_audit(
     + """
     , cls AS (
         SELECT b.batch_id,
-               CASE WHEN w.wm_ts IS NOT NULL
+               CASE WHEN w.wm_late_ts IS NOT NULL
                      AND date_trunc('day', b.ts) + INTERVAL 1 DAY
-                         <= w.wm_ts
+                         <= w.wm_late_ts
                     THEN 'dropped'
-                    WHEN w.wm_ts IS NOT NULL AND b.ts <= w.wm_ts
+                    WHEN w.wm_late_ts IS NOT NULL AND b.ts <= w.wm_late_ts
                     THEN 'late_within'
                     ELSE 'on_time' END AS cls
         FROM b JOIN wm w ON b.batch_id = w.batch_id
@@ -294,7 +330,8 @@ def streaming_late_discard_audit(
                     '%Y-%m-%d %H:%M:%S') AS batch_start,
            w.n_events,
            strftime(w.bmax, '%Y-%m-%d %H:%M:%S') AS batch_max_ts,
-           strftime(w.wm_ts, '%Y-%m-%d %H:%M:%S') AS watermark,
+           strftime(w.wm_ts, '%Y-%m-%d %H:%M:%S') AS watermark_evict,
+           strftime(w.wm_late_ts, '%Y-%m-%d %H:%M:%S') AS watermark_late,
            CAST(coalesce(sum(CASE WHEN c.cls = 'on_time' THEN 1 END), 0)
                 AS BIGINT) AS n_on_time,
            CAST(coalesce(sum(CASE WHEN c.cls = 'late_within' THEN 1 END), 0)
@@ -302,7 +339,7 @@ def streaming_late_discard_audit(
            CAST(coalesce(sum(CASE WHEN c.cls = 'dropped' THEN 1 END), 0)
                 AS BIGINT) AS n_dropped
     FROM wm w JOIN cls c ON w.batch_id = c.batch_id
-    GROUP BY w.batch_id, w.n_events, w.bmax, w.wm_ts
+    GROUP BY w.batch_id, w.n_events, w.bmax, w.wm_ts, w.wm_late_ts
     ORDER BY w.batch_id
     """,
 )
@@ -311,30 +348,31 @@ def streaming_watermark_frontier(
 ) -> DataFrame:
     """Watermark-frontier progression per micro-batch under the replay
     model: each 6-hour arrival bucket's event count, max event time,
-    the watermark it entered with, and its arrivals split into
-    on-time / late-but-aggregated (event time behind the watermark but
-    window still open — the rows the 1 h delay budget SAVED) /
-    dropped (window already finalized). This is the ops dashboard that
-    decides whether a watermark delay is too tight or wastefully
-    loose, expressed as a driver-checkable batch query."""
+    BOTH of Spark's per-batch watermarks (eviction and late-filter —
+    module docstring), and its arrivals split into on-time /
+    late-but-aggregated (event time behind the late-filter watermark
+    but window still open — the rows the 1 h delay budget SAVED) /
+    dropped (window behind the late filter). This is the ops
+    dashboard that decides whether a watermark delay is too tight or
+    wastefully loose, expressed as a driver-checkable batch query."""
     e = load_table(spark, sf_dir, "events")
     arr = _with_arrival(e)
     wm = _batch_watermarks(arr)
     win_end = F.expr("timestampadd(DAY, 1, date_trunc('DAY', ts))")
     cls = (
         arr.join(
-            F.broadcast(wm.select("batch_id", "wm_ts")), "batch_id"
+            F.broadcast(wm.select("batch_id", "wm_late_ts")), "batch_id"
         )
         .withColumn(
             "cls",
             F.when(
-                F.col("wm_ts").isNotNull()
-                & (win_end <= F.col("wm_ts")),
+                F.col("wm_late_ts").isNotNull()
+                & (win_end <= F.col("wm_late_ts")),
                 F.lit("dropped"),
             )
             .when(
-                F.col("wm_ts").isNotNull()
-                & (F.col("ts") <= F.col("wm_ts")),
+                F.col("wm_late_ts").isNotNull()
+                & (F.col("ts") <= F.col("wm_late_ts")),
                 F.lit("late_within"),
             )
             .otherwise(F.lit("on_time")),
@@ -365,11 +403,298 @@ def streaming_watermark_frontier(
                 "batch_max_ts"
             ),
             F.date_format("wm_ts", "yyyy-MM-dd HH:mm:ss").alias(
-                "watermark"
+                "watermark_evict"
+            ),
+            F.date_format("wm_late_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "watermark_late"
             ),
             "n_on_time",
             "n_late_within",
             "n_dropped",
         )
         .orderBy("batch_id")
+    )
+
+
+# --- at-least-once redelivery vs dropDuplicatesWithinWatermark --------
+
+#: redelivery model constants (all deterministic md5 functions of the
+#: event id, so both engines and the real streaming replay agree):
+#: every event whose second hash h2 = hex(md5('r:'||event_id))[:4]
+#: satisfies h2 % 9 = 0 (~11%) is delivered TWICE. The duplicate is
+#: the at-least-once retry of a producer that RE-STAMPS event time on
+#: resend (ts2 = ts1 + h2 % 28800 s, 0..8 h) and retransmits 6..12 h
+#: after the first copy's arrival (arrival2 = arrival1 + 21600 +
+#: h2 % 21600 s) — always a LATER micro-batch (the 6 h floor equals
+#: the bucket width), so within-batch arrival order can never decide
+#: which copy the engine keeps. The parameter spread makes all three
+#: duplicate fates non-empty: retries landing one bucket later while
+#: the first copy's dedup state (ts1 + 1 h) still covers the
+#: watermark are SUPPRESSED; retries whose re-stamped time fell
+#: behind the advancing watermark are LATE-DROPPED; retries with a
+#: large enough re-stamp land PAST the expired state and are
+#: RE-EMITTED — the duplicate leak this audit exists to measure.
+REDELIV_MOD = 9
+REDELIV_TS_BUMP_MOD = 28800
+REDELIV_DELAY_MOD = 21600
+
+
+def _with_redelivery(e: DataFrame) -> DataFrame:
+    """Originals + duplicated retry copies, each with arrival_ts,
+    batch_id, and copy_no (0 = first delivery, 1 = retry). Per-row
+    expressions plus one bounded union — no shuffle, no sort."""
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("r:"), F.col("event_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    orig = _with_arrival(e).withColumn("h2", h2)
+    dup = (
+        orig.filter(F.col("h2") % REDELIV_MOD == 0)
+        .withColumn(
+            "ts",
+            F.expr(
+                f"timestampadd(SECOND, h2 % {REDELIV_TS_BUMP_MOD}, ts)"
+            ),
+        )
+        .withColumn(
+            "arrival_ts",
+            F.expr(
+                f"timestampadd(SECOND, {BATCH_S} + h2 % "
+                f"{REDELIV_DELAY_MOD}, arrival_ts)"
+            ),
+        )
+    )
+    cols = [c for c in orig.columns if c not in ("h2", "batch_id")]
+    both = orig.select(*cols, F.lit(0).alias("copy_no")).unionByName(
+        dup.select(*cols, F.lit(1).alias("copy_no"))
+    )
+    return both.withColumn(
+        "batch_id", F.expr(f"unix_timestamp(arrival_ts) div {BATCH_S}")
+    )
+
+
+#: shared oracle CTE prefix for the redelivery model: originals o,
+#: retry copies d, their union's per-batch watermark table wm, and
+#: the per-copy classification inputs o2/d2.
+_REDELIVERY_SQL = f"""
+    WITH h AS (
+        SELECT event_id, ts,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) AS hx,
+               CAST('0x' || substr(md5('r:' || CAST(event_id AS VARCHAR)),
+                                   1, 4)
+                    AS BIGINT) AS h2
+        FROM events
+    ),
+    o AS (
+        SELECT event_id, ts, h2,
+               ts + INTERVAL (hx % 7200
+                              + CASE WHEN hx % 97 = 0
+                                     THEN 172800 ELSE 0 END)
+                    SECOND AS arrival
+        FROM h
+    ),
+    d AS (
+        SELECT event_id,
+               ts + INTERVAL (h2 % {REDELIV_TS_BUMP_MOD}) SECOND AS ts,
+               arrival + INTERVAL ({BATCH_S} + h2 % {REDELIV_DELAY_MOD})
+                         SECOND AS arrival
+        FROM o WHERE h2 % {REDELIV_MOD} = 0
+    ),
+    allarr AS (
+        SELECT event_id, ts, arrival, 0 AS copy_no FROM o
+        UNION ALL
+        SELECT event_id, ts, arrival, 1 AS copy_no FROM d
+    ),
+    b AS (
+        SELECT *, CAST(floor(epoch(arrival)) AS BIGINT) // {BATCH_S}
+                      AS batch_id
+        FROM allarr
+    ),
+    bm AS (SELECT batch_id, max(ts) AS bmax FROM b GROUP BY batch_id),
+    wm AS (
+        SELECT batch_id,
+               max(bmax) OVER (ORDER BY batch_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 2 PRECEDING)
+                   - INTERVAL {WM_DELAY_S} SECOND AS wm_late_ts
+        FROM bm
+    ),
+    o2 AS (
+        SELECT b.event_id, b.ts, w.wm_late_ts
+        FROM b JOIN wm w ON b.batch_id = w.batch_id
+        WHERE b.copy_no = 0
+    ),
+    d2 AS (
+        SELECT b.event_id, b.ts, w.wm_late_ts
+        FROM b JOIN wm w ON b.batch_id = w.batch_id
+        WHERE b.copy_no = 1
+    )
+"""
+
+
+@query(
+    "streaming_dedup_replay_audit",
+    oracle=_REDELIVERY_SQL
+    + f"""
+    , cls AS (
+        SELECT o2.event_id,
+               date_trunc('day', o2.ts) AS d,
+               CASE WHEN o2.wm_late_ts IS NOT NULL
+                     AND o2.ts < o2.wm_late_ts
+                    THEN 1 ELSE 0 END AS orig_late,
+               CASE WHEN d2.event_id IS NULL THEN NULL
+                    WHEN o2.wm_late_ts IS NULL
+                      OR o2.ts >= o2.wm_late_ts THEN
+                        CASE WHEN d2.wm_late_ts IS NOT NULL
+                              AND d2.ts < d2.wm_late_ts THEN 'late'
+                             WHEN d2.wm_late_ts IS NULL
+                               OR d2.wm_late_ts
+                                  <= o2.ts + INTERVAL {WM_DELAY_S} SECOND
+                             THEN 'suppressed'
+                             ELSE 'reemitted' END
+                    ELSE
+                        CASE WHEN d2.ts < d2.wm_late_ts THEN 'late'
+                             ELSE 'promoted' END
+               END AS dup_cls
+        FROM o2 LEFT JOIN d2 ON o2.event_id = d2.event_id
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(dup_cls) AS BIGINT) AS n_redelivered,
+           CAST(sum(orig_late) AS BIGINT) AS n_orig_late,
+           CAST(coalesce(sum(CASE WHEN dup_cls = 'suppressed'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_dup_suppressed,
+           CAST(coalesce(sum(CASE WHEN dup_cls = 'late' THEN 1 END), 0)
+                AS BIGINT) AS n_dup_late,
+           CAST(coalesce(sum(CASE WHEN dup_cls = 'reemitted'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_dup_reemitted,
+           CAST(coalesce(sum(CASE WHEN dup_cls = 'promoted'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_dup_promoted,
+           CAST(count(*) - sum(orig_late)
+                + coalesce(sum(CASE WHEN dup_cls IN ('reemitted',
+                                                     'promoted')
+                               THEN 1 END), 0) AS BIGINT) AS n_emitted
+    FROM cls
+    GROUP BY d
+    ORDER BY day
+    """,
+)
+def streaming_dedup_replay_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once accounting for ``dropDuplicatesWithinWatermark``
+    under AT-LEAST-ONCE redelivery (module constants): per event-day,
+    how many first deliveries the engine emits or drops as late, and
+    how many retry copies are suppressed by dedup state, dropped as
+    late input, RE-EMITTED because the first copy's state (ts + 1 h)
+    expired before the retry arrived (the duplicate leak downstream
+    consumers must tolerate), or promoted to first because the
+    original itself was late. ``n_emitted`` is the engine's output
+    row count per day — the number a downstream exactly-once claim
+    has to reconcile against ``n_events``.
+
+    The companion test replays the SAME model through the real
+    ``readStream`` → ``dropDuplicatesWithinWatermark`` pipeline and
+    asserts the emitted (event_id, ts) multiset equals this audit's
+    kept set — so these rows are MEASURED engine semantics, not a
+    parallel guess: both the late filter (drop iff
+    ``ts < wm_late(batch)``) and the state-visibility rule (a retry
+    in batch b sees the first copy's state unless
+    ``wm_late(b) > first_ts + delay``, because eviction runs at the
+    END of the previous batch with that batch's eviction watermark)
+    use the PREVIOUS batch's watermark — the two-watermark rule of
+    SPARK-40925 that the current-watermark model misclassifies on
+    17 of this fixture's 43 retries.
+
+    Scale: two scans of events (batch maxima + classification), the
+    self-join is keyed on event_id (shuffle of ids, never payloads),
+    and the only window runs over the bounded per-batch table."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    both = _with_redelivery(e)
+    wm = _batch_watermarks(both).select("batch_id", "wm_late_ts")
+    cl = both.join(F.broadcast(wm), "batch_id")
+    o2 = cl.filter(F.col("copy_no") == 0).select(
+        "event_id",
+        F.col("ts").alias("ts1"),
+        F.col("wm_late_ts").alias("wm1"),
+    )
+    d2 = cl.filter(F.col("copy_no") == 1).select(
+        "event_id",
+        F.col("ts").alias("ts2"),
+        F.col("wm_late_ts").alias("wm2"),
+    )
+    orig_kept = F.col("wm1").isNull() | (F.col("ts1") >= F.col("wm1"))
+    state_alive = F.col("wm2").isNull() | (
+        F.col("wm2")
+        <= F.expr(f"timestampadd(SECOND, {WM_DELAY_S}, ts1)")
+    )
+    dup_late = F.col("wm2").isNotNull() & (F.col("ts2") < F.col("wm2"))
+    cls = (
+        o2.join(d2, "event_id", "left")
+        .withColumn("d", F.date_trunc("day", F.col("ts1")))
+        .withColumn("orig_late", (~orig_kept).cast("long"))
+        .withColumn(
+            "dup_cls",
+            F.when(F.col("ts2").isNull(), F.lit(None).cast("string"))
+            .when(
+                orig_kept,
+                F.when(dup_late, F.lit("late"))
+                .when(state_alive, F.lit("suppressed"))
+                .otherwise(F.lit("reemitted")),
+            )
+            .otherwise(
+                F.when(dup_late, F.lit("late")).otherwise(F.lit("promoted"))
+            ),
+        )
+    )
+    n = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("dup_cls") == c, F.lit(1))), F.lit(0)
+    ).cast("long")
+    return (
+        cls.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("dup_cls").cast("long").alias("n_redelivered"),
+            F.sum("orig_late").cast("long").alias("n_orig_late"),
+            n("suppressed").alias("n_dup_suppressed"),
+            n("late").alias("n_dup_late"),
+            n("reemitted").alias("n_dup_reemitted"),
+            n("promoted").alias("n_dup_promoted"),
+            (
+                F.count(F.lit(1))
+                - F.sum("orig_late")
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("dup_cls").isin("reemitted", "promoted"),
+                            F.lit(1),
+                        )
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("n_emitted"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_redelivered",
+            "n_orig_late",
+            "n_dup_suppressed",
+            "n_dup_late",
+            "n_dup_reemitted",
+            "n_dup_promoted",
+            "n_emitted",
+        )
+        .orderBy("day")
     )

@@ -74,6 +74,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_png_codec",       # new r6: stdlib-zlib PNG, all 5 filters
     "streaming_late_discard_audit",   # new r6: watermark kept/dropped audit
     "streaming_watermark_frontier",   # new r6: per-batch frontier split
+    "streaming_dedup_replay_audit",   # new r6: at-least-once dedup leak audit
     # -- round-5 eighth/ninth batches (oracled, never checked) --
     "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
     "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
@@ -122,9 +123,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_anti_customers_without_orders",
     "join_theta_size_bands",
     "join_full_outer_daily_activity",
-    "join_right_outer_order_counts",
     # ---- 50-entry prefix boundary (typical per-run budget) ----
     # -- remaining stale-r1 join rechecks queue first for r7 --
+    "join_right_outer_order_counts",
     "join_cross_grid_revenue",
     "join_selfpair_parts",
     "join_interval_overlap_activity",

@@ -347,6 +347,7 @@ UNPARTITIONED_WINDOW_OK = {
                                      # per 6-hour arrival bucket of the
                                      # corpus span) — never event rows
     "streaming_watermark_frontier",  # same bounded per-batch table
+    "streaming_dedup_replay_audit",  # same bounded per-batch table
 }
 
 

@@ -341,14 +341,16 @@ def test_late_discard_audit_matches_streaming_engine(spark, tmp_path):
 
     # batch-audit side: same construction as the registry query
     arr = _with_arrival(events)
-    wm = _batch_watermarks(arr).select("batch_id", "wm_ts")
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
     ev = (
         arr.join(F.broadcast(wm), "batch_id")
         .withColumn(
             "win_end", F.expr("timestampadd(DAY, 1, date_trunc('DAY', ts))")
         )
     )
-    kept_pred = F.col("wm_ts").isNull() | (F.col("win_end") > F.col("wm_ts"))
+    kept_pred = F.col("wm_late_ts").isNull() | (
+        F.col("win_end") > F.col("wm_late_ts")
+    )
     n_total = ev.count()
     kept = ev.filter(kept_pred)
     n_kept = kept.count()
@@ -385,5 +387,99 @@ def test_late_discard_audit_matches_streaming_engine(spark, tmp_path):
         output_mode="append",
         checkpoint_dir=str(tmp_path / "ckpt_wm_audit"),
     ).filter(F.col("window_start") < "2024-02")  # drop sentinel window
-    got = sorted((r.window_start, r.n) for r in out.collect())
+    # a straggler in the one-batch gap between the late-filter and
+    # eviction watermarks re-opens its evicted window, so the engine
+    # may emit a window TWICE — sum emissions per window (the audit's
+    # "kept" definition) before comparing
+    got = sorted(
+        (r.window_start, r.n)
+        for r in out.groupBy("window_start")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    )
+    assert got == expected
+
+
+def test_dedup_replay_audit_matches_streaming_engine(spark, tmp_path):
+    """The oracled redelivery audit (streaming_dedup_replay_audit)
+    must agree with the REAL dropDuplicatesWithinWatermark: stage the
+    duplicated-copy replay as one file per micro-batch, run the actual
+    readStream dedup pipeline, and assert the engine's emitted
+    (event_id, ts) multiset equals the audit's kept set — with every
+    duplicate fate (suppressed, late-dropped, RE-EMITTED leak)
+    non-vacuously present in the fixture slice."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.streaming_audit import (
+        WM_DELAY_S,
+        _batch_watermarks,
+        _with_redelivery,
+        stage_arrival_replay,
+    )
+    from dataextractor_spark.streaming import dedup_events_stream
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    )
+
+    # model side: same construction as the registry query (rule: both
+    # the late filter and state visibility use the PREVIOUS batch's
+    # watermark — SPARK-40925 two-watermark semantics)
+    both = _with_redelivery(events)
+    wm = _batch_watermarks(both).select("batch_id", "wm_late_ts")
+    cl = both.join(F.broadcast(wm), "batch_id")
+    o2 = cl.filter(F.col("copy_no") == 0).select(
+        "event_id",
+        F.col("ts").alias("ts1"),
+        F.col("wm_late_ts").alias("wm1"),
+    )
+    d2 = cl.filter(F.col("copy_no") == 1).select(
+        "event_id",
+        F.col("ts").alias("ts2"),
+        F.col("wm_late_ts").alias("wm2"),
+    )
+    orig_kept = F.col("wm1").isNull() | (F.col("ts1") >= F.col("wm1"))
+    state_alive = F.col("wm2").isNull() | (
+        F.col("wm2") <= F.expr(f"timestampadd(SECOND, {WM_DELAY_S}, ts1)")
+    )
+    dup_late = F.col("wm2").isNotNull() & (F.col("ts2") < F.col("wm2"))
+    j = o2.join(d2, "event_id", "left").withColumn(
+        "dup_cls",
+        F.when(F.col("ts2").isNull(), F.lit(None).cast("string"))
+        .when(
+            orig_kept,
+            F.when(dup_late, F.lit("late"))
+            .when(state_alive, F.lit("suppressed"))
+            .otherwise(F.lit("reemitted")),
+        )
+        .otherwise(
+            F.when(dup_late, F.lit("late")).otherwise(F.lit("promoted"))
+        ),
+    ).localCheckpoint(eager=False)
+    fates = {
+        r.dup_cls: r.n
+        for r in j.groupBy("dup_cls").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert fates.get("suppressed", 0) >= 1, fates
+    assert fates.get("late", 0) >= 1, fates
+    assert fates.get("reemitted", 0) >= 1, fates
+    expected = sorted(
+        [(r.event_id, r.ts1) for r in j.filter(orig_kept).collect()]
+        + [
+            (r.event_id, r.ts2)
+            for r in j.filter(
+                F.col("dup_cls").isin("reemitted", "promoted")
+            ).collect()
+        ]
+    )
+
+    # engine side: real file-source replay of the duplicated arrivals
+    input_dir = str(tmp_path / "redeliv_input")
+    stage_arrival_replay(spark, events, input_dir, arrivals=both)
+    out = run_available_now(
+        dedup_events_stream(events_stream(spark, input_dir)),
+        query_name="t_dedup_replay",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_dedup_replay"),
+    ).filter(F.col("event_id") >= 0)  # drop the sentinel row
+    got = sorted((r.event_id, r.ts) for r in out.select("event_id", "ts").collect())
     assert got == expected
