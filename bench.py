@@ -169,6 +169,14 @@ HEADLINE = [
     "streaming_late_discard_audit",
     "streaming_watermark_frontier",
     "streaming_dedup_replay_audit",
+    "streaming_join_state_audit",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "ab_cuped_adjustment",
+    "stats_anova_oneway",
+    "etl_partition_skew_audit",
+    "text_dsir_importance",
+    "source_warc_scan",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

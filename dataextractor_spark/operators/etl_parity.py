@@ -993,3 +993,124 @@ def etl_vacuum_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- lakehouse: partition skew audit ----------------------------------
+
+#: assumed on-disk bytes per lineitem row for the sizing estimate —
+#: a declared planning constant (real file sizes are a storage-layer
+#:  metric the SQL surface cannot see), matching ~Parquet encoding of
+#: this 16-column schema.
+_SKEW_ROW_BYTES = 112
+#: target output file size for the compaction recommendation.
+_SKEW_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@query(
+    "etl_partition_skew_audit",
+    oracle=f"""
+    WITH p AS (
+        SELECT date_trunc('month', l_shipdate) AS mon,
+               CAST(count(*) AS BIGINT) AS rows_
+        FROM lineitem GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+               CAST(sum(rows_) AS BIGINT) AS total_rows,
+               CAST(max(rows_) AS BIGINT) AS max_rows,
+               CAST(min(rows_) AS BIGINT) AS min_rows,
+               quantile_cont(rows_, 0.5) AS median_rows,
+               CAST(sum(CASE WHEN rows_ * (SELECT count(*) FROM p) * 2
+                                  < (SELECT sum(rows_) FROM p)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_partitions,
+               CAST(sum(CAST(ceil(rows_ * {_SKEW_ROW_BYTES}
+                              / {_SKEW_TARGET_BYTES}.0) AS BIGINT))
+                    AS BIGINT) AS recommended_files
+        FROM p
+    )
+    SELECT n_partitions, total_rows, max_rows, min_rows,
+           round(median_rows, 1) AS median_rows,
+           round(CAST(total_rows AS DOUBLE) / n_partitions, 2) AS avg_rows,
+           round(CAST(max_rows AS DOUBLE) * n_partitions / total_rows, 6)
+               AS skew_factor,
+           n_small_partitions,
+           CAST(total_rows * {_SKEW_ROW_BYTES} AS BIGINT) AS est_bytes,
+           recommended_files
+    FROM s
+    """,
+)
+def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout health check for a ship-month-partitioned
+    lineitem lake table: per-partition row counts rolled into the
+    skew diagnostics every table-maintenance job starts from —
+    max/avg skew factor (>1 means the biggest partition dominates;
+    the number that predicts straggler tasks), the count of
+    partitions under half the average (the small-file problem
+    feeding etl_compaction_binpack), and a 128 MiB-target file-count
+    recommendation from a declared bytes/row planning constant.
+
+    The small-partition test is the integer-cleared inequality
+    ``rows * n_partitions * 2 < total_rows`` (never a float
+    threshold); the median uses percentile ≡ quantile_cont (linear
+    interpolation, identical doubles). One scan, one bounded
+    per-month aggregate (~84 rows at any SF), one summary row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("mon"))
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_"))
+        .localCheckpoint(eager=False)  # one scan: feeds the summary twice
+    )
+    totals = p.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("rows_").cast("long").alias("tot"),
+    )
+    return (
+        p.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("np").alias("n_partitions"),
+            F.first("tot").alias("total_rows"),
+            F.max("rows_").cast("long").alias("max_rows"),
+            F.min("rows_").cast("long").alias("min_rows"),
+            F.round(F.percentile("rows_", F.lit(0.5)), 1).alias(
+                "median_rows"
+            ),
+            F.sum(
+                F.when(
+                    F.col("rows_") * F.col("np") * 2 < F.col("tot"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_small_partitions"),
+            F.sum(
+                F.ceil(
+                    F.col("rows_")
+                    * _SKEW_ROW_BYTES
+                    / F.lit(float(_SKEW_TARGET_BYTES))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("recommended_files"),
+        )
+        .select(
+            "n_partitions",
+            "total_rows",
+            "max_rows",
+            "min_rows",
+            "median_rows",
+            F.round(
+                F.col("total_rows").cast("double") / F.col("n_partitions"), 2
+            ).alias("avg_rows"),
+            F.round(
+                F.col("max_rows").cast("double")
+                * F.col("n_partitions")
+                / F.col("total_rows"),
+                6,
+            ).alias("skew_factor"),
+            "n_small_partitions",
+            (F.col("total_rows") * _SKEW_ROW_BYTES)
+            .cast("long")
+            .alias("est_bytes"),
+            "recommended_files",
+        )
+    )

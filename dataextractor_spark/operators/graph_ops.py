@@ -11,7 +11,7 @@ objects, no driver-side adjacency.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dataextractor_spark.catalog import load_table
 from dataextractor_spark.functions.pagerank import pagerank
@@ -446,4 +446,348 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("level", "node_type")
+    )
+
+
+# --- label-propagation communities ------------------------------------
+
+#: LPA sweeps (fixed, deterministic — the oracle unrolls the same 3).
+_LPA_SWEEPS = 3
+
+#: argmax-vote encoding width: labels are < 1e10, so
+#: lpad(cnt)||lpad(1e10-1-lbl) compares (cnt asc, lbl desc) — max()
+#: picks the highest count, ties broken toward the SMALLEST label.
+_LPA_ENC = 9_999_999_999
+
+_LPA_VOTE_SQL = """
+    SELECT v.node,
+           CAST({enc} - CAST(substr(max(
+                    lpad(CAST(v.cnt AS VARCHAR), 10, '0')
+                    || lpad(CAST({enc} - v.lbl AS VARCHAR), 10, '0')
+                ), 11, 10) AS BIGINT) AS BIGINT) AS lbl
+    FROM (
+        SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.lbl
+        UNION ALL
+        SELECT node, lbl, CAST(1 AS BIGINT) FROM {prev}
+    ) v
+    GROUP BY v.node
+"""
+
+_LPA_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+l1 AS ({_LPA_VOTE_SQL.format(prev="l0", enc=_LPA_ENC)}),
+l2 AS ({_LPA_VOTE_SQL.format(prev="l1", enc=_LPA_ENC)}),
+l3 AS ({_LPA_VOTE_SQL.format(prev="l2", enc=_LPA_ENC)}),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+intra AS (
+    SELECT la.lbl, CAST(count(*) AS BIGINT) AS m_c
+    FROM edges e
+    JOIN l3 la ON la.node = e.src
+    JOIN l3 lb ON lb.node = e.dst
+    WHERE la.lbl = lb.lbl AND e.src < e.dst
+    GROUP BY la.lbl
+),
+comm AS (
+    SELECT l3.lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN l3.node % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN l3.node % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parts,
+           CAST(sum(d.d) AS BIGINT) AS degree_sum
+    FROM l3 JOIN deg d ON d.node = l3.node
+    GROUP BY l3.lbl
+)
+SELECT c.community,
+       c.n_nodes, c.n_suppliers, c.n_parts,
+       CAST(coalesce(i.m_c, 0) AS BIGINT) AS intra_edges,
+       c.degree_sum,
+       round((4.0 * m.m * coalesce(i.m_c, 0)
+              - CAST(c.degree_sum AS DOUBLE) * c.degree_sum)
+             / (4.0 * m.m * m.m), 6) AS modularity_term
+FROM comm c LEFT JOIN intra i ON i.lbl = c.community CROSS JOIN m
+ORDER BY c.n_nodes DESC, c.community
+LIMIT 10
+"""
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic label propagation on the
+    supplier↔part incidence graph: every node starts as its own
+    label; each of 3 synchronous sweeps re-labels a node with the
+    most frequent label among its neighbors PLUS ITS OWN one-vote
+    self-label (ties -> smallest label). The self-vote is the
+    oscillation guard bipartite graphs need under synchronous LPA —
+    without it labels can swap sides forever. The vote argmax is the
+    engine-portable lpad encoding (count desc, label asc), so both
+    engines pick identical winners and the result hash-matches.
+
+    Output: the 10 largest communities with membership split,
+    intra-community edge count, degree mass, and each community's
+    modularity term — computed EXACTLY as
+    (4*m*m_c - d_c^2) / (4*m^2), integer numerator, one division
+    (the float-sum-order trap never arises).
+
+    At 100 TB: each sweep is one edges-with-labels hash join + two
+    hash aggregates (per-(node,label) vote count, per-node argmax) —
+    the same join+agg sweep shape as pagerank/BFS; labels are one row
+    per node, votes at most one row per (edge endpoint, label);
+    ``localCheckpoint(eager=False)`` per sweep caps lineage. Fixed
+    sweep count = fixed job count, no driver-side convergence loop.
+    cf. reference README.md:28 (per-entity rollups) for the family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fwd = pairs.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    enc = _LPA_ENC
+    for _ in range(_LPA_SWEEPS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .unionByName(
+                labels.select("node", "lbl", F.lit(1).cast("long").alias("cnt"))
+            )
+        )
+        key = F.concat(
+            F.lpad(F.col("cnt").cast("string"), 10, "0"),
+            F.lpad((F.lit(enc) - F.col("lbl")).cast("string"), 10, "0"),
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(key).alias("k"))
+            .select(
+                "node",
+                (
+                    F.lit(enc)
+                    - F.substring(F.col("k"), 11, 10).cast("long")
+                ).cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    m = pairs.count()  # bounded scalar: |undirected edges|
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum((F.col("node") % 2 == 0).cast("long"))
+            .cast("long")
+            .alias("n_suppliers"),
+            F.sum((F.col("node") % 2 == 1).cast("long"))
+            .cast("long")
+            .alias("n_parts"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        comm.join(intra, "community", "left")
+        .withColumn(
+            "intra_edges",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "modularity_term",
+            F.round(
+                (
+                    4.0 * m * F.col("intra_edges")
+                    - F.col("degree_sum").cast("double")
+                    * F.col("degree_sum")
+                )
+                / (4.0 * m * m),
+                6,
+            ),
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "n_suppliers",
+            "n_parts",
+            "intra_edges",
+            "degree_sum",
+            "modularity_term",
+        )
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(10)
+    )
+
+
+# --- link prediction on the bipartite incidence graph -----------------
+
+#: rarest-R neighbor truncation: each supplier contributes wedges only
+#: among its R least-common parts, capping wedge volume at
+#: |suppliers| * R^2 regardless of supplier degree — the standard
+#: top-k truncation production link-prediction pipelines use, made
+#: DETERMINISTIC here (rank by global part degree asc, partkey asc).
+_LP_R = 32
+
+_LINKPRED_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+),
+pdeg AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS pd
+    FROM pairs GROUP BY l_partkey
+),
+ranked AS (
+    SELECT p.l_suppkey, p.l_partkey, d.pd,
+           row_number() OVER (PARTITION BY p.l_suppkey
+                              ORDER BY d.pd, p.l_partkey) AS rn
+    FROM pairs p JOIN pdeg d ON d.l_partkey = p.l_partkey
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {_LP_R}),
+ksz AS (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS sz
+    FROM kept GROUP BY l_suppkey
+),
+tdeg AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS td
+    FROM kept GROUP BY l_partkey
+),
+cand AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_common_suppliers
+    FROM kept a JOIN kept b
+      ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+),
+scored AS (
+    SELECT c.part_a, c.part_b, c.n_common_suppliers,
+           round(CAST(c.n_common_suppliers AS DOUBLE)
+                 / (ta.td + tb.td - c.n_common_suppliers), 6) AS jaccard,
+           pa.p_brand AS brand_a, pb.p_brand AS brand_b
+    FROM cand c
+    JOIN tdeg ta ON ta.l_partkey = c.part_a
+    JOIN tdeg tb ON tb.l_partkey = c.part_b
+    JOIN part pa ON pa.p_partkey = c.part_a
+    JOIN part pb ON pb.p_partkey = c.part_b
+    WHERE pa.p_brand <> pb.p_brand
+)
+SELECT * FROM scored
+ORDER BY n_common_suppliers DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("graph_link_prediction", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier↔part incidence graph:
+    cross-brand part pairs ranked by common-supplier count +
+    truncated Jaccard — "parts sourced from the same supplier pool
+    are substitutes" (excluding same-brand pairs, which are known
+    substitutes by construction). The common-neighbor join runs on
+    RAREST-R truncated adjacency: each supplier keeps only its 32
+    least-common parts (global part-degree asc, partkey asc — fully
+    deterministic), so wedge volume is capped at |suppliers| * R^2
+    instead of sum(degree^2) — the difference between 1e6 and 2.5e8
+    candidate rows at sf0.1, and THE standard production move for
+    common-neighbor indexes at scale (rare neighbors carry the
+    signal; ubiquitous ones only add wedges). Jaccard uses the
+    truncated set sizes, so it is an exact statistic OF the declared
+    index, not an estimate of the untruncated one.
+
+    Plan: one distinct-pair shuffle, one per-supplier ranked window
+    (partitioned by supplier — never global), the capped self-join,
+    two bounded degree joins, and a broadcast part-dim lookup for the
+    brand filter; TakeOrderedAndProject caps the output at 20.
+    Integer counts + a ratio-of-exact-ints rounded 6dp keep the hash
+    engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pdeg = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("pd")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("pd", "l_partkey")
+    kept = (
+        pairs.join(pdeg, "l_partkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LP_R)
+        .select("l_suppkey", "l_partkey")
+        .localCheckpoint(eager=False)
+    )
+    tdeg = kept.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("td")
+    )
+    a = kept.select("l_suppkey", F.col("l_partkey").alias("part_a"))
+    b = kept.select("l_suppkey", F.col("l_partkey").alias("part_b"))
+    cand = (
+        a.join(b, "l_suppkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_suppliers"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ta = tdeg.select(F.col("l_partkey").alias("part_a"), F.col("td").alias("ta"))
+    tb = tdeg.select(F.col("l_partkey").alias("part_b"), F.col("td").alias("tb"))
+    pa = part.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_brand").alias("brand_a")
+    )
+    pb = part.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        cand.join(ta, "part_a")
+        .join(tb, "part_b")
+        .join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .filter(F.col("brand_a") != F.col("brand_b"))
+        .select(
+            "part_a",
+            "part_b",
+            "n_common_suppliers",
+            F.round(
+                F.col("n_common_suppliers").cast("double")
+                / (F.col("ta") + F.col("tb") - F.col("n_common_suppliers")),
+                6,
+            ).alias("jaccard"),
+            "brand_a",
+            "brand_b",
+        )
+        .orderBy(F.col("n_common_suppliers").desc(), "part_a", "part_b")
+        .limit(20)
     )

@@ -1493,3 +1493,272 @@ def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("part_repeat_frac"),
     )
+
+
+# --- experimentation: CUPED variance reduction ------------------------
+
+#: pre/post experiment boundary for the synthetic A/B assignment.
+_CUPED_CUT = "1998-01-01"
+
+
+@query(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS k,
+               CAST('0x' || substr(md5('t:' || CAST(o_custkey AS VARCHAR)),
+                                   1, 4) AS BIGINT) % 2 AS t,
+               CAST(sum(CASE WHEN o_orderdate < DATE '{_CUPED_CUT}'
+                             THEN CAST(round(o_totalprice) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN o_orderdate >= DATE '{_CUPED_CUT}'
+                             THEN CAST(round(o_totalprice) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(sum(t * x) AS BIGINT) AS sx_t,
+               CAST(sum(t * y) AS BIGINT) AS sy_t
+        FROM cust
+    )
+    SELECT n_t AS n_treat,
+           CAST(n - n_t AS BIGINT) AS n_ctrl,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n),
+                 6) AS theta,
+           round(CAST(sy_t AS DOUBLE) / n_t
+                 - CAST(sy - sy_t AS DOUBLE) / (n - n_t), 6) AS raw_diff,
+           round(CAST(sy_t AS DOUBLE) / n_t
+                 - CAST(sy - sy_t AS DOUBLE) / (n - n_t)
+                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+                   * (CAST(sx_t AS DOUBLE) / n_t
+                      - CAST(sx - sx_t AS DOUBLE) / (n - n_t)),
+                 6) AS adjusted_diff,
+           round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))
+                 / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)),
+                 6) AS rho2
+    FROM s
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13) for a deterministic synthetic A/B test on customers:
+    treatment = md5-parity of the customer key, metric Y = post-1998
+    spend, covariate X = pre-1998 spend. Reports theta = cov(X,Y)/
+    var(X), the raw treatment-control difference of Y, the
+    CUPED-adjusted difference Y - theta*X, and rho^2 = the fraction of
+    metric variance the covariate removes — the number that tells an
+    experimentation platform how much smaller its confidence
+    intervals get for free.
+
+    Engine-portability: all moments are integer-DOLLAR sums (cents
+    would overflow int64 in sum(x*y) at the 100 TB scale this is
+    meant for; dollars keep sum(x*y) ~ 1e16 with int64 headroom to
+    ~1e18, and the overflow guard is the same argument
+    agg_hhi_concentration documents); theta/rho^2 are computed from
+    those sums with one fixed expression — identical doubles both
+    engines, rounded 6dp. Precision note: the single-pass form's
+    sx*sy cross-product exceeds 2^53, costing ~1e-5 RELATIVE double
+    rounding vs exact rational math — bit-identical on both engines
+    (so the hash is safe), negligible for a variance-reduction
+    estimate, and the price of one pass; a deployment needing exact
+    moments would center on broadcast means in a second pass. One orders scan, one customer-keyed
+    aggregate, one scalar row. Assignment hashes the key with a salt
+    ('t:') so it is independent of every other md5 use in the repo."""
+    o = load_table(spark, sf_dir, "orders")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t:"), F.col("o_custkey").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_CUT).cast("date")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(t).alias("t"),  # t is a function of the key: max == value
+        F.sum(F.when(pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(~pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    )
+    s = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("sx_t"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sy_t"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("sxy") - d("sx") * F.col("sy") / F.col("n")
+    varx = d("sxx") - d("sx") * F.col("sx") / F.col("n")
+    vary = d("syy") - d("sy") * F.col("sy") / F.col("n")
+    theta = cov / varx
+    mean_y_t = d("sy_t") / F.col("n_t")
+    mean_y_c = (d("sy") - d("sy_t")) / (F.col("n") - F.col("n_t"))
+    mean_x_t = d("sx_t") / F.col("n_t")
+    mean_x_c = (d("sx") - d("sx_t")) / (F.col("n") - F.col("n_t"))
+    return s.select(
+        F.col("n_t").alias("n_treat"),
+        (F.col("n") - F.col("n_t")).cast("long").alias("n_ctrl"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y_t - mean_y_c, 6).alias("raw_diff"),
+        F.round(
+            mean_y_t - mean_y_c - theta * (mean_x_t - mean_x_c), 6
+        ).alias("adjusted_diff"),
+        F.round(cov * cov / (varx * vary), 6).alias("rho2"),
+    )
+
+
+# --- one-way ANOVA ----------------------------------------------------
+
+#: the five o_orderpriority levels, FIXED order — the pivot that keeps
+#: every cross-group double sum accumulation-order-free.
+_ANOVA_LEVELS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _anova_sql() -> str:
+    per = []
+    for i, lvl in enumerate(_ANOVA_LEVELS, 1):
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN 1 END), 0) AS BIGINT) AS n{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS s{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) "
+            f"* CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS q{i}"
+        )
+    cols = ",\n               ".join(per)
+    grp = " + ".join(f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6))
+    n = " + ".join(f"n{i}" for i in range(1, 6))
+    s = " + ".join(f"s{i}" for i in range(1, 6))
+    q = " + ".join(f"q{i}" for i in range(1, 6))
+    means = ",\n           ".join(
+        f"round(CAST(s{i} AS DOUBLE) / n{i}, 6) AS mean_p{i}"
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH s AS (
+        SELECT {cols}
+        FROM orders
+    ),
+    m AS (
+        SELECT *,
+               CAST({n} AS BIGINT) AS n,
+               CAST({s} AS BIGINT) AS st,
+               CAST({q} AS BIGINT) AS qt,
+               ({grp}) AS grp_term
+        FROM s
+    )
+    SELECT n AS n_total,
+           CAST(5 AS BIGINT) AS k_groups,
+           {means},
+           round(grp_term - CAST(st AS DOUBLE) * st / n, 2) AS ss_between,
+           round(CAST(qt AS DOUBLE) - grp_term, 2) AS ss_within,
+           round(((grp_term - CAST(st AS DOUBLE) * st / n) / 4)
+                 / ((CAST(qt AS DOUBLE) - grp_term) / (n - 5)), 6)
+               AS f_stat,
+           round((grp_term - CAST(st AS DOUBLE) * st / n)
+                 / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n), 6)
+               AS eta_squared
+    FROM m
+    """
+
+
+@query("stats_anova_oneway", oracle=_anova_sql())
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order-priority
+    levels: per-level means, between/within sums of squares, the F
+    statistic, and eta^2 (variance explained) — the inferential test
+    behind every "does segment matter?" dashboard question.
+
+    Portability is the interesting part: SSB = sum over groups of
+    S_g^2/n_g is a sum of five DOUBLES, and float addition is
+    accumulation-order-dependent — a GROUP BY then SUM would let the
+    two engines add in different orders and diverge in the last ulp.
+    So the five levels are PIVOTED into fixed columns in ONE
+    aggregate pass (the text_bm25_search idiom) and every cross-group
+    sum is written as an explicit left-to-right chain — identical
+    doubles on both engines, no group-hash order anywhere. Inputs are
+    integer dollars (int64 headroom argument as ab_cuped_adjustment);
+    S_g^2 exceeds int64 so the squares move to double AFTER the exact
+    integer sums. One orders scan, one aggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    aggs = []
+    for i, lvl in enumerate(_ANOVA_LEVELS, 1):
+        hit = F.col("o_orderpriority") == lvl
+        aggs += [
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(F.sum(F.when(hit, dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(F.sum(F.when(hit, dollars * dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    s = o.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    grp_term = None
+    for i in range(1, 6):
+        term = d(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        grp_term = term if grp_term is None else grp_term + term
+    n = None
+    st = None
+    qt = None
+    for i in range(1, 6):
+        n = F.col(f"n{i}") if n is None else n + F.col(f"n{i}")
+        st = F.col(f"s{i}") if st is None else st + F.col(f"s{i}")
+        qt = F.col(f"q{i}") if qt is None else qt + F.col(f"q{i}")
+    m = s.select(
+        *[F.col(f"{c}{i}") for i in range(1, 6) for c in ("n", "s", "q")],
+        n.cast("long").alias("n"),
+        st.cast("long").alias("st"),
+        qt.cast("long").alias("qt"),
+        grp_term.alias("grp_term"),
+    )
+    ssb = F.col("grp_term") - d("st") * F.col("st") / F.col("n")
+    ssw = d("qt") - F.col("grp_term")
+    sst = d("qt") - d("st") * F.col("st") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_total"),
+        F.lit(5).cast("long").alias("k_groups"),
+        *[
+            F.round(d(f"s{i}") / F.col(f"n{i}"), 6).alias(f"mean_p{i}")
+            for i in range(1, 6)
+        ],
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round((ssb / 4) / (ssw / (F.col("n") - 5)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )

@@ -698,3 +698,161 @@ def streaming_dedup_replay_audit(
         )
         .orderBy("day")
     )
+
+
+# --- stream-stream interval join state accounting ---------------------
+
+#: join window: purchases following a click by the same user within
+#: (0, 1 h] — the same condition the stream-stream join test uses.
+JOIN_WINDOW_S = 3600
+
+
+@query(
+    "streaming_join_state_audit",
+    oracle=_ARRIVAL_SQL
+    + f"""
+    , ann AS (
+        SELECT b.event_id, b.user_id, b.event_type, b.ts,
+               w.wm_late_ts
+        FROM b JOIN wm w ON b.batch_id = w.batch_id
+    ),
+    c AS (
+        SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts,
+               wm_late_ts AS c_wm
+        FROM ann WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+               wm_late_ts AS p_wm
+        FROM ann WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.*, p.*,
+               CASE
+                 WHEN (c_wm IS NOT NULL AND c_ts < c_wm)
+                  AND (p_wm IS NOT NULL AND p_ts < p_wm)
+                 THEN 'lost_both_late'
+                 WHEN c_wm IS NOT NULL AND c_ts < c_wm
+                 THEN 'lost_click_late'
+                 WHEN p_wm IS NOT NULL AND p_ts < p_wm
+                 THEN 'lost_purchase_late'
+                 ELSE 'matched'
+               END AS cls
+        FROM c JOIN p
+          ON c_user = p_user
+         AND p_ts > c_ts
+         AND p_ts <= c_ts + INTERVAL {JOIN_WINDOW_S} SECOND
+    )
+    SELECT strftime(date_trunc('day', p_ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_pairs_batch,
+           CAST(coalesce(sum(CASE WHEN cls = 'matched' THEN 1 END), 0)
+                AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(CASE WHEN cls = 'lost_click_late'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_lost_click_late,
+           CAST(coalesce(sum(CASE WHEN cls = 'lost_purchase_late'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_lost_purchase_late,
+           CAST(coalesce(sum(CASE WHEN cls = 'lost_both_late'
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_lost_both_late,
+           round(coalesce(sum(CASE WHEN cls = 'matched' THEN 1 END), 0)
+                 * 1.0 / count(*), 6) AS match_rate
+    FROM pairs
+    GROUP BY date_trunc('day', p_ts)
+    ORDER BY day
+    """,
+)
+def streaming_join_state_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completeness accounting for a watermarked STREAM-STREAM
+    interval join (purchases within 1 h after a same-user click, both
+    sides watermarked 1 h) under the arrival replay model: of all
+    pairs the BATCH join finds, how many does the streaming engine
+    emit, and how is the shortfall split between late-filtered inputs
+    and buffer rows the watermark evicted before the partner arrived?
+    This is THE production question for stream-stream joins — is the
+    watermark delay losing matches? — answered as a driver-checkable
+    batch query.
+
+    A pair is lost iff a SIDE'S INPUT was late-dropped (event time
+    behind its batch's late watermark, two-watermark rule per the
+    module docstring), split by which side. Buffer eviction can never
+    lose an additional pair — a small theorem this audit leans on:
+    Spark derives each side's state watermark FROM the join
+    condition, so a buffered click lives until the watermark passes
+    ``c_ts + 1 h`` >= every joinable ``p_ts``, and a purchase until
+    it passes ``p_ts`` > every joinable ``c_ts`` — by which point any
+    still-missing partner is necessarily late input itself. The
+    construction-time probe confirms it (zero non-late pairs with an
+    expired partner buffer at every SF), and the companion test
+    replays the model through a real twin ``readStream`` join,
+    asserting the emitted (c_id, p_id) set equals the 'matched'
+    class exactly — which would break if eviction ever outran the
+    late filter.
+
+    Scale: one events scan fans into the two sides; the pair join is
+    an equi-join on user_id with a range predicate (never a cross
+    product); the watermark table is broadcast; output is a bounded
+    per-day rollup."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    arr = _with_arrival(e)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    ann = arr.join(F.broadcast(wm), "batch_id")
+    c = ann.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("wm_late_ts").alias("c_wm"),
+    )
+    p = ann.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("wm_late_ts").alias("p_wm"),
+    )
+    c_end = F.expr(f"timestampadd(SECOND, {JOIN_WINDOW_S}, c_ts)")
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= c_end),
+    )
+    c_late = F.col("c_wm").isNotNull() & (F.col("c_ts") < F.col("c_wm"))
+    p_late = F.col("p_wm").isNotNull() & (F.col("p_ts") < F.col("p_wm"))
+    pairs = pairs.withColumn(
+        "cls",
+        F.when(c_late & p_late, F.lit("lost_both_late"))
+        .when(c_late, F.lit("lost_click_late"))
+        .when(p_late, F.lit("lost_purchase_late"))
+        .otherwise(F.lit("matched")),
+    )
+    n = lambda c_: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("cls") == c_, F.lit(1))), F.lit(0)
+    ).cast("long")
+    return (
+        pairs.groupBy(F.date_trunc("day", "p_ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_batch"),
+            n("matched").alias("n_matched"),
+            n("lost_click_late").alias("n_lost_click_late"),
+            n("lost_purchase_late").alias("n_lost_purchase_late"),
+            n("lost_both_late").alias("n_lost_both_late"),
+            F.round(
+                n("matched") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("match_rate"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_pairs_batch",
+            "n_matched",
+            "n_lost_click_late",
+            "n_lost_purchase_late",
+            "n_lost_both_late",
+            "match_rate",
+        )
+        .orderBy("day")
+    )

@@ -1858,3 +1858,190 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alias_dups"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# --- DSIR-style importance resampling ---------------------------------
+
+#: hashed-feature vocabulary size for the importance model (Xie et
+#: al., "Data Selection for Language Models via Importance Resampling",
+#: NeurIPS'23 — unigrams hashed into a fixed bucket space so the model
+#: state is B counts per distribution, never a vocabulary).
+_DSIR_BUCKETS = 1024
+#: fixed-point scale for per-bucket log-ratios: floor(lr*1e6 + 0.5)
+#: turns identical doubles into identical int64s, making the per-doc
+#: score an EXACT integer sum (no float-accumulation-order hazard).
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "text_dsir_importance",
+    oracle=f"""
+    WITH d2 AS (
+        SELECT doc_id, source, text,
+               CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                    THEN 1 ELSE 0 END AS is_t
+        FROM documents
+    ),
+    tok AS (
+        SELECT d.doc_id, d.source, d.is_t,
+               CAST('0x' || substr(md5(t.w), 1, 4) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS b
+        FROM d2 d, unnest(string_split(d.text, ' ')) AS t(w)
+        WHERE t.w <> ''
+    ),
+    bs AS (
+        SELECT b,
+               CAST(count(*) AS BIGINT) AS g,
+               CAST(coalesce(sum(CASE WHEN is_t = 1 THEN 1 END), 0)
+                    AS BIGINT) AS t
+        FROM tok GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(t) AS BIGINT) AS tt
+        FROM bs
+    ),
+    lr AS (
+        SELECT b,
+               CAST(floor((ln((t + 1.0) / (tt + {_DSIR_BUCKETS}))
+                           - ln((g + 1.0) / (gt + {_DSIR_BUCKETS})))
+                          * {_DSIR_SCALE} + 0.5) AS BIGINT) AS lrs
+        FROM bs CROSS JOIN tot
+    ),
+    score AS (
+        SELECT tok.doc_id, min(tok.source) AS source,
+               min(tok.is_t) AS is_t,
+               CAST(sum(lr.lrs) AS BIGINT) AS s
+        FROM tok JOIN lr ON lr.b = tok.b
+        GROUP BY tok.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN s > 0 THEN 1 END), 0) AS BIGINT)
+               AS n_selected,
+           CAST(coalesce(sum(CASE WHEN is_t = 1 THEN 1 END), 0)
+                AS BIGINT) AS n_target,
+           CAST(coalesce(sum(CASE WHEN is_t = 1 AND s > 0 THEN 1 END),
+                         0) AS BIGINT) AS n_target_selected,
+           round(coalesce(sum(CASE WHEN s > 0 THEN 1 END), 0) * 1.0
+                 / count(*), 6) AS sel_rate,
+           round(CAST(sum(s) AS BIGINT) * 1.0
+                 / ({_DSIR_SCALE}.0 * count(*)), 6) AS avg_logweight
+    FROM score
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for pretraining-data selection
+    (Xie et al. NeurIPS'23): estimate hashed-unigram distributions
+    for a TARGET domain and the raw pool, score every document by its
+    log importance weight
+    sum_w [ln p_target(bucket(w)) - ln p_pool(bucket(w))]
+    (add-one smoothing over 1024 hashed buckets), and report
+    per-source selection stats for the keep-if-weight>1 rule.
+
+    The target here is KEYWORD-DEFINED (docs containing the token
+    'spark') rather than the fixture's language labels, deliberately:
+    this corpus draws every language from ONE shared 31-word
+    vocabulary, so lang carries zero distributional signal and any
+    label-based target would be noise-only — a content-defined
+    target has signal by construction, which is what lets the
+    contract test assert the estimator's defining behavior (selected
+    docs are enriched in the target distribution) instead of
+    asserting on noise.
+
+    Engine-portability: the per-BUCKET log-ratio is fixed-pointed
+    once (floor(lr*1e6+0.5) of bit-identical doubles), so each
+    document's score is an EXACT integer sum of bucket constants —
+    per-doc float accumulation (whose grouping order differs between
+    engines) never happens. At 100 TB: model state is two
+    1024-bucket count vectors (broadcast), scoring is one explode +
+    one broadcast join + one doc-keyed aggregate; the token table is
+    localCheckpointed so the explode runs ONCE for both the
+    distribution build and the scoring pass."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.array_contains(F.split(F.col("text"), " "), "spark")
+        .cast("long")
+        .alias("is_t"),
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            "source",
+            "is_t",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "b",
+            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS,
+        )
+        .localCheckpoint(eager=False)
+    )
+    bs = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.coalesce(F.sum(F.when(F.col("is_t") == 1, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("t"),
+    )
+    tot = bs.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("t").cast("long").alias("tt"),
+    )
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("t") + 1.0) / (F.col("tt") + _DSIR_BUCKETS))
+                - F.log((F.col("g") + 1.0) / (F.col("gt") + _DSIR_BUCKETS))
+            )
+            * _DSIR_SCALE
+            + 0.5
+        )
+        .cast("long")
+        .alias("lrs"),
+    )
+    score = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.min("is_t").alias("is_t"),
+            F.sum("lrs").cast("long").alias("s"),
+        )
+    )
+    sel = F.col("s") > 0
+    tgt = F.col("is_t") == 1
+    return (
+        score.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(sel, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(F.sum(F.when(tgt, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_target"),
+            F.coalesce(F.sum(F.when(tgt & sel, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_target_selected"),
+            F.round(
+                F.coalesce(F.sum(F.when(sel, F.lit(1))), F.lit(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("sel_rate"),
+            F.round(
+                F.sum("s") * F.lit(1.0)
+                / (F.lit(float(_DSIR_SCALE)) * F.count(F.lit(1))),
+                6,
+            ).alias("avg_logweight"),
+        )
+        .orderBy("source")
+    )

@@ -75,6 +75,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "streaming_late_discard_audit",   # new r6: watermark kept/dropped audit
     "streaming_watermark_frontier",   # new r6: per-batch frontier split
     "streaming_dedup_replay_audit",   # new r6: at-least-once dedup leak audit
+    "streaming_join_state_audit",     # new r6: stream-stream join loss audit
+    "graph_label_propagation",        # new r6: deterministic LPA communities
+    "graph_link_prediction",          # new r6: rarest-R common-neighbor index
+    "ab_cuped_adjustment",            # new r6: CUPED variance reduction
+    "stats_anova_oneway",             # new r6: fixed-order pivoted F-test
+    "etl_partition_skew_audit",       # new r6: layout skew + sizing plan
+    "text_dsir_importance",           # new r6: DSIR hashed-unigram selection
+    "source_warc_scan",               # new r6: WARC archive ingestion
     # -- round-5 eighth/ninth batches (oracled, never checked) --
     "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
     "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
@@ -115,6 +123,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- remaining stale rechecks queue first for r7 --
     "dedup_simhash",
     "dedup_incremental_ingest",
     "join_star_revenue",
@@ -123,8 +133,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_anti_customers_without_orders",
     "join_theta_size_bands",
     "join_full_outer_daily_activity",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- remaining stale-r1 join rechecks queue first for r7 --
     "join_right_outer_order_counts",
     "join_cross_grid_revenue",
     "join_selfpair_parts",

