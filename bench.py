@@ -177,6 +177,9 @@ HEADLINE = [
     "etl_partition_skew_audit",
     "text_dsir_importance",
     "source_warc_scan",
+    "sim_embedding_drift",
+    "text_quality_threshold_sweep",
+    "graph_kcore_decomposition",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1010,3 +1010,233 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mmr, out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+# --- embedding drift monitor ------------------------------------------
+
+#: two-proportion shift threshold for a "drifted" dimension: the
+#: positive-sign rates of snapshots A and B differ by more than 5%,
+#: tested with the integer-cleared inequality 20*|ka*nb - kb*na| >
+#: na*nb (never a float compare).
+_DRIFT_NUM, _DRIFT_DEN = 20, 1
+
+#: label space of the embeddings table (0..9) — pivoted to FIXED
+#: columns so the PSI sum over labels has one accumulation order.
+_DRIFT_LABELS = tuple(range(10))
+
+
+def _psi_terms(pa_counts, pb_counts, na, nb):
+    """Population-stability-index as an explicit left-to-right chain
+    over the fixed label order (never a grouped float sum): add-one
+    smoothing keeps every log finite."""
+    total = None
+    k = len(_DRIFT_LABELS)
+    for ca, cb in zip(pa_counts, pb_counts):
+        pa = (ca + 1.0) / (na + F.lit(float(k)))
+        pb = (cb + 1.0) / (nb + F.lit(float(k)))
+        term = (pa - pb) * F.log(pa / pb)
+        total = term if total is None else total + term
+    return total
+
+
+@query(
+    "sim_embedding_drift",
+    oracle=f"""
+    WITH snap AS (
+        SELECT vec_id, label, embedding,
+               CAST(vec_id % 2 AS BIGINT) AS b_side
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT dim, b_side, CASE WHEN v > 0 THEN 1 ELSE 0 END AS pos
+        FROM (
+            SELECT b_side,
+                   unnest(embedding) AS v,
+                   unnest(range(len(embedding))) AS dim
+            FROM snap
+        )
+    ),
+    pd AS (
+        SELECT dim,
+               CAST(coalesce(sum(CASE WHEN b_side = 0 THEN pos END), 0)
+                    AS BIGINT) AS ka,
+               CAST(coalesce(sum(CASE WHEN b_side = 1 THEN pos END), 0)
+                    AS BIGINT) AS kb
+        FROM dims GROUP BY dim
+    ),
+    ns AS (
+        SELECT CAST(coalesce(sum(CASE WHEN b_side = 0 THEN 1 END), 0)
+                    AS BIGINT) AS na,
+               CAST(coalesce(sum(CASE WHEN b_side = 1 THEN 1 END), 0)
+                    AS BIGINT) AS nb
+        FROM snap
+    ),
+    dimstat AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(coalesce(sum(CASE WHEN {_DRIFT_NUM}
+                        * abs(ka * ns.nb - kb * ns.na)
+                        > ns.na * ns.nb THEN 1 END), 0) AS BIGINT)
+                   AS n_dims_shifted,
+               CAST(sum(abs(ka * ns.nb - kb * ns.na)) AS BIGINT)
+                   AS shift_mass,
+               max(lpad(CAST(abs(ka * ns.nb - kb * ns.na) AS VARCHAR),
+                        18, '0')
+                   || lpad(CAST(999 - dim AS VARCHAR), 3, '0')) AS argmax
+        FROM pd CROSS JOIN ns
+    ),
+    lbl AS (
+        SELECT
+        {",".join(
+            f"CAST(coalesce(sum(CASE WHEN b_side = 0 AND label = {l} "
+            f"THEN 1 END), 0) AS BIGINT) AS a{l}, "
+            f"CAST(coalesce(sum(CASE WHEN b_side = 1 AND label = {l} "
+            f"THEN 1 END), 0) AS BIGINT) AS b{l}"
+            for l in _DRIFT_LABELS
+        )}
+        FROM snap
+    )
+    SELECT ns.na AS n_a, ns.nb AS n_b,
+           d.n_dims, d.n_dims_shifted,
+           round(CAST(d.shift_mass AS DOUBLE)
+                 / (d.n_dims * ns.na * ns.nb), 6) AS mean_abs_rate_shift,
+           CAST(999 - CAST(substr(d.argmax, 19, 3) AS BIGINT) AS BIGINT)
+               AS max_shift_dim,
+           round(CAST(CAST(substr(d.argmax, 1, 18) AS BIGINT) AS DOUBLE)
+                 / (ns.na * ns.nb), 6) AS max_shift_rate,
+           round({" + ".join(
+               f"((a{l} + 1.0) / (ns.na + 10.0)"
+               f" - (b{l} + 1.0) / (ns.nb + 10.0))"
+               f" * ln(((a{l} + 1.0) / (ns.na + 10.0))"
+               f" / ((b{l} + 1.0) / (ns.nb + 10.0)))"
+               for l in _DRIFT_LABELS
+           )}, 6) AS psi_label
+    FROM ns CROSS JOIN dimstat d CROSS JOIN lbl
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor between two snapshots
+    (vec_id parity stands in for yesterday/today ingestion batches):
+    per-DIMENSION positive-sign rates — the integer-exact sufficient
+    statistic for direction drift on unit vectors — compared with a
+    5% two-proportion threshold per dim, plus a label-mix PSI. This
+    is the ML-ops gate that catches a silently retrained or
+    re-normalized encoder before it poisons an ANN index built on
+    yesterday's geometry.
+
+    Why sign rates and not centroid cosine: a centroid is a float sum
+    ACROSS rows, whose accumulation order differs between engines and
+    runs — unusable under an exact value-hash contract (and subtly
+    nondeterministic on a real cluster too). Sign counts are
+    integers; every shift statistic here is a ratio of exact int64
+    products (the drifted-dim test is the integer-cleared
+    20*|ka*nb - kb*na| > na*nb), the argmax dimension uses the
+    fixed-width lpad encoding, and the label PSI is an explicit
+    fixed-order chain over the 10 pivoted label columns — no grouped
+    float accumulation anywhere.
+
+    At 100 TB: one embeddings scan fans into the per-dim explode
+    (64 rows per vector, integer flags only) and the one-row label
+    pivot; everything downstream is bounded (64-row dim table, one
+    summary row)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", (F.col("vec_id") % 2).alias("b_side")
+    )
+    dims = e.select(
+        "b_side",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("b_side", "dim", (F.col("v") > 0).cast("long").alias("pos"))
+    pd_ = dims.groupBy("dim").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("b_side") == 0, F.col("pos"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ka"),
+        F.coalesce(
+            F.sum(F.when(F.col("b_side") == 1, F.col("pos"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kb"),
+    )
+    lbl_aggs = [
+        F.coalesce(
+            F.sum(F.when((F.col("b_side") == 0) & (F.col("label") == l), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"a{l}")
+        for l in _DRIFT_LABELS
+    ] + [
+        F.coalesce(
+            F.sum(F.when((F.col("b_side") == 1) & (F.col("label") == l), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"b{l}")
+        for l in _DRIFT_LABELS
+    ]
+    ns_lbl = e.agg(
+        F.coalesce(F.sum(F.when(F.col("b_side") == 0, 1)), F.lit(0))
+        .cast("long")
+        .alias("na"),
+        F.coalesce(F.sum(F.when(F.col("b_side") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("nb"),
+        *lbl_aggs,
+    )
+    shift = F.abs(F.col("ka") * F.col("nb") - F.col("kb") * F.col("na"))
+    dimstat = (
+        pd_.crossJoin(F.broadcast(ns_lbl.select("na", "nb")))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        _DRIFT_NUM * shift > F.col("na") * F.col("nb"), 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_dims_shifted"),
+            F.sum(shift).cast("long").alias("shift_mass"),
+            F.max(
+                F.concat(
+                    F.lpad(shift.cast("string"), 18, "0"),
+                    F.lpad((F.lit(999) - F.col("dim")).cast("string"), 3, "0"),
+                )
+            ).alias("argmax"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    psi = _psi_terms(
+        [F.col(f"a{l}") for l in _DRIFT_LABELS],
+        [F.col(f"b{l}") for l in _DRIFT_LABELS],
+        na,
+        nb,
+    )
+    return (
+        ns_lbl.crossJoin(F.broadcast(dimstat))
+        .select(
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            "n_dims",
+            "n_dims_shifted",
+            F.round(
+                F.col("shift_mass").cast("double")
+                / (F.col("n_dims") * na * nb),
+                6,
+            ).alias("mean_abs_rate_shift"),
+            (
+                F.lit(999)
+                - F.substring(F.col("argmax"), 19, 3).cast("long")
+            ).cast("long").alias("max_shift_dim"),
+            F.round(
+                F.substring(F.col("argmax"), 1, 18)
+                .cast("long")
+                .cast("double")
+                / (na * nb),
+                6,
+            ).alias("max_shift_rate"),
+            F.round(psi, 6).alias("psi_label"),
+        )
+    )

@@ -2045,3 +2045,123 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- quality-threshold calibration sweep ------------------------------
+
+
+@query(
+    "text_quality_threshold_sweep",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS nw,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS ns,
+               len(list_distinct(string_split(text, ' '))) AS nd
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, nw,
+               CAST(CASE WHEN nw >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN 5 * ns >= nw THEN 1 ELSE 0 END
+                    + CASE WHEN 2 * nd >= nw THEN 1 ELSE 0 END
+                    + CASE WHEN 20 * ns <= 9 * nw THEN 1 ELSE 0 END
+                    AS BIGINT) AS score
+        FROM f
+    ),
+    by_score AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(nw) AS BIGINT) AS toks
+        FROM sc GROUP BY score
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(toks) AS BIGINT) AS tt
+        FROM by_score
+    )
+    SELECT t.thr AS threshold,
+           CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(b.toks), 0) AS BIGINT) AS kept_tokens,
+           round(coalesce(sum(b.n), 0) * 1.0 / tot.nt, 6) AS kept_frac,
+           round(coalesce(sum(b.toks), 0) * 1.0 / tot.tt, 6)
+               AS token_frac
+    FROM range(5) t(thr)
+    LEFT JOIN by_score b ON b.score >= t.thr
+    CROSS JOIN tot
+    GROUP BY t.thr, tot.nt, tot.tt
+    ORDER BY threshold
+    """,
+)
+def text_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-gate CALIBRATION table: score every document against
+    four integer-cleared curation rules (length >= 50 words; stopword
+    ratio >= 0.2 via 5*ns >= nw; type-token ratio >= 0.5 via
+    2*nd >= nw; stopword ratio <= 0.45 via 20*ns <= 9*nw — the
+    too-high side of Gopher's stopword band) and report, for every
+    keep-if-score>=t threshold, the surviving document count and
+    token mass, absolute and as fractions. This is the table a
+    curation run reads to pick its operating point — "how many
+    training tokens does each notch of strictness cost?" — the
+    cumulative complement of text_gopher_filters' per-rule reject
+    funnel.
+
+    Every rule is an integer inequality (no float thresholds to
+    diverge across engines), the per-score rollup is at most 5 rows,
+    and the sweep joins the 5-row threshold spine against that tiny
+    table — one documents scan total, then kilobytes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks)
+    ns = F.size(
+        F.filter(
+            toks, lambda t: t.isin("the", "a", "of", "and", "to")
+        )
+    )
+    nd = F.size(F.array_distinct(toks))
+    score = (
+        (nw >= 50).cast("long")
+        + (5 * ns >= nw).cast("long")
+        + (2 * nd >= nw).cast("long")
+        + (20 * ns <= 9 * nw).cast("long")
+    )
+    by_score = (
+        d.select(score.alias("score"), nw.alias("nw"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("nw").cast("long").alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = by_score.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("toks").cast("long").alias("tt"),
+    )
+    spine = spark.range(5).select(F.col("id").cast("long").alias("thr"))
+    return (
+        spine.join(
+            F.broadcast(by_score), F.col("score") >= F.col("thr"), "left"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr", "nt", "tt")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum("toks"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            F.col("thr").alias("threshold"),
+            "n_kept",
+            "kept_tokens",
+            F.round(F.col("n_kept") * F.lit(1.0) / F.col("nt"), 6).alias(
+                "kept_frac"
+            ),
+            F.round(
+                F.col("kept_tokens") * F.lit(1.0) / F.col("tt"), 6
+            ).alias("token_frac"),
+        )
+        .orderBy("threshold")
+    )

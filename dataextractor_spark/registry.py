@@ -83,6 +83,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "etl_partition_skew_audit",       # new r6: layout skew + sizing plan
     "text_dsir_importance",           # new r6: DSIR hashed-unigram selection
     "source_warc_scan",               # new r6: WARC archive ingestion
+    "sim_embedding_drift",            # new r6: sign-rate drift monitor
+    "text_quality_threshold_sweep",   # new r6: curation operating-point table
+    "graph_kcore_decomposition",      # new r6: 3-sweep peeling, unrolled oracle
     # -- round-5 eighth/ninth batches (oracled, never checked) --
     "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
     "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
@@ -120,11 +123,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",
     "dedup_canonical_pick",
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- remaining stale rechecks queue first for r7 --
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- remaining stale rechecks queue first for r7 --
     "dedup_simhash",
     "dedup_incremental_ingest",
     "join_star_revenue",

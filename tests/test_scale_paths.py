@@ -1224,3 +1224,71 @@ def test_warc_parser_roundtrip_and_corruption(spark):
         _parse_warc(blob[:-2])  # truncated terminator
     with _pytest.raises(ValueError):
         _parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC record
+
+
+def test_embedding_drift_null_case_behaves(spark):
+    """Drift-monitor contracts: with both snapshots drawn from the
+    SAME distribution (vec_id parity split), few dims should cross
+    the 5% shift bar and PSI stays near 0 — plus internal
+    consistency (mean shift <= max shift, dim index in range)."""
+    r = load_all()["sim_embedding_drift"].fn(spark, SF_SMALL).first()
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.n_dims == 64
+    assert 0 <= r.n_dims_shifted <= r.n_dims
+    # same-distribution split: no more than half the dims "drift"
+    assert r.n_dims_shifted <= r.n_dims // 2, r
+    assert 0.0 <= r.mean_abs_rate_shift <= r.max_shift_rate <= 1.0
+    assert 0 <= r.max_shift_dim < r.n_dims
+    assert 0.0 <= r.psi_label < 0.5, r
+
+
+def test_quality_threshold_sweep_is_monotone(spark):
+    """Calibration-table contracts: keep counts and token mass are
+    non-increasing in the threshold, threshold 0 keeps everything,
+    and fractions are consistent with counts."""
+    rows = (
+        load_all()["text_quality_threshold_sweep"].fn(spark, SF_SMALL).collect()
+    )
+    assert [r.threshold for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].kept_frac == 1.0 and rows[0].token_frac == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept >= b.n_kept
+        assert a.kept_tokens >= b.kept_tokens
+    assert rows[-1].n_kept < rows[0].n_kept  # the gate actually bites
+
+
+def test_kcore_peeling_shrinks_and_bounds_degrees(spark):
+    """k-core contracts: node/edge counts shrink monotonically per
+    sweep, and after the final sweep every surviving node's degree in
+    the surviving subgraph meets the bound ONLY once peeling has
+    converged — so instead assert the recomputed degree bound holds
+    for the fixpoint-check: no node removed in a hypothetical 4th
+    peel would violate monotonicity (i.e. sweep-3 stats equal the
+    stats of one more peel, or shrink further)."""
+    from dataextractor_spark.operators.graph_ops import _KCORE_K
+
+    rows = load_all()["graph_kcore_decomposition"].fn(spark, SF_SMALL).collect()
+    assert [r.sweep for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_edges >= b.n_edges
+        assert a.n_suppliers >= b.n_suppliers
+        assert a.n_parts >= b.n_parts
+    assert rows[1].n_edges < rows[0].n_edges  # K actually bites
+    # rebuild the sweep-3 subgraph independently and check the bound
+    from dataextractor_spark.catalog import load_table
+
+    edges = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    cur = edges
+    for _ in range(3):
+        ds = (
+            cur.groupBy("src").count().filter(F.col("count") >= _KCORE_K).select("src")
+        )
+        dd = (
+            cur.groupBy("dst").count().filter(F.col("count") >= _KCORE_K).select("dst")
+        )
+        cur = cur.join(ds, "src").join(dd, "dst")
+    assert cur.count() == rows[3].n_edges
