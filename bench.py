@@ -180,6 +180,9 @@ HEADLINE = [
     "sim_embedding_drift",
     "text_quality_threshold_sweep",
     "graph_kcore_decomposition",
+    "funnel_step_latency",
+    "attr_position_weighted",
+    "time_concurrency_peak",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

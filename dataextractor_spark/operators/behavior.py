@@ -1378,3 +1378,274 @@ def time_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- funnel step latency ----------------------------------------------
+
+
+@query(
+    "funnel_step_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(v.t_view) AS t_view, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(c.t_click) AS t_click,
+               min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    ),
+    vc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vc,
+               CAST(sum(epoch_us(t_click - t_view)) AS BIGINT) AS s_vc,
+               quantile_cont(epoch_us(t_click - t_view), 0.5) AS p50_vc,
+               quantile_cont(epoch_us(t_click - t_view), 0.9) AS p90_vc
+        FROM c
+    ),
+    cp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cp,
+               CAST(sum(epoch_us(t_purchase - t_click)) AS BIGINT) AS s_cp,
+               quantile_cont(epoch_us(t_purchase - t_click), 0.5) AS p50_cp,
+               quantile_cont(epoch_us(t_purchase - t_click), 0.9) AS p90_cp
+        FROM p
+    )
+    SELECT n_vc, n_cp,
+           round(s_vc * 1.0 / (n_vc * 1e6), 6)  AS avg_view_to_click_s,
+           round(p50_vc / 1e6, 6)               AS p50_view_to_click_s,
+           round(p90_vc / 1e6, 6)               AS p90_view_to_click_s,
+           round(s_cp * 1.0 / (n_cp * 1e6), 6)  AS avg_click_to_buy_s,
+           round(p50_cp / 1e6, 6)               AS p50_click_to_buy_s,
+           round(p90_cp / 1e6, 6)               AS p90_click_to_buy_s
+    FROM vc CROSS JOIN cp
+    """,
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution between funnel steps — the
+    companion to funnel_conversion's WHO with the WHEN every growth
+    team asks next: exact p50/p90/avg latency from first view to
+    first qualifying click, and from that click to first qualifying
+    purchase (same strictly-after gating as the funnel, so the two
+    queries reconcile: n_vc/n_cp here equal its n_click/n_purchase).
+
+    Latencies are integer MICROSECONDS end-to-end (epoch differences
+    — no float time math), percentiles are the linear-interpolation
+    percentile ≡ quantile_cont pair both engines share, and averages
+    are ratios of exact integer sums. Same plan shape as the funnel:
+    per-step min-timestamp aggregates chained by user-keyed joins,
+    two scalar aggregate rows broadcast together at the end."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("ts").alias("t_click"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_click").alias("t_click"),
+            F.min("ts").alias("t_purchase"),
+        )
+    )
+    lat_vc = F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view"))
+    lat_cp = F.unix_micros(F.col("t_purchase")) - F.unix_micros(
+        F.col("t_click")
+    )
+    vc = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vc"),
+        F.sum(lat_vc).cast("long").alias("s_vc"),
+        F.percentile(lat_vc, F.lit(0.5)).alias("p50_vc"),
+        F.percentile(lat_vc, F.lit(0.9)).alias("p90_vc"),
+    )
+    cp = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cp"),
+        F.sum(lat_cp).cast("long").alias("s_cp"),
+        F.percentile(lat_cp, F.lit(0.5)).alias("p50_cp"),
+        F.percentile(lat_cp, F.lit(0.9)).alias("p90_cp"),
+    )
+    return vc.crossJoin(F.broadcast(cp)).select(
+        "n_vc",
+        "n_cp",
+        F.round(F.col("s_vc") * 1.0 / (F.col("n_vc") * 1e6), 6).alias(
+            "avg_view_to_click_s"
+        ),
+        F.round(F.col("p50_vc") / 1e6, 6).alias("p50_view_to_click_s"),
+        F.round(F.col("p90_vc") / 1e6, 6).alias("p90_view_to_click_s"),
+        F.round(F.col("s_cp") * 1.0 / (F.col("n_cp") * 1e6), 6).alias(
+            "avg_click_to_buy_s"
+        ),
+        F.round(F.col("p50_cp") / 1e6, 6).alias("p50_click_to_buy_s"),
+        F.round(F.col("p90_cp") / 1e6, 6).alias("p90_click_to_buy_s"),
+    )
+
+
+# --- position-weighted multi-touch attribution ------------------------
+
+
+@query(
+    "attr_position_weighted",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS jid
+        FROM events
+    ),
+    buys AS (
+        SELECT user_id, jid,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, jid, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id, jid
+                                  ORDER BY ts, event_id) AS pos,
+               count(*) OVER (PARTITION BY user_id, jid) AS k
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    credits AS (
+        SELECT t.channel,
+               CAST(floor(b.cents * 1000.0 *
+                    CASE WHEN t.k = 1 THEN 1.0
+                         WHEN t.k = 2 THEN 0.5
+                         WHEN t.pos = 1 OR t.pos = t.k THEN 0.4
+                         ELSE 0.2 / (t.k - 2) END + 0.5) AS BIGINT)
+                   AS credit_u
+        FROM touches t JOIN buys b
+          ON b.user_id = t.user_id AND b.jid = t.jid
+        UNION ALL
+        SELECT '(none)',
+               CAST(b.cents AS BIGINT) * 1000
+        FROM buys b
+        LEFT JOIN (SELECT DISTINCT user_id, jid FROM touches) t
+          ON t.user_id = b.user_id AND t.jid = b.jid
+        WHERE t.user_id IS NULL
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credited_touches,
+           CAST(sum(credit_u) AS BIGINT) AS credit_units,
+           round(CAST(sum(credit_u) AS BIGINT)
+                 / (SELECT CAST(sum(credit_u) AS BIGINT) * 1.0
+                    FROM credits), 6) AS credit_share
+    FROM credits
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attr_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each purchase's value is split across ALL the touches in its
+    journey (the same-user events since the previous purchase) — 40%
+    to the first touch, 40% to the last, 20% shared by the middles
+    (100% / 50-50 for 1- and 2-touch journeys; touchless purchases
+    credit '(none)') — the standard upgrade from attr_last_touch's
+    winner-take-all, answering "which channels OPEN vs CLOSE
+    journeys?" in one table.
+
+    Credits are fixed-point integers: floor(cents * weight * 1000 +
+    0.5), where the weight is the identical double on both engines —
+    so every per-channel sum is exact int64 (the same no-float-
+    accumulation rule as text_dsir_importance; the ≤0.5 milli-cent
+    floor loss per touch is documented here and immaterial to
+    attribution). Journey ids come from one user-partitioned running
+    count of preceding purchases — the whole operator is two window
+    passes and one (user, journey)-keyed join, no per-journey
+    collection anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+            ).over(wj),
+            F.lit(0),
+        ).cast("long"),
+    ).localCheckpoint(eager=False)
+    buys = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "jid",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id", "jid")
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "jid",
+        F.col("event_type").alias("channel"),
+        F.row_number().over(wt).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    credited = touches.join(buys, ["user_id", "jid"]).select(
+        "channel",
+        F.floor(F.col("cents") * 1000.0 * weight + 0.5)
+        .cast("long")
+        .alias("credit_u"),
+    )
+    orphan = (
+        buys.join(
+            touches.select("user_id", "jid").distinct(),
+            ["user_id", "jid"],
+            "left_anti",
+        )
+        .select(
+            F.lit("(none)").alias("channel"),
+            (F.col("cents") * 1000).cast("long").alias("credit_u"),
+        )
+    )
+    credits = credited.unionByName(orphan).localCheckpoint(eager=False)
+    total = credits.agg(F.sum("credit_u").cast("long").alias("tot"))
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+            F.sum("credit_u").cast("long").alias("credit_units"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_credited_touches",
+            "credit_units",
+            F.round(
+                F.col("credit_units") / (F.col("tot") * F.lit(1.0)), 6
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )

@@ -1153,3 +1153,116 @@ def time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("cum_ltv"),
     ).orderBy("cohort", "age_months")
+
+
+# --- interval concurrency peak ----------------------------------------
+
+
+@query(
+    "time_concurrency_peak",
+    oracle="""
+    WITH li AS (
+        SELECT date_trunc('day', o.o_orderdate) AS t0,
+               date_trunc('day', l.l_shipdate) AS t1
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE date_trunc('day', l.l_shipdate)
+              > date_trunc('day', o.o_orderdate)
+    ),
+    delta AS (
+        SELECT date_trunc('day', t0) AS d, CAST(count(*) AS BIGINT) AS dv
+        FROM li GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', t1), CAST(-count(*) AS BIGINT)
+        FROM li GROUP BY 1
+    ),
+    daily AS (
+        SELECT d, CAST(sum(dv) AS BIGINT) AS net FROM delta GROUP BY d
+    ),
+    run AS (
+        SELECT d,
+               CAST(sum(net) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_now
+        FROM daily
+    )
+    SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+           CAST(max(open_now) AS BIGINT) AS peak_open,
+           CAST(min(open_now) AS BIGINT) AS min_open,
+           strftime(CAST(substr(max(
+               lpad(CAST(open_now AS VARCHAR), 12, '0')
+               || strftime(d, '%Y-%m-%d')), 13, 10) AS DATE),
+               '%Y-%m-%d') AS peak_day,
+           round(avg(open_now), 2) AS avg_open
+    FROM run
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def time_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per month — how many lineitems
+    are simultaneously in flight between order placement and ship, the
+    interval-stabbing statistic behind capacity planning (warehouse
+    slots, open-order limits), computed WITHOUT expanding intervals
+    into per-day rows: +1/−1 boundary deltas per day, one
+    calendar-bounded running sum, then a monthly rollup with the
+    peak day recovered through the fixed-width lpad argmax (ties →
+    latest day, deterministically).
+
+    The running sum's window is ordering-only but runs over the
+    bounded DAILY table (≤ a few thousand rows at any SF — the same
+    whitelisted shape as the other calendar rollups), never over
+    lineitems; the fact side contributes one orderkey join and two
+    grouped scans merged by unionAll. Concurrency counts intervals
+    open at end-of-day (order day counts, ship day releases);
+    day-inverted spans (ship before order — half this synthetic
+    fixture) are excluded as invalid, identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    spans = (
+        li.join(o, "l_orderkey")
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("t0"),
+            F.date_trunc("day", "l_shipdate").alias("t1"),
+        )
+        # data-quality guard: this synthetic fixture ships ~half its
+        # lines before the order date; day-positive spans only, or the
+        # +1/-1 deltas would go negative before they open
+        .filter(F.col("t1") > F.col("t0"))
+        .localCheckpoint(eager=False)
+    )
+    delta = (
+        spans.groupBy(F.date_trunc("day", "t0").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dv"))
+        .unionAll(
+            spans.groupBy(F.date_trunc("day", "t1").alias("d")).agg(
+                (-F.count(F.lit(1))).cast("long").alias("dv")
+            )
+        )
+    )
+    daily = delta.groupBy("d").agg(F.sum("dv").cast("long").alias("net"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.withColumn(
+        "open_now", F.sum("net").over(w).cast("long")
+    )
+    argmax = F.max(
+        F.concat(
+            F.lpad(F.col("open_now").cast("string"), 12, "0"),
+            F.date_format("d", "yyyy-MM-dd"),
+        )
+    )
+    return (
+        run.groupBy(F.date_format(F.date_trunc("month", "d"), "yyyy-MM").alias("month"))
+        .agg(
+            F.max("open_now").cast("long").alias("peak_open"),
+            F.min("open_now").cast("long").alias("min_open"),
+            F.substring(argmax, 13, 10).alias("peak_day"),
+            F.round(F.avg("open_now"), 2).alias("avg_open"),
+        )
+        .orderBy("month")
+    )

@@ -58,17 +58,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
     # ================= round-6 prefix (50 slots) =================
-    # Goal: drain the never-driver-checked ledger to ZERO. 35
-    # queries have no CORRECTNESS row in any round:
-    # sim_mmr_diversify (displaced by rotation three rounds
-    # running — leads, per the r5 verdict), the three round-6
-    # additions (stdlib-PNG codec; the two batch-form watermark
-    # oracles that make streaming driver-visible), and the 31
-    # late-round-5 entries that landed after the r5 window was
-    # already full. The remaining 15 slots refresh the OLDEST
-    # stale evidence: the dedup/as-of family whose r1 rows
-    # predate their r2 merge-form/prefix-filter rewrites, then
-    # r1-era join rows.
+    # Goal: drain the never-driver-checked ledger to ZERO. All 50
+    # slots carry queries with no CORRECTNESS row in any round:
+    # sim_mmr_diversify (displaced by rotation three rounds running —
+    # leads, per the r5 verdict), the 18 round-6 additions (stdlib
+    # PNG codec; the four batch-form streaming audits; LPA /
+    # link-prediction / k-core graph ops; CUPED / ANOVA; partition
+    # skew; DSIR; WARC; embedding drift; quality sweep; funnel
+    # latency; position attribution; concurrency peak), and the 31
+    # late-round-5 entries that landed after the r5 window was full.
+    # With 242 registered and 192 ever-checked, these 50 first-ever
+    # rows complete cumulative driver coverage exactly; the stale
+    # dedup/as-of refreshes the r5 verdict queued (r1 rows predating
+    # r2 rewrites) therefore sit JUST below the boundary and lead
+    # the round-7 window instead — first-ever evidence outranks
+    # refresh evidence when the window can't hold both.
     "sim_mmr_diversify",  # MMR re-rank; greedy contract in tests
     # -- round-6 additions --
     "multimodal_png_codec",       # new r6: stdlib-zlib PNG, all 5 filters
@@ -86,6 +90,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_embedding_drift",            # new r6: sign-rate drift monitor
     "text_quality_threshold_sweep",   # new r6: curation operating-point table
     "graph_kcore_decomposition",      # new r6: 3-sweep peeling, unrolled oracle
+    "funnel_step_latency",            # new r6: time-to-convert percentiles
+    "attr_position_weighted",         # new r6: U-shaped multi-touch credit
+    "time_concurrency_peak",          # new r6: interval-stabbing capacity stat
     # -- round-5 eighth/ninth batches (oracled, never checked) --
     "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
     "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
@@ -118,13 +125,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_dormancy_reactivation",  # new r5: gap/resurrection counter
     "agg_reorder_rate",  # new r5: repeat-purchase profile
     "time_active_streaks",  # new r5: d - row_number islands
-    # -- stale-evidence refreshes: r1 rows predate the r2
-    #    rewrites (dedup family, as-of) or are plain r1-era --
+    # -- r7 queue head: stale-evidence refreshes (r1 rows predate
+    #    the r2 dedup/as-of rewrites), displaced by the r6 additions --
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",
     "dedup_canonical_pick",
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- remaining stale rechecks queue first for r7 --
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
     "dedup_components",

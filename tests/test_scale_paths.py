@@ -1292,3 +1292,67 @@ def test_kcore_peeling_shrinks_and_bounds_degrees(spark):
         )
         cur = cur.join(ds, "src").join(dd, "dst")
     assert cur.count() == rows[3].n_edges
+
+
+def test_funnel_latency_reconciles_with_funnel(spark):
+    """Latency contracts: step counts equal funnel_conversion's
+    (same gating), percentiles are ordered p50 <= p90, and every
+    latency stat is positive (strictly-after gating)."""
+    lat = load_all()["funnel_step_latency"].fn(spark, SF_SMALL).first()
+    fun = load_all()["funnel_conversion"].fn(spark, SF_SMALL).first()
+    assert lat.n_vc == fun.n_click and lat.n_cp == fun.n_purchase
+    assert 0 < lat.p50_view_to_click_s <= lat.p90_view_to_click_s
+    assert 0 < lat.p50_click_to_buy_s <= lat.p90_click_to_buy_s
+    assert lat.avg_view_to_click_s > 0 and lat.avg_click_to_buy_s > 0
+
+
+def test_position_weighted_credit_conserves_value(spark):
+    """Attribution contracts: credit shares sum to 1, every channel's
+    credit is positive, and total credited units equal total purchase
+    cents*1000 within the documented <=0.5 milli-cent/touch floor
+    loss."""
+    from dataextractor_spark.catalog import load_table
+
+    rows = load_all()["attr_position_weighted"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r.credit_share for r in rows) - 1.0) < 1e-4
+    total_u = sum(r.credit_units for r in rows)
+    n_touches = sum(r.n_credited_touches for r in rows)
+    e = load_table(spark, SF_SMALL, "events")
+    cents = (
+        e.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    assert abs(total_u - cents * 1000) <= n_touches, (total_u, cents)
+
+
+def test_concurrency_peak_matches_bruteforce(spark):
+    """Interval-stabbing contract: the running-sum concurrency at the
+    reported global peak day equals a brute-force recount of spans
+    open at that day's end (t0 <= d < t1 on day granularity)."""
+    from dataextractor_spark.catalog import load_table
+
+    rows = load_all()["time_concurrency_peak"].fn(spark, SF_SMALL).collect()
+    assert rows
+    best = max(rows, key=lambda r: r.peak_open)
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    d = F.lit(best.peak_day).cast("timestamp")
+    n = (
+        li.join(o, "l_orderkey")
+        .filter(
+            (F.date_trunc("day", "o_orderdate") <= d)
+            & (F.date_trunc("day", "l_shipdate") > d)
+            & (
+                F.date_trunc("day", "l_shipdate")
+                > F.date_trunc("day", "o_orderdate")
+            )
+        )
+        .count()
+    )
+    assert n == best.peak_open, (n, best)
