@@ -444,3 +444,64 @@ def test_containment_prefix_filter_is_lossless(spark, texts):
             for r in dedup_shingle_containment(spark, tmp).collect()
         }
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=13),
+    data=st.data(),
+)
+def test_png_codec_roundtrips_arbitrary_rasters(w, h, data):
+    """Property: the stdlib PNG codec round-trips ANY 8-bit RGB raster
+    byte-exactly under arbitrary per-row filter choices — not just the
+    structured fixtures the oracle pins."""
+    from dataextractor_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * 3, max_size=w * 3
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    payload = _encode_png(rows, w, h, lambda y: filters[y])
+    assert _decode_png(payload) == (w, h, rows)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=1, max_size=8
+    )
+)
+def test_warc_roundtrips_arbitrary_payloads(payloads):
+    """Property: the WARC writer/parser pair round-trips ANY byte
+    payloads — including empty ones and ones embedding CRLF runs or
+    WARC-lookalike headers — because framing is by declared
+    Content-Length, never delimiters."""
+    import hashlib
+
+    from dataextractor_spark.operators.multimodal import (
+        _parse_warc,
+        _warc_record,
+    )
+
+    blob = b"".join(
+        _warc_record(i, p) for i, p in enumerate(payloads)
+    )
+    got = _parse_warc(blob)
+    assert [(d, n) for d, n, _ in got] == [
+        (i, len(p)) for i, p in enumerate(payloads)
+    ]
+    for (_, _, md5hex), p in zip(got, payloads):
+        assert md5hex == hashlib.md5(p).hexdigest()
