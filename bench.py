@@ -183,6 +183,9 @@ HEADLINE = [
     "funnel_step_latency",
     "attr_position_weighted",
     "time_concurrency_peak",
+    "stats_ttest_welch",
+    "stats_mann_whitney_u",
+    "stats_spearman_corr",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1114,3 +1114,58 @@ def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recommended_files",
         )
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT)     AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc,
+           CAST(max(doc_id) AS BIGINT)  AS max_doc,
+           CAST(sum(length(text)) AS BIGINT) AS text_len_sum,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS text_md5_sum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip — Spark 4's NATIVE XML data source
+    (built into the distribution since 4.0; formerly spark-xml),
+    covering the enterprise feed format the lake formats don't. The
+    documents table is written as one XML archive (<rows><row>…)
+    and read back with an explicit schema; the oracle aggregates the
+    ORIGINAL parquet, so any loss through XML entity escaping,
+    whitespace handling, or type re-parsing breaks the hash — the
+    text column is pinned by BOTH total length and a summed md5
+    32-bit prefix, which catches even a single-character change in
+    one document. Fixture texts carry no leading/trailing whitespace
+    (measured), so the reader's surrounding-space trim is inert; a
+    production feed would set ignoreSurroundingSpaces=false. XML is
+    row-splittable on the rowTag, so the scan parallelizes like any
+    text format; mkdtemp isolates concurrent invocations (same
+    rationale as source_binaryfile_scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="dataextractor_spark_xml_"), "docs_xml"
+    )
+    d.write.format("xml").option("rowTag", "doc").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "doc").schema(
+        d.schema
+    ).load(out)
+    md5_prefix = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.sum(F.length("text")).cast("long").alias("text_len_sum"),
+            F.sum(md5_prefix).cast("long").alias("text_md5_sum"),
+        )
+        .orderBy("source")
+    )

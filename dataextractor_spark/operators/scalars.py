@@ -332,3 +332,54 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.absent') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4.0, SPARK-45891):
+    ``parse_json`` turns the raw ``props`` JSON string into Spark's
+    binary variant encoding ONCE, and ``variant_get`` path lookups
+    read that encoding directly — on a real lake the parse cost is
+    paid at ingest and every downstream query skips string re-parsing
+    entirely, which is the whole point of the type at 100 TB (get_json
+    _object re-tokenizes the string per call). ``try_variant_get`` on
+    an absent path returns NULL instead of erroring — the audit column
+    proves the total-path behavior. The oracle reads the same numbers
+    through DuckDB's JSON extractor, so the variant encode/decode is
+    value-checked end-to-end. One events scan, one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    )
+    k = F.expr("variant_get(vp, '$.k', 'long')")
+    missing = F.expr("try_variant_get(vp, '$.absent', 'long')")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.min(k).cast("long").alias("min_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.sum(F.when(missing.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )

@@ -609,3 +609,67 @@ def udf_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "sql_udf_scalar_tvf",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 1, 15), ('mid', 16, 35), ('high', 36, 50)
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 100) AS BIGINT))
+                AS BIGINT) AS net_cents
+    FROM lineitem
+    JOIN bands
+      ON CAST(l_quantity AS BIGINT) BETWEEN lo AND hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def sql_udf_scalar_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4.0, SPARK-46828): a scalar function
+    and a TABLE function declared in pure SQL — the user-extension
+    surface that beats Python UDFs at any scale because the body is
+    INLINED into the plan by Catalyst (fully codegen, optimizer sees
+    through it; a Python UDF is an opaque Arrow exchange). The scalar
+    UDF computes exact net-price cents per lineitem; the table UDF
+    emits the quantity-band dimension, range-joined (broadcast) to the
+    fact. The oracle replays both bodies inline, proving the
+    definition/invocation indirection loses nothing. One lineitem
+    scan, one broadcast range join, one hash aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_sqludf"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+            ep DOUBLE, disc DOUBLE, tax DOUBLE
+        ) RETURNS BIGINT
+        RETURN CAST(round(ep * (1 - disc) * (1 + tax) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_bands()
+        RETURNS TABLE(band STRING, lo BIGINT, hi BIGINT)
+        RETURN SELECT * FROM VALUES
+            ('low', 1, 15), ('mid', 16, 35), ('high', 36, 50)
+            AS t(band, lo, hi)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(net_cents(l_extendedprice, l_discount, l_tax))
+                    AS BIGINT) AS net_cents
+        FROM li_sqludf
+        JOIN qty_bands()
+          ON CAST(l_quantity AS BIGINT) BETWEEN lo AND hi
+        GROUP BY band
+        ORDER BY band
+        """
+    )

@@ -1762,3 +1762,503 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / 4) / (ssw / (F.col("n") - 5)), 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_squared"),
     )
+
+
+# --- Welch two-sample t-test ------------------------------------------
+
+#: the two priority levels Welch compares — extreme ends of the
+#: urgency scale so the "does urgency shift order value?" question is
+#: the sharpest available two-sample contrast.
+_WELCH_A = "1-URGENT"
+_WELCH_B = "5-LOW"
+
+
+def _welch_sql() -> str:
+    per = []
+    for tag, lvl in (("a", _WELCH_A), ("b", _WELCH_B)):
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN 1 END), 0) AS BIGINT) AS n_{tag}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS s_{tag}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) "
+            f"* CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS q_{tag}"
+        )
+    cols = ",\n               ".join(per)
+    return f"""
+    WITH s AS (
+        SELECT {cols}
+        FROM orders
+    ),
+    m AS (
+        SELECT *,
+               (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+                   / (n_a - 1) AS v_a,
+               (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+                   / (n_b - 1) AS v_b
+        FROM s
+    )
+    SELECT n_a AS n_urgent,
+           n_b AS n_low,
+           round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_urgent,
+           round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_low,
+           round(CAST(s_a AS DOUBLE) / n_a
+                 - CAST(s_b AS DOUBLE) / n_b, 6) AS mean_diff,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+           round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                    + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 6)
+               AS df_welch
+    FROM m
+    """
+
+
+@query("stats_ttest_welch", oracle=_welch_sql())
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of order value,
+    1-URGENT vs 5-LOW priority: group means, mean difference, the t
+    statistic, and the Welch–Satterthwaite degrees of freedom — the
+    default (variance-robust) A/B significance test.
+
+    Portability follows stats_anova_oneway exactly: the two groups
+    are PIVOTED into fixed columns in ONE aggregate pass over integer
+    DOLLARS (int64 headroom argument as ab_cuped_adjustment), so no
+    double is ever accumulated in engine-dependent order; sample
+    variances (ddof=1), t, and df are single fixed expressions over
+    those exact sums — identical doubles both engines, rounded 6dp.
+    One orders scan, one aggregate row, fully codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    aggs = []
+    for tag, lvl in (("a", _WELCH_A), ("b", _WELCH_B)):
+        hit = F.col("o_orderpriority") == lvl
+        aggs += [
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(hit, dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"s_{tag}"),
+            F.coalesce(F.sum(F.when(hit, dollars * dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"q_{tag}"),
+        ]
+    s = o.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    v_a = (d("q_a") - d("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    v_b = (d("q_b") - d("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    m = s.select("*", v_a.alias("v_a"), v_b.alias("v_b"))
+    mean_a = d("s_a") / F.col("n_a")
+    mean_b = d("s_b") / F.col("n_b")
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return m.select(
+        F.col("n_a").alias("n_urgent"),
+        F.col("n_b").alias("n_low"),
+        F.round(mean_a, 6).alias("mean_urgent"),
+        F.round(mean_b, 6).alias("mean_low"),
+        F.round(mean_a - mean_b, 6).alias("mean_diff"),
+        F.round((mean_a - mean_b) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2
+            * se2
+            / (
+                (F.col("v_a") / F.col("n_a"))
+                * (F.col("v_a") / F.col("n_a"))
+                / (F.col("n_a") - 1)
+                + (F.col("v_b") / F.col("n_b"))
+                * (F.col("v_b") / F.col("n_b"))
+                / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# --- Mann-Whitney U (tie-corrected) -----------------------------------
+
+
+def _mwu_sql() -> str:
+    return f"""
+    WITH vals AS (
+        SELECT CAST(round(o_totalprice) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(coalesce(sum(CASE WHEN o_orderpriority = '{_WELCH_A}'
+                    THEN 1 END), 0) AS BIGINT) AS n1v
+        FROM orders
+        WHERE o_orderpriority IN ('{_WELCH_A}', '{_WELCH_B}')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT v, cnt, n1v,
+               CAST(coalesce(sum(cnt) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(cnt - n1v) AS BIGINT) AS n2,
+               CAST(sum(n1v * (2 * cum_before + cnt + 1)) AS BIGINT)
+                   AS r1x2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_values
+        FROM ranked
+    )
+    SELECT n1 AS n_urgent,
+           n2 AS n_low,
+           tie_values,
+           round((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))
+                 / 2, 2) AS u_stat,
+           round(((CAST(r1x2 AS DOUBLE) - n1 * (CAST(n1 AS DOUBLE) + 1))
+                    / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + n2)
+                                * (n1 + n2 - 1)))), 6) AS z_stat
+    FROM s
+    """
+
+
+@query("stats_mann_whitney_u", oracle=_mwu_sql())
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (normal approximation, tie
+    correction) of order value between 1-URGENT and 5-LOW priorities —
+    the nonparametric sibling of stats_ttest_welch for when dollar
+    distributions are too skewed to trust a mean.
+
+    The scale design is the interesting part: naive rank-sum ranks
+    every ROW (a global sort of the fact table). Here ranks are
+    recovered from the DISTINCT-VALUE frequency table instead — group
+    by integer dollar value (bounded cardinality: the price grid, not
+    the row count), one cumulative count over that small table, and
+    the average rank of a tied block is (2*cum_before + cnt + 1)/2.
+    Summing n1v * (2*avg_rank) keeps everything in exact BIGINT
+    (doubled ranks stay integral), so U, the tie-corrected variance,
+    and z are single fixed expressions over exact integer scalars —
+    identical doubles both engines, rounded 6dp / 2dp. One orders
+    scan, one value-keyed shuffle, one tiny window, one scalar row."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(_WELCH_A, _WELCH_B)
+    )
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    vals = o.select(
+        dollars.alias("v"),
+        (F.col("o_orderpriority") == _WELCH_A).cast("long").alias("is1"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is1").cast("long").alias("n1v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "cnt",
+        "n1v",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    s = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum(F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tie_values"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u = (d("r1x2") - F.col("n1") * (d("n1") + 1)) / 2
+    mu = d("n1") * F.col("n2") / 2
+    sigma = F.sqrt(
+        d("n1")
+        * F.col("n2")
+        / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - d("tie_term")
+            / ((d("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_low"),
+        F.col("tie_values"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - mu) / sigma, 6).alias("z_stat"),
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------
+
+
+def _spearman_sql() -> str:
+    return """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    xv AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+    ),
+    xr AS (
+        SELECT x,
+               2 * CAST(coalesce(sum(cnt) OVER (
+                   ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + cnt + 1 AS rx2
+        FROM xv
+    ),
+    yv AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1
+    ),
+    yr AS (
+        SELECT y,
+               2 * CAST(coalesce(sum(cnt) OVER (
+                   ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) + cnt + 1 AS ry2
+        FROM yv
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx2) AS BIGINT) AS sx,
+               CAST(sum(ry2) AS BIGINT) AS sy,
+               CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+               CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        FROM base
+        JOIN xr USING (x)
+        JOIN yr USING (y)
+    )
+    SELECT n AS n_rows,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy / n)), 6)
+               AS spearman_rho
+    FROM s
+    """
+
+
+@query("stats_spearman_corr", oracle=_spearman_sql())
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    extended price — the monotone-association measure that survives
+    the heavy ties (50 distinct quantities) and skew that break
+    Pearson's linearity assumption.
+
+    Average ranks come from DISTINCT-VALUE frequency tables (the
+    stats_mann_whitney_u idiom): one groupBy per variable, one
+    cumulative count over each small distinct table, then DOUBLED
+    average ranks 2r = 2*cum_before + cnt + 1 stay exact BIGINT.
+    Ranks join back to the fact rows (quantity side broadcast — 50
+    rows; price side a value-keyed hash join), and rho is Pearson on
+    the doubled ranks: six exact int64 sums (sum(2rx*2ry) peaks
+    ~8.6e17 at sf0.1 — int64 headroom documented like
+    agg_hhi_concentration) collapsed by one fixed double expression —
+    identical on both engines, rounded 6dp. Two distinct-value
+    shuffles + one fact-side join each; no global row sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    w = lambda c: Window.orderBy(c).rowsBetween(  # noqa: E731
+        Window.unboundedPreceding, -1
+    )
+    xr = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "x",
+            (
+                2 * F.coalesce(F.sum("cnt").over(w("x")), F.lit(0))
+                + F.col("cnt")
+                + 1
+            )
+            .cast("long")
+            .alias("rx2"),
+        )
+    )
+    yr = (
+        li.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "y",
+            (
+                2 * F.coalesce(F.sum("cnt").over(w("y")), F.lit(0))
+                + F.col("cnt")
+                + 1
+            )
+            .cast("long")
+            .alias("ry2"),
+        )
+    )
+    joined = li.join(F.broadcast(xr), "x").join(yr, "y")
+    s = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("sxy") - d("sx") * F.col("sy") / F.col("n")
+    varx = d("sxx") - d("sx") * F.col("sx") / F.col("n")
+    vary = d("syy") - d("sy") * F.col("sy") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("spearman_rho"),
+    )
+
+
+# --- sample-ratio-mismatch guardrail ----------------------------------
+
+#: 95th percentile of chi-square with 1 df — the standard SRM alarm
+#: threshold experimentation platforms page on.
+_SRM_CHI2_95 = 3.841459
+
+
+def _srm_sql() -> str:
+    return f"""
+    WITH assigned AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                   AS week,
+               CAST('0x' || substr(md5('srm:'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                   AS t
+        FROM orders
+    ),
+    weekly AS (
+        SELECT week,
+               CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(count(*) - sum(t) AS BIGINT) AS n_c
+        FROM assigned GROUP BY week
+    ),
+    scored AS (
+        SELECT week, n_t, n_c,
+               CAST(n_t - n_c AS DOUBLE) * (n_t - n_c) / (n_t + n_c)
+                   AS chi2
+        FROM weekly
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(sum(CASE WHEN chi2 > {_SRM_CHI2_95} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(n_t) AS BIGINT) AS n_treat,
+           CAST(sum(n_c) AS BIGINT) AS n_ctrl,
+           round(CAST(sum(n_t) - sum(n_c) AS DOUBLE)
+                 * (sum(n_t) - sum(n_c))
+                 / (sum(n_t) + sum(n_c)), 6) AS overall_chi2,
+           round(max(chi2), 6) AS max_chi2,
+           substr(max(lpad(CAST(CAST(round(chi2 * 1000000) AS BIGINT)
+                               AS VARCHAR), 18, '0') || '|' || week),
+                  20, 10) AS worst_week
+    FROM scored
+    """
+
+
+@query("ab_srm_guardrail", oracle=_srm_sql())
+def ab_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: per experiment week, a 1-df
+    chi-square of treatment-vs-control assignment counts against the
+    designed 50/50 split, plus the overall test — THE health check an
+    experimentation platform runs before believing any A/B readout
+    (an SRM means the randomizer, logging, or filtering is biased and
+    every downstream metric is suspect).
+
+    Assignment is the portable md5 idiom (salt 'srm:', per-order so
+    weekly counts are independent draws); (n_t - n_c)^2 / n keeps the
+    chi-square a single fixed expression over exact BIGINT counts —
+    identical doubles both engines, rounded 6dp. The worst week is
+    recovered with the lpad-argmax idiom (chi2 scaled to an integer
+    key, week as tiebreak) so ties are impossible. One orders scan,
+    one week-keyed aggregate, one scalar row."""
+    o = load_table(spark, sf_dir, "orders")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("srm:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    weekly = (
+        o.select(
+            F.date_format(
+                F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("week"),
+            t.alias("t"),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("t").cast("long").alias("n_t"),
+            (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+        )
+    )
+    chi2 = (
+        (F.col("n_t") - F.col("n_c")).cast("double")
+        * (F.col("n_t") - F.col("n_c"))
+        / (F.col("n_t") + F.col("n_c"))
+    )
+    scored = weekly.select("week", "n_t", "n_c", chi2.alias("chi2"))
+    key = F.concat(
+        F.lpad(
+            F.round(F.col("chi2") * 1000000).cast("long").cast("string"),
+            18,
+            "0",
+        ),
+        F.lit("|"),
+        F.col("week"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum(
+            F.when(F.col("chi2") > _SRM_CHI2_95, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("n_t").cast("long").alias("n_treat"),
+        F.sum("n_c").cast("long").alias("n_ctrl"),
+        F.round(
+            (F.sum("n_t") - F.sum("n_c")).cast("double")
+            * (F.sum("n_t") - F.sum("n_c"))
+            / (F.sum("n_t") + F.sum("n_c")),
+            6,
+        ).alias("overall_chi2"),
+        F.round(F.max("chi2"), 6).alias("max_chi2"),
+        F.substring(F.max(key), 20, 10).alias("worst_week"),
+    )

@@ -128,6 +128,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- r7 queue head: stale-evidence refreshes (r1 rows predate
     #    the r2 dedup/as-of rewrites), displaced by the r6 additions --
     # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # -- late-round-6 additions (landed after the 50-slot window was
+    #    committed; first-ever evidence, so they outrank the stale
+    #    rechecks below and lead the r7 window) --
+    "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
+    "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
+    "stats_spearman_corr",  # new r6: doubled-rank Pearson, no row sort
+    "source_xml_roundtrip",  # new r6: Spark-4 native XML, md5-pinned text
+    "scalar_variant_funcs",  # new r6: VARIANT parse_json/variant_get surface
+    "sql_udf_scalar_tvf",  # new r6: SQL-language scalar + table UDFs, inlined
+    "ab_srm_guardrail",  # new r6: weekly sample-ratio-mismatch chi-square
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

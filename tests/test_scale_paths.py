@@ -1356,3 +1356,96 @@ def test_concurrency_peak_matches_bruteforce(spark):
         .count()
     )
     assert n == best.peak_open, (n, best)
+
+
+def test_welch_ttest_matches_bruteforce(spark):
+    """Welch contracts re-derived from raw rows: exact means, t and
+    Satterthwaite df recomputed with naive Python sums."""
+    import math
+
+    r = load_all()["stats_ttest_welch"].fn(spark, SF_SMALL).first()
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS p",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    a = [x.v for x in rows if x.p == "1-URGENT"]
+    b = [x.v for x in rows if x.p == "5-LOW"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r.n_urgent == len(a) and r.n_low == len(b)
+    assert math.isclose(r.mean_diff, ma - mb, rel_tol=0, abs_tol=5e-6)
+    assert math.isclose(r.t_stat, t, rel_tol=1e-6)
+    assert math.isclose(r.df_welch, df, rel_tol=1e-6)
+    # Satterthwaite df is bracketed by min(n)-1 and n1+n2-2
+    assert min(len(a), len(b)) - 1 <= r.df_welch <= len(a) + len(b) - 2
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """U and tie-corrected z recomputed from a naive average-rank
+    assignment over the raw rows."""
+    import math
+    from collections import Counter
+
+    r = load_all()["stats_mann_whitney_u"].fn(spark, SF_SMALL).first()
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS p",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .where("o_orderpriority IN ('1-URGENT', '5-LOW')")
+        .collect()
+    )
+    freq = Counter(x.v for x in rows)
+    avg_rank, cum = {}, 0
+    for v in sorted(freq):
+        avg_rank[v] = cum + (freq[v] + 1) / 2
+        cum += freq[v]
+    g1 = [x.v for x in rows if x.p == "1-URGENT"]
+    n1, n2 = len(g1), len(rows) - len(g1)
+    r1 = sum(avg_rank[v] for v in g1)
+    u = r1 - n1 * (n1 + 1) / 2
+    tie = sum(c**3 - c for c in freq.values())
+    n = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1))))
+    assert r.n_urgent == n1 and r.n_low == n2
+    assert 0 <= r.u_stat <= n1 * n2
+    assert math.isclose(r.u_stat, u, rel_tol=0, abs_tol=0.01)
+    assert math.isclose(r.z_stat, (u - n1 * n2 / 2) / sigma, rel_tol=1e-5)
+    assert r.tie_values == sum(1 for c in freq.values() if c > 1)
+
+
+def test_spearman_matches_pandas_rank(spark):
+    """rho recomputed via pandas average ranks + numpy Pearson; must
+    be positive (price scales with quantity) and within [-1, 1]."""
+    import math
+
+    import numpy as np
+
+    r = load_all()["stats_spearman_corr"].fn(spark, SF_SMALL).first()
+    pdf = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS LONG) AS x",
+            "CAST(round(l_extendedprice * 100) AS LONG) AS y",
+        )
+        .toPandas()
+    )
+    rx = pdf.x.rank(method="average")
+    ry = pdf.y.rank(method="average")
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert -1.0 <= r.spearman_rho <= 1.0
+    # the synthetic generator draws price independent of quantity, so
+    # rho is near zero — exactness, not direction, is the contract
+    assert math.isclose(r.spearman_rho, rho, rel_tol=0, abs_tol=5e-6)
+    assert r.n_rows == len(pdf)
