@@ -186,6 +186,14 @@ HEADLINE = [
     "stats_ttest_welch",
     "stats_mann_whitney_u",
     "stats_spearman_corr",
+    "source_xml_roundtrip",
+    "scalar_variant_funcs",
+    "sql_udf_scalar_tvf",
+    "ab_srm_guardrail",
+    "graph_local_clustering",
+    "text_readability",
+    "etl_zonemap_prune_audit",
+    "text_ngram_novelty",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

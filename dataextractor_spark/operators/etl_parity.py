@@ -1169,3 +1169,131 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: the audit predicate: one quarter of ship dates
+_ZM_LO = "1998-01-01"
+_ZM_HI = "1998-03-31"
+#: files per simulated table layout
+_ZM_FILES = 16
+
+
+@query(
+    "etl_zonemap_prune_audit",
+    oracle=f"""
+    WITH mx AS (
+        SELECT max(l_orderkey) AS mok FROM lineitem
+    ),
+    rows_tagged AS (
+        SELECT CAST(l_shipdate AS DATE) AS sd,
+               CAST(floor(l_orderkey * {_ZM_FILES}.0 / (mok + 1))
+                    AS BIGINT) AS f_ins,
+               strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                   AS f_srt
+        FROM lineitem CROSS JOIN mx
+    ),
+    layouts AS (
+        SELECT 'insertion' AS layout, CAST(f_ins AS VARCHAR) AS file_id,
+               sd FROM rows_tagged
+        UNION ALL
+        SELECT 'shipdate', f_srt, sd FROM rows_tagged
+    ),
+    zones AS (
+        SELECT layout, file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(sd) AS zmin, max(sd) AS zmax,
+               CAST(sum(CASE WHEN sd BETWEEN DATE '{_ZM_LO}'
+                                         AND DATE '{_ZM_HI}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN zmin <= DATE '{_ZM_HI}'
+                          AND zmax >= DATE '{_ZM_LO}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+           CAST(sum(CASE WHEN zmin <= DATE '{_ZM_HI}'
+                          AND zmax >= DATE '{_ZM_LO}'
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching,
+           round(CAST(sum(n_match) AS DOUBLE)
+                 / sum(CASE WHEN zmin <= DATE '{_ZM_HI}'
+                             AND zmax >= DATE '{_ZM_LO}'
+                            THEN n_rows ELSE 0 END), 6)
+               AS scan_efficiency
+    FROM zones
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def etl_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit — the data-skipping
+    arithmetic behind every parquet footer, Delta file-stats, and
+    Iceberg manifest prune, made explicit: simulate the SAME lineitem
+    rows under two file layouts (insertion-ordered: 16 equal orderkey
+    ranges, i.e. "files in arrival order"; shipdate-clustered: one
+    file per calendar month), compute each file's [min,max] shipdate
+    zone, and report how many files/rows a one-quarter predicate must
+    read under each. scan_efficiency = matching/scanned is the number
+    a table-layout service optimizes: insertion order leaves date
+    ranges wide (every file overlaps the quarter → efficiency ≈
+    selectivity), clustering tightens zones so scanned ≈ matching.
+    etl_zorder_layout shows multi-column clustering; this is the
+    single-column prune ledger that justifies it. All counts exact
+    integers; one lineitem scan, one (layout,file)-keyed aggregate
+    (the insertion bucketing needs one broadcast 1-row max first)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    mx = li.agg(F.max("l_orderkey").alias("mok"))
+    tagged = li.crossJoin(F.broadcast(mx)).select(
+        "sd",
+        F.floor(
+            F.col("l_orderkey") * float(_ZM_FILES) / (F.col("mok") + 1)
+        )
+        .cast("long")
+        .cast("string")
+        .alias("f_ins"),
+        F.date_format(F.date_trunc("month", "sd"), "yyyy-MM").alias(
+            "f_srt"
+        ),
+    )
+    layouts = tagged.select(
+        F.lit("insertion").alias("layout"),
+        F.col("f_ins").alias("file_id"),
+        "sd",
+    ).unionAll(
+        tagged.select(F.lit("shipdate"), F.col("f_srt"), "sd")
+    )
+    lo, hi = F.lit(_ZM_LO).cast("date"), F.lit(_ZM_HI).cast("date")
+    zones = layouts.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("sd").alias("zmin"),
+        F.max("sd").alias("zmax"),
+        F.sum(
+            F.when(F.col("sd").between(lo, hi), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_match"),
+    )
+    read = (F.col("zmin") <= hi) & (F.col("zmax") >= lo)
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(read.cast("long")).cast("long").alias("n_files_read"),
+            F.sum(F.when(read, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+            F.round(
+                F.sum("n_match")
+                / F.sum(F.when(read, F.col("n_rows")).otherwise(F.lit(0))),
+                6,
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout")
+    )

@@ -901,3 +901,170 @@ def graph_kcore_decomposition(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("sweep")
+
+
+_LOCAL_CC_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+tris AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_node AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS t
+    FROM (SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris)
+    GROUP BY node
+),
+cc AS (
+    SELECT deg.node, deg.d,
+           2.0 * coalesce(tri_node.t, 0) / (deg.d * (deg.d - 1)) AS c
+    FROM deg LEFT JOIN tri_node ON tri_node.node = deg.node
+    WHERE deg.d >= 2
+)
+SELECT CASE WHEN c >= 1.0 THEN 9
+            ELSE CAST(floor(c * 10) AS BIGINT) END AS cc_decile,
+       CAST(count(*) AS BIGINT)  AS n_nodes,
+       round(avg(c), 6)          AS avg_cc,
+       CAST(min(d) AS BIGINT)    AS min_degree,
+       CAST(max(d) AS BIGINT)    AS max_degree
+FROM cc
+GROUP BY cc_decile
+ORDER BY cc_decile
+"""
+
+
+@query("graph_local_clustering", oracle=_LOCAL_CC_ORACLE)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts-Strogatz: the
+    fraction of a node's neighbor pairs that are themselves adjacent)
+    on the part co-purchase graph, summarized as a decile histogram —
+    the community-structure fingerprint that separates hub-and-spoke
+    catalogs from clique-y ones, where graph_triangle_count's single
+    GLOBAL coefficient cannot.
+
+    Reuses the degree-ordered-orientation wedge machinery of
+    graph_triangle_count (Suri-Vassilvitskii; Θ(m^1.5) wedge volume,
+    SHUFFLE_HASH closing join) but keeps the wedge APEX through the
+    closing semi-join, so every found triangle {src,x,y} credits all
+    three corners via one explode + node-keyed count. cc_i =
+    2·t_i / (d_i(d_i−1)) is exact (integer triangle counts over
+    integer degree pairs); nodes of degree <2 are excluded (the
+    coefficient is undefined). avg(c) inside each decile is a mean of
+    exact dyadic rationals — safe to 6dp (sub-ulp accumulation noise
+    sits ~1e-17, ten orders below the rounding grain). The oracle
+    recounts per-corner triangles off the canonical u<v list, proving
+    orientation-invariance node-by-node, not just in total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = pairs.join(du, "u").join(dv, "v")
+    oriented = (
+        ranked.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("ddst"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.ddst")
+        .localCheckpoint(eager=False)
+    )
+    w1 = oriented.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy")
+    )
+    wedges = (
+        w1.join(w2, "src")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("src", "x", "y")
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    # keep src through the semi-join so the apex gets triangle credit
+    tri_corners = (
+        wedges.join(closing.hint("shuffle_hash"), ["x", "y"], "left_semi")
+        .select(
+            F.explode(F.array("src", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(tri_corners, "node", "left")
+        .select(
+            "node",
+            "d",
+            (
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("c"),
+        )
+    )
+    decile = F.when(F.col("c") >= 1.0, F.lit(9)).otherwise(
+        F.floor(F.col("c") * 10)
+    ).cast("long")
+    return (
+        cc.groupBy(decile.alias("cc_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(F.avg("c"), 6).alias("avg_cc"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+        .orderBy("cc_decile")
+    )

@@ -2165,3 +2165,171 @@ def text_quality_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                   AS words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS syll
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(syll) AS BIGINT)  AS n_syllables,
+           round(CAST(sum(syll) AS DOUBLE) / sum(words), 6)
+               AS syll_per_word,
+           round(206.835
+                 - 1.015 * (CAST(sum(words) AS DOUBLE) / count(*))
+                 - 84.6 * (CAST(sum(syll) AS DOUBLE) / sum(words)), 6)
+               AS flesch_ease,
+           round(0.39 * (CAST(sum(words) AS DOUBLE) / count(*))
+                 + 11.8 * (CAST(sum(syll) AS DOUBLE) / sum(words))
+                 - 15.59, 6) AS fk_grade
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per source — the
+    classic readability screens a pretraining-quality pipeline runs
+    beside text_quality_score (too-hard and too-easy tails both
+    correlate with boilerplate and OCR noise).
+
+    Syllables use the standard vowel-group heuristic (maximal
+    [aeiou]+ runs — no dictionary, pure regexp) and the fixture's
+    corpus is single-sentence documents (measured: no sentence
+    punctuation), so the sentence unit is the document; on punctuated
+    text the denominator swaps to a [.!?]+ count, same plan. Both
+    regexes are lookahead-free, so Java (Spark codegen) and RE2
+    (DuckDB) agree symbol-for-symbol. Counts are exact integers;
+    the two Flesch formulas are single fixed double expressions over
+    those sums — identical both engines, rounded 6dp. One documents
+    scan, two codegen regexp passes, one source-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))
+    ).cast("long")
+    syll = F.size(
+        F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0))
+    ).cast("long")
+    per = d.select("source", words.alias("words"), syll.alias("syll"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("syll").cast("long").alias("n_syllables"),
+    )
+    wps = dd("n_words") / F.col("n_docs")
+    spw = dd("n_syllables") / F.col("n_words")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_syllables",
+        F.round(spw, 6).alias("syll_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    ).orderBy("source")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(
+                   CASE WHEN length(text) >= 8
+                        THEN list_distinct(list_transform(
+                                 range(1, length(text) - 6),
+                                 i -> substr(text, i, 8)))
+                        ELSE [text] END) AS g
+        FROM documents
+    ),
+    owner AS (
+        SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+    ),
+    first_src AS (
+        SELECT o.g, d.source AS owner_source
+        FROM owner o JOIN documents d ON d.doc_id = o.first_doc
+    ),
+    per_source AS (
+        SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_grams
+        FROM sh GROUP BY source
+    ),
+    owned AS (
+        SELECT owner_source AS source,
+               CAST(count(*) AS BIGINT) AS n_first_owned
+        FROM first_src GROUP BY owner_source
+    )
+    SELECT p.source,
+           p.n_grams,
+           CAST(coalesce(o.n_first_owned, 0) AS BIGINT) AS n_first_owned,
+           round(CAST(coalesce(o.n_first_owned, 0) AS DOUBLE)
+                 / p.n_grams, 6) AS novelty_rate
+    FROM per_source p LEFT JOIN owned o ON o.source = p.source
+    ORDER BY p.source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram NOVELTY: of the distinct character 8-grams a
+    source contributes, what share is it the corpus-wide FIRST owner
+    of (owner = minimum doc_id over every document containing the
+    gram)? Low novelty = the source mostly re-ships text other
+    sources already provided — the signal a pretraining mixture uses
+    to down-weight scraped mirrors and aggregators before paying
+    dedup cost on them (dedup asks "is this pair duplicated?"; this
+    asks "does this SOURCE add anything?").
+
+    Plan shape is the scalable one: distinct grams per doc explode to
+    (gram, doc, source) rows, ownership is ONE gram-keyed min — never
+    a doc-pair join — and the owner's source is recovered through a
+    tiny doc_id-keyed join back to documents (the oracle's spelling;
+    Spark carries source through a min(struct(doc_id, source)) which
+    is identical because doc_id is unique). All counts exact
+    integers; rates 6dp. Two gram-keyed shuffles at 100 TB, both
+    combiner-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= 8,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(text) - 7),"
+                " i -> substring(text, i, 8))"
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    sh = d.select(
+        "doc_id", "source", F.explode(grams).alias("g")
+    ).localCheckpoint(eager=False)
+    per_source = sh.groupBy("source").agg(
+        F.countDistinct("g").cast("long").alias("n_grams")
+    )
+    owned = (
+        sh.groupBy("g")
+        .agg(F.min(F.struct("doc_id", "source")).alias("first"))
+        .select(F.col("first.source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first_owned"))
+    )
+    return (
+        per_source.join(owned, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_first_owned"), F.lit(0))
+            .cast("long")
+            .alias("n_first_owned"),
+            F.round(
+                F.coalesce(F.col("n_first_owned"), F.lit(0))
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

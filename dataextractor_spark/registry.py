@@ -138,6 +138,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scalar_variant_funcs",  # new r6: VARIANT parse_json/variant_get surface
     "sql_udf_scalar_tvf",  # new r6: SQL-language scalar + table UDFs, inlined
     "ab_srm_guardrail",  # new r6: weekly sample-ratio-mismatch chi-square
+    "graph_local_clustering",  # new r6: per-node Watts-Strogatz cc deciles
+    "text_readability",  # new r6: Flesch/FK vowel-group readability
+    "etl_zonemap_prune_audit",  # new r6: min/max data-skipping ledger
+    "text_ngram_novelty",  # new r6: first-owner source novelty shares
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

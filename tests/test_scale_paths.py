@@ -1449,3 +1449,119 @@ def test_spearman_matches_pandas_rank(spark):
     # rho is near zero — exactness, not direction, is the contract
     assert math.isclose(r.spearman_rho, rho, rel_tol=0, abs_tol=5e-6)
     assert r.n_rows == len(pdf)
+
+
+def test_local_clustering_matches_bruteforce(spark):
+    """Per-node coefficients recomputed from an adjacency-set brute
+    force at sf0.001; the decile histogram must match exactly."""
+    from collections import defaultdict
+
+    rows = (
+        load_all()["graph_local_clustering"].fn(spark, SF_SMALL).collect()
+    )
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.o].add(r.p)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                adj[u].add(v)
+                adj[v].add(u)
+    hist = defaultdict(int)
+    for node, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        nbl = sorted(nb)
+        t = sum(
+            1
+            for i, u in enumerate(nbl)
+            for v in nbl[i + 1 :]
+            if v in adj[u]
+        )
+        c = 2.0 * t / (d * (d - 1))
+        hist[9 if c >= 1.0 else int(c * 10)] += 1
+    got = {r.cc_decile: r.n_nodes for r in rows}
+    assert got == dict(hist)
+
+
+def test_zonemap_prune_clustering_wins(spark):
+    """Layout contracts: both layouts match the same exact row count;
+    the shipdate-clustered layout never scans more rows than the
+    insertion layout and its efficiency is at least as good."""
+    rows = {
+        r.layout: r
+        for r in load_all()["etl_zonemap_prune_audit"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    ins, srt = rows["insertion"], rows["shipdate"]
+    assert ins.rows_matching == srt.rows_matching
+    exact = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .where("CAST(l_shipdate AS DATE) BETWEEN '1998-01-01' AND '1998-03-31'")
+        .count()
+    )
+    assert ins.rows_matching == exact
+    assert srt.rows_scanned <= ins.rows_scanned
+    assert srt.scan_efficiency >= ins.scan_efficiency
+    assert ins.rows_scanned >= ins.rows_matching
+
+
+def test_ngram_novelty_conserves_ownership(spark):
+    """Every distinct gram has exactly one first owner, so the owned
+    counts must sum to the corpus-wide distinct-gram count and every
+    rate must be a valid share."""
+    rows = load_all()["text_ngram_novelty"].fn(spark, SF_SMALL).collect()
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    total = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.length("text") >= 8,
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, length(text) - 7),"
+                            " i -> substring(text, i, 8))"
+                        )
+                    ),
+                ).otherwise(F.array(F.col("text")))
+            ).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .first()[0]
+    )
+    assert sum(r.n_first_owned for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r.novelty_rate <= 1.0
+        assert r.n_first_owned <= r.n_grams
+
+
+def test_readability_matches_bruteforce(spark):
+    """Flesch pieces recomputed with Python regexes for one source."""
+    import math
+    import re
+
+    rows = load_all()["text_readability"].fn(spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("source = 'src0'")
+        .select("text")
+        .collect()
+    )
+    words = sum(len(re.findall(r"[a-z]+", r.text)) for r in docs)
+    syll = sum(len(re.findall(r"[aeiou]+", r.text)) for r in docs)
+    r0 = next(r for r in rows if r.source == "src0")
+    assert r0.n_docs == len(docs)
+    assert r0.n_words == words and r0.n_syllables == syll
+    ease = 206.835 - 1.015 * (words / len(docs)) - 84.6 * (syll / words)
+    assert math.isclose(r0.flesch_ease, ease, rel_tol=0, abs_tol=5e-6)
