@@ -194,6 +194,9 @@ HEADLINE = [
     "text_readability",
     "etl_zonemap_prune_audit",
     "text_ngram_novelty",
+    "graph_assortativity",
+    "agg_ols_two_features",
+    "stats_proportion_ztest",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

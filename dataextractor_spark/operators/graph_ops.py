@@ -1068,3 +1068,108 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cc_decile")
     )
+
+
+_ASSORT_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+directed AS (
+    SELECT u AS s, v AS t FROM pairs
+    UNION ALL
+    SELECT v, u FROM pairs
+),
+ed AS (
+    SELECT ds.d AS dj, dt.d AS dk
+    FROM directed e
+    JOIN deg ds ON ds.node = e.s
+    JOIN deg dt ON dt.node = e.t
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT)        AS m2,
+           CAST(sum(dj) AS BIGINT)         AS sj,
+           CAST(sum(dj * dj) AS BIGINT)    AS sjj,
+           CAST(sum(dj * dk) AS BIGINT)    AS sjk
+    FROM ed
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       round(CAST(sj AS DOUBLE) / m2, 6) AS avg_end_degree,
+       round((CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE) * sj / m2)
+             / (CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE) * sj / m2), 6)
+           AS assortativity
+FROM s
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every edge of the part co-purchase graph —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (hub-and-spoke catalog shape). One
+    scalar that tells a recommender/sampler how degree-biased edge
+    sampling will behave before it runs.
+
+    On the DOUBLED edge list (each undirected edge in both
+    directions) the symmetric Pearson needs only three sums — Σdj,
+    Σdj², Σdjdk — which stay exact BIGINT (degrees are bounded by the
+    basket co-occurrence width; Σdjdk peaks ~4e11 at sf0.1, int64
+    headroom as agg_hhi_concentration). r is one fixed double
+    expression, rounded 6dp. Plan: the distinct-pair build (the
+    triangle-count edge derivation), one node-keyed degree aggregate,
+    two degree joins on the doubled list, one scalar row — no wedges,
+    no iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    directed = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("t")
+    ).unionAll(pairs.select(F.col("v"), F.col("u")))
+    ed = directed.join(
+        deg.select(F.col("node").alias("s"), F.col("d").alias("dj")), "s"
+    ).join(
+        deg.select(F.col("node").alias("t"), F.col("d").alias("dk")), "t"
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dj").cast("long").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(d("sj") / F.col("m2"), 6).alias("avg_end_degree"),
+        F.round(
+            (d("sjk") - d("sj") * F.col("sj") / F.col("m2"))
+            / (d("sjj") - d("sj") * F.col("sj") / F.col("m2")),
+            6,
+        ).alias("assortativity"),
+    )

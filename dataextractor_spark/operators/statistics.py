@@ -2262,3 +2262,236 @@ def ab_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("chi2"), 6).alias("max_chi2"),
         F.substring(F.max(key), 20, 10).alias("worst_week"),
     )
+
+
+# --- two-feature OLS via normal equations ------------------------------
+
+
+def _ols2_sql() -> str:
+    return """
+    WITH feat AS (
+        SELECT l.l_orderkey AS k,
+               CAST(count(*) AS BIGINT) AS x1,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+        FROM lineitem l GROUP BY l.l_orderkey
+    ),
+    obs AS (
+        SELECT f.x1, f.x2,
+               CAST(round(o.o_totalprice) AS BIGINT) AS y
+        FROM orders o JOIN feat f ON f.k = o.o_orderkey
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT)      AS n,
+               CAST(sum(x1) AS BIGINT)       AS s1,
+               CAST(sum(x2) AS BIGINT)       AS s2,
+               CAST(sum(y) AS BIGINT)        AS sy,
+               CAST(sum(x1 * x1) AS BIGINT)  AS s11,
+               CAST(sum(x2 * x2) AS BIGINT)  AS s22,
+               CAST(sum(x1 * x2) AS BIGINT)  AS s12,
+               CAST(sum(x1 * y) AS BIGINT)   AS s1y,
+               CAST(sum(x2 * y) AS BIGINT)   AS s2y,
+               CAST(sum(y * y) AS BIGINT)    AS syy
+        FROM obs
+    ),
+    c AS (
+        SELECT n, s1, s2, sy,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+               CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+        FROM s
+    )
+    SELECT n AS n_orders,
+           round((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12), 6)
+               AS beta_lines,
+           round((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12), 6)
+               AS beta_qty,
+           round(CAST(sy AS DOUBLE) / n
+                 - ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12))
+                   * (CAST(s1 AS DOUBLE) / n)
+                 - ((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12))
+                   * (CAST(s2 AS DOUBLE) / n), 6) AS intercept,
+           round((((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12))
+                    * c1y
+                  + ((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12))
+                    * c2y) / cyy, 6) AS r_squared
+    FROM c
+    """
+
+
+@query("agg_ols_two_features", oracle=_ols2_sql())
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares by NORMAL EQUATIONS: regress
+    order value (integer dollars) on line count and total quantity,
+    returning both coefficients, the intercept, and R² — the
+    multivariate step past agg_regression_trend's single-feature
+    slope, and the closed form a 100 TB pipeline prefers over
+    iterative solvers when the feature count is tiny (the Gram matrix
+    is k×k; here a 2×2 solved by Cramer's rule in ONE expression).
+
+    Every moment is an exact BIGINT sum over integer features (y ≤
+    ~6e5 dollars, x2 ≤ ~350, so cross-moments peak ~3e13 at sf0.1 —
+    int64 headroom per the agg_hhi_concentration argument); the
+    centered covariances, determinant, betas, and R² = explained/total
+    are fixed double expressions over those sums — identical both
+    engines, rounded 6dp. Plan: one lineitem scan + orderkey
+    aggregate, one key join to orders, one scalar row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    feat = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x2"),
+    )
+    obs = o.join(feat, o.o_orderkey == feat.k).select(
+        "x1", "x2", F.round(F.col("o_totalprice")).cast("long").alias("y")
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = s.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (d("s11") - d("s1") * F.col("s1") / F.col("n")).alias("c11"),
+        (d("s22") - d("s2") * F.col("s2") / F.col("n")).alias("c22"),
+        (d("s12") - d("s1") * F.col("s2") / F.col("n")).alias("c12"),
+        (d("s1y") - d("s1") * F.col("sy") / F.col("n")).alias("c1y"),
+        (d("s2y") - d("s2") * F.col("sy") / F.col("n")).alias("c2y"),
+        (d("syy") - d("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    return c.select(
+        F.col("n").alias("n_orders"),
+        F.round(b1, 6).alias("beta_lines"),
+        F.round(b2, 6).alias("beta_qty"),
+        F.round(
+            d("sy") / F.col("n")
+            - b1 * (d("s1") / F.col("n"))
+            - b2 * (d("s2") / F.col("n")),
+            6,
+        ).alias("intercept"),
+        F.round((b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("cyy"), 6)
+        .alias("r_squared"),
+    )
+
+
+# --- two-proportion z-test ---------------------------------------------
+
+
+def _prop_ztest_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('pz:'
+                    || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                   AS t,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'error'
+                                  THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(count(*) - sum(t) AS BIGINT) AS n_c,
+               CAST(sum(t * converted) AS BIGINT) AS x_t,
+               CAST(sum((1 - t) * converted) AS BIGINT) AS x_c
+        FROM per_user
+    )
+    SELECT n_t AS n_treat, n_c AS n_ctrl,
+           x_t AS conv_treat, x_c AS conv_ctrl,
+           round(CAST(x_t AS DOUBLE) / n_t, 6) AS rate_treat,
+           round(CAST(x_c AS DOUBLE) / n_c, 6) AS rate_ctrl,
+           round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                        * (1 - CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c)), 6) AS z_stat
+    FROM s
+    """
+
+
+@query("stats_proportion_ztest", oracle=_prop_ztest_sql())
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test with the POOLED standard error: did the
+    treatment arm "convert" at a different rate than control — the
+    binary-outcome A/B readout that pairs with stats_ttest_welch's
+    continuous one and ab_srm_guardrail's assignment health check
+    (same md5 assignment idiom, salt 'pz:', per-user so conversion is
+    measured once per unit). Conversion = more purchase events than
+    error events: with ~equal event-type rates this stays near 50% at
+    EVERY scale factor, so the pooled SE never degenerates (the naive
+    "≥1 purchase" definition saturates to 100% and divides by zero —
+    which ANSI mode correctly refuses to hide).
+
+    Conversion collapses to one conditional-sum comparison in the
+    per-user aggregate (no distinct, combiner-friendly); the cell counts
+    are exact BIGINT and rate difference / pooled SE / z are one
+    fixed double expression — identical both engines, rounded 6dp.
+    One events scan, one user-keyed aggregate, one scalar row."""
+    e = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("pz:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    n_of = lambda et: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == et, F.lit(1)).otherwise(F.lit(0))
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(t).alias("t"),  # t is a function of the key
+        F.when(n_of("purchase") > n_of("error"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+    s = per_user.agg(
+        F.sum("t").cast("long").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+        F.sum(F.col("t") * F.col("converted")).cast("long").alias("x_t"),
+        F.sum((1 - F.col("t")) * F.col("converted"))
+        .cast("long")
+        .alias("x_c"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pooled = (d("x_t") + F.col("x_c")) / (F.col("n_t") + F.col("n_c"))
+    return s.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.col("x_t").alias("conv_treat"),
+        F.col("x_c").alias("conv_ctrl"),
+        F.round(d("x_t") / F.col("n_t"), 6).alias("rate_treat"),
+        F.round(d("x_c") / F.col("n_c"), 6).alias("rate_ctrl"),
+        F.round(
+            (d("x_t") / F.col("n_t") - d("x_c") / F.col("n_c"))
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

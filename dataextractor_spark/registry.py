@@ -142,6 +142,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_readability",  # new r6: Flesch/FK vowel-group readability
     "etl_zonemap_prune_audit",  # new r6: min/max data-skipping ledger
     "text_ngram_novelty",  # new r6: first-owner source novelty shares
+    "graph_assortativity",  # new r6: Newman degree-degree Pearson
+    "agg_ols_two_features",  # new r6: 2-feature normal-equation OLS + R2
+    "stats_proportion_ztest",  # new r6: pooled-SE conversion z-test
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

@@ -1565,3 +1565,114 @@ def test_readability_matches_bruteforce(spark):
     assert r0.n_words == words and r0.n_syllables == syll
     ease = 206.835 - 1.015 * (words / len(docs)) - 84.6 * (syll / words)
     assert math.isclose(r0.flesch_ease, ease, rel_tol=0, abs_tol=5e-6)
+
+
+def test_assortativity_matches_bruteforce(spark):
+    """Newman r recomputed from the explicit doubled edge list."""
+    import math
+    from collections import defaultdict
+
+    r = load_all()["graph_assortativity"].fn(spark, SF_SMALL).first()
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for x in li:
+        by_order[x.o].add(x.p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dj = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    dk = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    m2 = len(dj)
+    sj, sjj = sum(dj), sum(x * x for x in dj)
+    sjk = sum(a * b for a, b in zip(dj, dk))
+    rho = (sjk - sj * sj / m2) / (sjj - sj * sj / m2)
+    assert r.n_edges == len(edges)
+    assert -1.0 <= r.assortativity <= 1.0
+    assert math.isclose(r.assortativity, rho, rel_tol=0, abs_tol=5e-6)
+
+
+def test_ols_two_features_matches_numpy(spark):
+    """Coefficients and R² cross-checked against numpy lstsq."""
+    import math
+
+    import numpy as np
+
+    r = load_all()["agg_ols_two_features"].fn(spark, SF_SMALL).first()
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg({"*": "count", "l_quantity": "sum"})
+        .withColumnRenamed("count(1)", "x1")
+        .withColumnRenamed("sum(l_quantity)", "x2")
+        .collect()
+    )
+    orders = {
+        x.o_orderkey: round(x.o_totalprice)
+        for x in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    }
+    rows = [(x.x1, int(x.x2), orders[x.l_orderkey]) for x in li]
+    A = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    y = np.array([float(v) for _, _, v in rows])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    pred = A @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert r.n_orders == len(rows)
+    assert math.isclose(r.intercept, beta[0], rel_tol=1e-5)
+    assert math.isclose(r.beta_lines, beta[1], rel_tol=1e-5)
+    assert math.isclose(r.beta_qty, beta[2], rel_tol=1e-5)
+    # r_squared is near zero here, so compare at the 6dp rounding
+    # grain rather than relative tolerance
+    assert math.isclose(
+        r.r_squared, 1 - ss_res / ss_tot, rel_tol=0, abs_tol=5e-7
+    )
+
+
+def test_proportion_ztest_matches_bruteforce(spark):
+    """Cell counts and pooled z recomputed in Python; rates must be
+    interior (the scale-robust conversion definition's whole point)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    r = load_all()["stats_proportion_ztest"].fn(spark, SF_SMALL).first()
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr("user_id", "event_type")
+        .collect()
+    )
+    per = Counter()
+    for x in ev:
+        per[(x.user_id, x.event_type)] += 1
+    users = {x.user_id for x in ev}
+    cells = Counter()
+    for u in users:
+        t = int(hashlib.md5(f"pz:{u}".encode()).hexdigest()[:4], 16) % 2
+        conv = per[(u, "purchase")] > per[(u, "error")]
+        cells[(t, conv)] += 1
+    n_t = cells[(1, True)] + cells[(1, False)]
+    n_c = cells[(0, True)] + cells[(0, False)]
+    x_t, x_c = cells[(1, True)], cells[(0, True)]
+    assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == (
+        n_t,
+        n_c,
+        x_t,
+        x_c,
+    )
+    assert 0.0 < r.rate_treat < 1.0 and 0.0 < r.rate_ctrl < 1.0
+    pooled = (x_t + x_c) / (n_t + n_c)
+    z = (x_t / n_t - x_c / n_c) / math.sqrt(
+        pooled * (1 - pooled) * (1 / n_t + 1 / n_c)
+    )
+    assert math.isclose(r.z_stat, z, rel_tol=1e-5)
