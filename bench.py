@@ -197,6 +197,12 @@ HEADLINE = [
     "graph_assortativity",
     "agg_ols_two_features",
     "stats_proportion_ztest",
+    "agg_theil_sen_trend",
+    "ab_delta_method_ratio",
+    "multimodal_gif_codec",
+    "time_max_drawdown",
+    "ab_funnel_lift",
+    "sim_matryoshka_recall",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1649,3 +1649,168 @@ def attr_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "ab_funnel_lift",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('fl:'
+                    || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                   AS t,
+               min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT e.user_id, v.t, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT e.user_id, c.t
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT v.t,
+               CAST(count(*) AS BIGINT) AS n_view,
+               CAST(count(c.user_id) AS BIGINT) AS n_click,
+               CAST(count(p.user_id) AS BIGINT) AS n_purchase
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+        GROUP BY v.t
+    )
+    SELECT t1.n_view AS views_treat, t0.n_view AS views_ctrl,
+           t1.n_purchase AS conv_treat, t0.n_purchase AS conv_ctrl,
+           round(CAST(t1.n_purchase AS DOUBLE) / t1.n_view, 6)
+               AS rate_treat,
+           round(CAST(t0.n_purchase AS DOUBLE) / t0.n_view, 6)
+               AS rate_ctrl,
+           round(CAST(t1.n_click AS DOUBLE) / t1.n_view
+                 - CAST(t0.n_click AS DOUBLE) / t0.n_view, 6)
+               AS click_rate_lift,
+           CASE WHEN t1.n_purchase + t0.n_purchase = 0
+                  OR t1.n_purchase + t0.n_purchase
+                     = t1.n_view + t0.n_view
+                THEN CAST(0 AS DOUBLE)
+                ELSE round((CAST(t1.n_purchase AS DOUBLE) / t1.n_view
+                  - CAST(t0.n_purchase AS DOUBLE) / t0.n_view)
+                 / sqrt((CAST(t1.n_purchase + t0.n_purchase AS DOUBLE)
+                         / (t1.n_view + t0.n_view))
+                        * (1 - CAST(t1.n_purchase + t0.n_purchase
+                                    AS DOUBLE)
+                               / (t1.n_view + t0.n_view))
+                        * (1.0 / t1.n_view + 1.0 / t0.n_view)), 6)
+           END AS z_stat
+    FROM (SELECT * FROM s WHERE t = 1) t1
+    CROSS JOIN (SELECT * FROM s WHERE t = 0) t0
+    """,
+)
+def ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B lift on the ORDERED funnel: split users into two md5 arms
+    (salt 'fl:') and compare view→click→purchase conversion between
+    them, with a pooled z-test on the end-to-end rate — the
+    experiment readout product teams actually ship (funnel_conversion
+    measures the funnel; this measures whether a treatment MOVED it,
+    respecting the same strictly-after step ordering).
+
+    Same scale shape as funnel_conversion — per-step user-keyed min
+    aggregates gated by key joins, no windows, no event sorting —
+    plus one 2-row arm aggregate; the z is a fixed double expression
+    over exact BIGINT funnel counts (rounded 6dp). The funnel
+    denominator is step-1 entrants per arm (views), the standard
+    funnel-experiment convention. When pooled conversion is 0 or 1
+    (possible at tiny scale factors) the z-statistic is undefined and
+    both engines emit 0.0 by the same CASE guard — ANSI mode
+    correctly refuses the 0/0 a silent engine would produce."""
+    e = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("fl:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.max(t).alias("t"), F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", "t_view"), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("purchased"))
+    )
+    s = (
+        v.join(
+            c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left"
+        )
+        .join(p, "user_id", "left")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_view"),
+            F.count("clicked").cast("long").alias("n_click"),
+            F.count("purchased").cast("long").alias("n_purchase"),
+        )
+    )
+    t1 = s.where("t = 1").select(
+        F.col("n_view").alias("v1"),
+        F.col("n_click").alias("c1"),
+        F.col("n_purchase").alias("p1"),
+    )
+    t0 = s.where("t = 0").select(
+        F.col("n_view").alias("v0"),
+        F.col("n_click").alias("c0"),
+        F.col("n_purchase").alias("p0"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    pooled = (d("p1") + F.col("p0")) / (F.col("v1") + F.col("v0"))
+    z = F.when(
+        (F.col("p1") + F.col("p0") == 0)
+        | (F.col("p1") + F.col("p0") == F.col("v1") + F.col("v0")),
+        F.lit(0.0),
+    ).otherwise(
+        F.round(
+            (d("p1") / F.col("v1") - d("p0") / F.col("v0"))
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("v1") + 1.0 / F.col("v0"))
+            ),
+            6,
+        )
+    )
+    return t1.crossJoin(t0).select(
+        F.col("v1").alias("views_treat"),
+        F.col("v0").alias("views_ctrl"),
+        F.col("p1").alias("conv_treat"),
+        F.col("p0").alias("conv_ctrl"),
+        F.round(d("p1") / F.col("v1"), 6).alias("rate_treat"),
+        F.round(d("p0") / F.col("v0"), 6).alias("rate_ctrl"),
+        F.round(d("c1") / F.col("v1") - d("c0") / F.col("v0"), 6).alias(
+            "click_rate_lift"
+        ),
+        z.alias("z_stat"),
+    )

@@ -1230,3 +1230,258 @@ def source_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_payloads"
         ),
     )
+
+
+# --- real pure-Python GIF codec (8-bit palette, stdlib-only LZW) ------
+
+GIF_W, GIF_H = 64, 48  # big enough that LZW crosses the 9->10 bit width
+
+
+class _LZWBitWriter:
+    """GIF LZW bitstream: codes packed LSB-first into bytes."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.cur |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (spec appendix F): CLEAR/EOI codes, variable
+    code width starting at min+1 bits. The encoder bumps the width
+    when next_code == (1 << width) + 1 — one ahead of the decoder's
+    next_code == (1 << width) rule, because the decoder's table lags
+    the encoder's by exactly one entry at each read point."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw = _LZWBitWriter()
+    bw.write(clear, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        if next_code < 4096:  # 12-bit cap: freeze the table when full
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.finish()
+
+
+def _lzw_decode_gif(payload: bytes, min_code_size: int) -> bytes:
+    """Mirror of _lzw_encode_gif; raises on any malformed code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(payload):
+                raise ValueError("LZW stream ended without EOI")
+            cur |= payload[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"bad first code {code}")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code and next_code < 4096:
+                entry = prev + prev[:1]  # the KwKwK special case
+            else:
+                raise ValueError(f"out-of-range code {code}")
+            if next_code < 4096:  # mirror the encoder's frozen table
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def _encode_gif(pixel_rows: list[bytes], width: int, height: int) -> bytes:
+    """Single-frame GIF89a with a 256-entry grayscale global color
+    table and a REAL LZW-compressed index stream (stdlib-only) —
+    the third from-scratch image codec beside BMP and PNG."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)  # GCT present, 8-bit color resolution, size 2^8
+    out += b"\x00\x00"  # background index, aspect
+    for i in range(256):  # grayscale palette
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode_gif(b"".join(pixel_rows), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse the GIF header, global color table, image descriptor and
+    sub-blocked LZW stream back to raw index rows; validates the
+    signature, palette grayscale invariant, and stream framing."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("expected a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    for i in range(gct_n):
+        r, g, b = payload[pos + 3 * i : pos + 3 * i + 3]
+        if not (r == g == b):
+            raise ValueError("palette is not grayscale")
+    pos += 3 * gct_n
+    if payload[pos] != 0x2C:
+        raise ValueError("expected an image descriptor")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+    if (left, top, w, h) != (0, 0, sw, sh):
+        raise ValueError("unexpected image placement")
+    if payload[pos + 9] & 0x80:
+        raise ValueError("local color table not supported")
+    pos += 10
+    min_code_size = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += payload[pos : pos + n]
+        pos += n
+    if payload[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    data = _lzw_decode_gif(bytes(lzw), min_code_size)
+    if len(data) != w * h:
+        raise ValueError("decoded pixel count mismatch")
+    return w, h, [data[y * w : (y + 1) * w] for y in range(h)]
+
+
+@query(
+    "multimodal_gif_codec",
+    oracle=f"""
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+    px AS (
+        SELECT i.doc_id,
+               CAST((i.doc_id * 5 + t.y + 7 * s.x) % 256 AS BIGINT) AS v
+        FROM img i
+        CROSS JOIN range({GIF_H}) t(y)
+        CROSS JOIN range({GIF_W}) s(x)
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(v) AS BIGINT) AS checksum,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                  AS n_images,
+           CAST(sum(n_px) AS BIGINT)                 AS raster_bytes,
+           CAST(sum(checksum) AS BIGINT)             AS checksum_total,
+           CAST(count(DISTINCT checksum) AS BIGINT)  AS n_distinct_checksums
+    FROM per_doc
+    """,
+)
+def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec with a from-scratch LZW implementation (stdlib
+    only, spec appendix F): image docs are encoded as single-frame
+    64×48 palette GIF89a files — variable code width genuinely crosses
+    the 9→10 bit boundary at this raster size, exercising the
+    encoder/decoder width-sync rule that most hand-rolled LZWs get
+    wrong — then fully re-parsed (signature, screen descriptor,
+    grayscale palette check, sub-block de-framing, LZW decode, KwKwK
+    case) inside one mapInPandas stage that HARD-FAILS on any byte
+    mismatch. The oracle pins the decoded raster in closed form
+    (pixel (x,y) of doc d is (5d + y + 7x) % 256), so a wrong width
+    bump, bit order, or sub-block boundary flips the hash. Completes
+    the codec tier: BMP (uncompressed), PNG (zlib + filters), GIF
+    (LZW). Same scale shape as the others: bytes cross into Python
+    once, the rollup is one JVM aggregate."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows = [
+                    bytes(
+                        (doc_id * 5 + y + 7 * x) % 256
+                        for x in range(GIF_W)
+                    )
+                    for y in range(GIF_H)
+                ]
+                gif = _encode_gif(rows, GIF_W, GIF_H)
+                w, h, decoded = _decode_gif(gif)
+                if (w, h, decoded) != (GIF_W, GIF_H, rows):
+                    raise ValueError(
+                        f"GIF roundtrip mismatch for doc {doc_id}"
+                    )
+                out["doc_id"].append(doc_id)
+                out["checksum"].append(sum(sum(r) for r in decoded))
+            yield pd.DataFrame(out)
+
+    per_doc = docs.select("doc_id").mapInPandas(
+        run, "doc_id BIGINT, checksum BIGINT"
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        (F.count(F.lit(1)) * GIF_W * GIF_H).cast("long").alias(
+            "raster_bytes"
+        ),
+        F.sum("checksum").cast("long").alias("checksum_total"),
+        F.countDistinct("checksum").cast("long").alias(
+            "n_distinct_checksums"
+        ),
+    )

@@ -1240,3 +1240,119 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(psi, 6).alias("psi_label"),
         )
     )
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv),
+                     5) AS cf,
+               round(list_cosine_similarity(
+                         (c.embedding::DOUBLE[])[1:16], q.qv[1:16]), 5)
+                   AS ct
+        FROM q JOIN embeddings c ON c.vec_id <> q.qid
+    ),
+    rf AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY cf DESC, vec_id) AS r
+            FROM scored) WHERE r <= 10
+    ),
+    rt AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY ct DESC, vec_id) AS r
+            FROM scored) WHERE r <= 10
+    )
+    SELECT rf.qid AS query_id,
+           CAST(count(rt.vec_id) AS BIGINT) AS n_overlap,
+           round(count(rt.vec_id) / 10.0, 6) AS recall_at_10
+    FROM rf LEFT JOIN rt
+      ON rt.qid = rf.qid AND rt.vec_id = rf.vec_id
+    GROUP BY rf.qid
+    ORDER BY query_id
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: for ten query vectors,
+    how much of the exact full-dimension (64-d) cosine top-10 does a
+    16-d PREFIX of the same embedding recover? This is the
+    decision-table for nested-representation serving (coarse search
+    on the cheap prefix, rerank on full dims): recall@10 per query is
+    the number that says whether the 4× memory/compute cut is free or
+    costly for this corpus.
+
+    Both rankings use the established deterministic rule (cosine
+    rounded 5dp, vec_id tiebreak — sim_topk_cosine's r2-proven
+    portable ordering), so the two top-10 SETS are identical objects
+    on both engines and the overlap count is exact. Plan: 10
+    broadcast query rows × one corpus scan (both similarities
+    computed in the same projection — the prefix slice costs nothing
+    extra), two per-query row_number windows over bounded (10-key)
+    partitions, one join + count. Scales as queries × corpus, the
+    same envelope as sim_knn_batch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "qv"), 5).alias("cf"),
+            F.round(
+                cosine_similarity(
+                    F.slice("embedding", 1, 16), F.slice("qv", 1, 16)
+                ),
+                5,
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("cf").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("ct").desc(), F.col("vec_id")
+    )
+    rf = (
+        scored.select(
+            "qid", "vec_id", F.row_number().over(wf).alias("r")
+        )
+        .where("r <= 10")
+        .drop("r")
+    )
+    rt = (
+        scored.select(
+            "qid", "vec_id", F.row_number().over(wt).alias("r")
+        )
+        .where("r <= 10")
+        .drop("r")
+        .withColumnRenamed("vec_id", "tv")
+        .withColumnRenamed("qid", "tq")
+    )
+    return (
+        rf.join(
+            rt,
+            (F.col("tq") == F.col("qid")) & (F.col("tv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("tv").cast("long").alias("n_overlap"),
+            F.round(F.count("tv") / 10.0, 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -2495,3 +2495,253 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# --- Theil-Sen robust trend --------------------------------------------
+
+
+def _theil_sen_sql() -> str:
+    return """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS k
+        FROM slopes
+    ),
+    med AS (
+        SELECT avg(slope) AS ts_slope,
+               CAST(max(k) AS BIGINT) AS n_pairs
+        FROM ranked
+        WHERE rn IN (CAST(floor((k + 1) / 2.0) AS BIGINT),
+                     CAST(ceil((k + 1) / 2.0) AS BIGINT))
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sx,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(d * d) AS BIGINT) AS sxx,
+               CAST(sum(d * cents) AS BIGINT) AS sxy
+        FROM daily
+    )
+    SELECT ols.n AS n_days,
+           med.n_pairs,
+           round(med.ts_slope, 6) AS theil_sen_slope,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n),
+                 6) AS ols_slope
+    FROM med CROSS JOIN ols
+    """
+
+
+@query("agg_theil_sen_trend", oracle=_theil_sen_sql())
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend of daily revenue — the median of all
+    pairwise day-slopes, the estimator that shrugs off the outlier
+    days that drag an OLS slope around (both are reported so the gap
+    itself is the robustness diagnostic).
+
+    The scale argument is the design: slopes are taken over the DAILY
+    AGGREGATE, so the pair count is calendar-bounded (~2.9M for ~2400
+    days) and INDEPENDENT of fact-table size — at 100 TB the only
+    thing that grows is the one day-keyed pre-aggregate. The median is
+    an exact order statistic (row_number over the slope sort, average
+    of the two middle values when the pair count is even); slope
+    DOUBLES are identical on both engines (exact integer cents / exact
+    integer day gaps, one division), so ranking them sorts identically
+    and ties can't move the VALUE at the median rank. The single-task
+    global sort of 2.9M slope rows is the windows_time precedent:
+    bounded by the calendar, not the data."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+    )
+    med = ranked.where(
+        (F.col("rn") == F.floor((F.col("k") + 1) / 2.0).cast("long"))
+        | (F.col("rn") == F.ceil((F.col("k") + 1) / 2.0).cast("long"))
+    ).agg(
+        F.avg("slope").alias("ts_slope"),
+        F.max("k").cast("long").alias("n_pairs"),
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("cents")).cast("long").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return med.crossJoin(ols).select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        F.round(F.col("ts_slope"), 6).alias("theil_sen_slope"),
+        F.round(
+            (d("sxy") - d("sx") * F.col("sy") / F.col("n"))
+            / (d("sxx") - d("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("ols_slope"),
+    )
+
+
+# --- delta-method ratio-metric test ------------------------------------
+
+
+def _delta_ratio_sql() -> str:
+    return """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('dr:'
+                    || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                   AS t,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT t,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY t
+    ),
+    m AS (
+        SELECT t, n, sx, sy,
+               CAST(sx AS DOUBLE) / sy AS r,
+               ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                - 2 * (CAST(sx AS DOUBLE) / sy)
+                    * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                       / (n - 1))
+                + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                       / (n - 1)))
+               / (n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                   AS var_r
+        FROM s
+    )
+    SELECT t1.n AS n_treat, t0.n AS n_ctrl,
+           round(t1.r, 6) AS ratio_treat,
+           round(t0.r, 6) AS ratio_ctrl,
+           round(t1.r - t0.r, 6) AS ratio_diff,
+           round((t1.r - t0.r) / sqrt(t1.var_r + t0.var_r), 6) AS z_stat
+    FROM (SELECT * FROM m WHERE t = 1) t1
+    CROSS JOIN (SELECT * FROM m WHERE t = 0) t0
+    """
+
+
+@query("ab_delta_method_ratio", oracle=_delta_ratio_sql())
+def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method test for a RATIO metric (revenue cents per event):
+    ratio metrics violate the per-user-i.i.d. assumption behind a
+    plain t-test because both numerator and denominator are random per
+    user, so experimentation platforms linearize — Var(X̄/Ȳ) ≈
+    (σx² − 2R·σxy + R²σy²) / (n·μy²) — and z-test the linearized
+    variance. This is the standard readout for per-session/per-event
+    metrics where stats_ttest_welch (per-user means) doesn't apply.
+
+    All nine moments per arm are exact BIGINT sums of integer cents
+    and counts (x ≤ ~4e7 cents/user at sf0.1; sum(x·x) ≤ ~2e17 —
+    int64 headroom per agg_hhi_concentration); R, var_R, and z are
+    fixed double expressions over them, rounded 6dp. One events scan,
+    one user-keyed aggregate, one 2-row arm aggregate, one scalar
+    row."""
+    e = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("dr:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(t).alias("t"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    s = per_user.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = d("sx") / F.col("sy")
+    var_r = (
+        (d("sxx") - d("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        - 2 * r * ((d("sxy") - d("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1))
+        + r * r * ((d("syy") - d("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1))
+    ) / (F.col("n") * (d("sy") / F.col("n")) * (d("sy") / F.col("n")))
+    m = s.select("t", "n", r.alias("r"), var_r.alias("var_r"))
+    t1 = m.where("t = 1").select(
+        F.col("n").alias("n_treat"),
+        F.col("r").alias("r1"),
+        F.col("var_r").alias("v1"),
+    )
+    t0 = m.where("t = 0").select(
+        F.col("n").alias("n_ctrl"),
+        F.col("r").alias("r0"),
+        F.col("var_r").alias("v0"),
+    )
+    return t1.crossJoin(t0).select(
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("r1"), 6).alias("ratio_treat"),
+        F.round(F.col("r0"), 6).alias("ratio_ctrl"),
+        F.round(F.col("r1") - F.col("r0"), 6).alias("ratio_diff"),
+        F.round(
+            (F.col("r1") - F.col("r0"))
+            / F.sqrt(F.col("v1") + F.col("v0")),
+            6,
+        ).alias("z_stat"),
+    )

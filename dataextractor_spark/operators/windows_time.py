@@ -1266,3 +1266,88 @@ def time_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "time_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS idx
+        FROM daily
+    ),
+    dd AS (
+        SELECT day, idx,
+               CAST(max(idx) OVER (ORDER BY day) AS BIGINT) AS peak,
+               CAST(max(idx) OVER (ORDER BY day) - idx AS BIGINT)
+                   AS drawdown
+        FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           substr(max(lpad(CAST(drawdown AS VARCHAR), 18, '0') || '|'
+                      || strftime(day, '%Y-%m-%d')), 20, 10)
+               AS worst_day,
+           round(max(CAST(drawdown AS DOUBLE) / peak), 6)
+               AS max_drawdown_frac
+    FROM dd
+    """,
+)
+def time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue index — the
+    peak-to-trough risk statistic (finance's standard "how bad did it
+    get") applied to the revenue run-rate: drawdown(d) = max over
+    days ≤ d of the cumulative index minus the index at d; report the
+    worst absolute drawdown, the day it bottomed, and the worst
+    RELATIVE drawdown (fraction of the then-peak).
+
+    Cumulative sum and running max are two frames over ONE
+    calendar-bounded day series (the windows_time precedent: ~2400
+    rows regardless of fact size, so the single-partition window is
+    bounded by the calendar, not the data). Integer cents end-to-end;
+    the worst day is recovered with the lpad-argmax idiom (zero-padded
+    drawdown || day, latest day wins ties — identical lexicographic
+    rule both engines); the fraction is one division rounded 6dp.
+
+    Note max(drawdown/peak) is taken over DAYS (each day's own
+    relative drawdown), which can bottom on a different day than the
+    absolute maximum — both are reported deliberately."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day", F.sum("cents").over(w).cast("long").alias("idx")
+    )
+    dd = cum.select(
+        "day",
+        "idx",
+        F.max("idx").over(w).cast("long").alias("peak"),
+        (F.max("idx").over(w) - F.col("idx")).cast("long").alias(
+            "drawdown"
+        ),
+    )
+    key = F.concat(
+        F.lpad(F.col("drawdown").cast("string"), 18, "0"),
+        F.lit("|"),
+        F.date_format("day", "yyyy-MM-dd"),
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+        F.substring(F.max(key), 20, 10).alias("worst_day"),
+        F.round(
+            F.max(F.col("drawdown").cast("double") / F.col("peak")), 6
+        ).alias("max_drawdown_frac"),
+    )

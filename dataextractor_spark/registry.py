@@ -145,6 +145,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_assortativity",  # new r6: Newman degree-degree Pearson
     "agg_ols_two_features",  # new r6: 2-feature normal-equation OLS + R2
     "stats_proportion_ztest",  # new r6: pooled-SE conversion z-test
+    "agg_theil_sen_trend",  # new r6: calendar-bounded median-slope trend
+    "ab_delta_method_ratio",  # new r6: linearized ratio-metric z-test
+    "multimodal_gif_codec",  # new r6: from-scratch LZW GIF roundtrip
+    "time_max_drawdown",  # new r6: peak-to-trough revenue risk stat
+    "ab_funnel_lift",  # new r6: per-arm ordered funnel + pooled z
+    "sim_matryoshka_recall",  # new r6: prefix-dim top-10 recall table
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

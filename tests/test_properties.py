@@ -505,3 +505,45 @@ def test_warc_roundtrips_arbitrary_payloads(payloads):
     ]
     for (_, _, md5hex), p in zip(got, payloads):
         assert md5hex == hashlib.md5(p).hexdigest()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.data(),
+)
+def test_gif_codec_roundtrips_arbitrary_rasters(w, h, data):
+    """Property: the stdlib GIF/LZW codec round-trips ANY 8-bit
+    palette raster byte-exactly — including rasters adversarially
+    unlike the structured oracle fixture (random bytes maximize
+    dictionary churn; constant bytes maximize the KwKwK case)."""
+    from dataextractor_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w, max_size=w)
+            )
+        )
+        for _ in range(h)
+    ]
+    payload = _encode_gif(rows, w, h)
+    assert _decode_gif(payload) == (w, h, rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.binary(min_size=0, max_size=30000))
+def test_gif_lzw_roundtrips_past_table_freeze(data):
+    """Property: the raw LZW pair agrees for streams long enough to
+    cross every code-width boundary and freeze the 4096-entry table
+    (the deferred-clear mode most hand-rolled LZWs corrupt)."""
+    from dataextractor_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    assert _lzw_decode_gif(_lzw_encode_gif(data, 8), 8) == data

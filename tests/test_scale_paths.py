@@ -1676,3 +1676,163 @@ def test_proportion_ztest_matches_bruteforce(spark):
         pooled * (1 - pooled) * (1 / n_t + 1 / n_c)
     )
     assert math.isclose(r.z_stat, z, rel_tol=1e-5)
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """Median pairwise slope recomputed with Python statistics.median
+    over all day pairs; OLS slope via exact sums."""
+    import math
+    import statistics as pystats
+
+    r = load_all()["agg_theil_sen_trend"].fn(spark, SF_SMALL).first()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS d",
+            "CAST(round(o_totalprice * 100) AS LONG) AS cents",
+        )
+        .groupBy("d")
+        .sum("cents")
+        .withColumnRenamed("sum(cents)", "cents")
+        .collect()
+    )
+    pts = sorted((x.d, x.cents) for x in daily)
+    slopes = [
+        (y2 - y1) / (d2 - d1)
+        for i, (d1, y1) in enumerate(pts)
+        for d2, y2 in pts[i + 1 :]
+    ]
+    assert r.n_days == len(pts)
+    assert r.n_pairs == len(slopes)
+    assert math.isclose(
+        r.theil_sen_slope, pystats.median(slopes), rel_tol=1e-9, abs_tol=5e-7
+    )
+    n = len(pts)
+    sx = sum(d for d, _ in pts)
+    sy = sum(c for _, c in pts)
+    sxx = sum(d * d for d, _ in pts)
+    sxy = sum(d * c for d, c in pts)
+    ols = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert math.isclose(r.ols_slope, ols, rel_tol=1e-6)
+
+
+def test_delta_method_ratio_matches_bruteforce(spark):
+    """Linearized ratio variance recomputed per arm in Python."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    r = load_all()["ab_delta_method_ratio"].fn(spark, SF_SMALL).first()
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS c")
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for x in ev:
+        per[x.user_id][0] += x.c
+        per[x.user_id][1] += 1
+
+    def arm(t_want):
+        xs, ys = [], []
+        for u, (x, y) in per.items():
+            t = int(hashlib.md5(f"dr:{u}".encode()).hexdigest()[:4], 16) % 2
+            if t == t_want:
+                xs.append(x)
+                ys.append(y)
+        n = len(xs)
+        rr = sum(xs) / sum(ys)
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((a - mx) ** 2 for a in xs) / (n - 1)
+        vy = sum((b - my) ** 2 for b in ys) / (n - 1)
+        cxy = sum(
+            (a - mx) * (b - my) for a, b in zip(xs, ys)
+        ) / (n - 1)
+        var = (vx - 2 * rr * cxy + rr * rr * vy) / (n * my * my)
+        return n, rr, var
+
+    n1, r1, v1 = arm(1)
+    n0, r0, v0 = arm(0)
+    assert (r.n_treat, r.n_ctrl) == (n1, n0)
+    assert math.isclose(r.ratio_treat, r1, rel_tol=1e-6)
+    assert math.isclose(r.ratio_ctrl, r0, rel_tol=1e-6)
+    assert math.isclose(
+        r.z_stat, (r1 - r0) / math.sqrt(v1 + v0), rel_tol=1e-4
+    )
+
+
+def test_max_drawdown_matches_bruteforce(spark):
+    """Drawdown ledger recomputed with a sequential Python fold."""
+    import math
+
+    r = load_all()["time_max_drawdown"].fn(spark, SF_SMALL).first()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(round(o_totalprice * 100) AS LONG) AS cents",
+        )
+        .groupBy("day")
+        .sum("cents")
+        .collect()
+    )
+    pts = sorted((x.day, x["sum(cents)"]) for x in daily)
+    idx = peak = 0
+    best = best_frac = 0
+    worst_day = None
+    for day, c in pts:
+        idx += c
+        peak = max(peak, idx)
+        dd = peak - idx
+        if dd >= best:  # latest day wins ties, matching lpad-argmax
+            best, worst_day = dd, day
+        best_frac = max(best_frac, dd / peak)
+    assert r.n_days == len(pts)
+    assert r.max_drawdown_cents == best
+    assert str(r.worst_day) == worst_day.isoformat()
+    assert math.isclose(
+        r.max_drawdown_frac, best_frac, rel_tol=0, abs_tol=5e-7
+    )
+
+
+def test_funnel_lift_arms_reconcile_with_funnel(spark):
+    """The two arms must partition funnel_conversion's totals exactly
+    (same strictly-after step semantics, same corpus)."""
+    lift = load_all()["ab_funnel_lift"].fn(spark, SF_SMALL).first()
+    total = load_all()["funnel_conversion"].fn(spark, SF_SMALL).first()
+    assert lift.views_treat + lift.views_ctrl == total.n_view
+    assert lift.conv_treat + lift.conv_ctrl == total.n_purchase
+    assert 0.0 <= lift.rate_treat <= 1.0
+    assert 0.0 <= lift.rate_ctrl <= 1.0
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    """Recall@10 recomputed with numpy: exact cosine top-10 at full
+    64 dims vs the 16-dim prefix, same 5dp-round + vec_id tiebreak."""
+    import numpy as np
+
+    rows = load_all()["sim_matryoshka_recall"].fn(spark, SF_SMALL).collect()
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb])
+    M = np.array([r.embedding for r in emb], dtype=np.float64)
+
+    def top10(qi, dims):
+        q = M[qi, :dims]
+        C = M[:, :dims]
+        cos = C @ q / (
+            np.linalg.norm(C, axis=1) * np.linalg.norm(q) + 1e-300
+        )
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-round(cos[i], 5), ids[i]),
+        )
+        return {ids[i] for i in order[:10]}
+
+    got = {r.query_id: r.n_overlap for r in rows}
+    for qi in range(10):
+        want = len(top10(qi, 64) & top10(qi, 16))
+        assert got[ids[qi]] == want, (ids[qi], got[ids[qi]], want)
