@@ -203,6 +203,10 @@ HEADLINE = [
     "time_max_drawdown",
     "ab_funnel_lift",
     "sim_matryoshka_recall",
+    "sample_neyman_allocation",
+    "time_interrupted_series",
+    "text_source_similarity",
+    "text_compression_quality",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -891,3 +891,130 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Neyman optimal stratified allocation -----------------------------
+
+#: the five strata, FIXED order (the stats_anova_oneway pivot idiom:
+#: every cross-stratum double sum is an explicit left-to-right chain)
+_NEYMAN_LEVELS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+_NEYMAN_BUDGET = 1000  # total sample size to allocate
+
+
+def _neyman_sql() -> str:
+    per = []
+    for i, lvl in enumerate(_NEYMAN_LEVELS, 1):
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN 1 END), 0) AS BIGINT) AS n{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS s{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN o_orderpriority = '{lvl}' "
+            f"THEN CAST(round(o_totalprice) AS BIGINT) "
+            f"* CAST(round(o_totalprice) AS BIGINT) END), 0) "
+            f"AS BIGINT) AS q{i}"
+        )
+    cols = ",\n               ".join(per)
+    sd = {
+        i: f"sqrt((CAST(q{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * s{i} "
+        f"/ n{i}) / (n{i} - 1))"
+        for i in range(1, 6)
+    }
+    total = " + ".join(f"(n{i} * {sd[i]})" for i in range(1, 6))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{lvl}' AS stratum, n{i} AS n_pop,"
+        f" round({sd[i]}, 6) AS sd_value,"
+        f" round((n{i} * {sd[i]}) / ({total}), 6) AS neyman_share,"
+        f" CAST(floor({_NEYMAN_BUDGET} * (n{i} * {sd[i]}) / ({total}))"
+        f" AS BIGINT) AS n_alloc"
+        f" FROM s"
+        for i, lvl in enumerate(_NEYMAN_LEVELS, 1)
+    )
+    return f"""
+    WITH s AS (
+        SELECT {cols}
+        FROM orders
+    )
+    {rows}
+    ORDER BY stratum
+    """
+
+
+@query("sample_neyman_allocation", oracle=_neyman_sql())
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sampling allocation: for a fixed
+    budget of 1000 samples across the five priority strata, allocate
+    n_h ∝ N_h·σ_h — the design that minimizes the variance of the
+    stratified mean (proportional allocation ignores within-stratum
+    spread; Neyman oversamples volatile strata). The table a survey/
+    eval pipeline computes BEFORE drawing the sample that
+    sample_stratified then executes.
+
+    σ_h comes from exact integer-dollar sums (ddof=1), pivoted into
+    fixed per-stratum columns in ONE aggregate pass (the
+    stats_anova_oneway idiom), and the normalizer Σ N_h σ_h is an
+    explicit left-to-right chain of the five fixed terms — identical
+    doubles both engines; shares 6dp; integer allocations use floor
+    (the deterministic largest-remainder top-up is left to the
+    executor, documented). One orders scan, one 1-row aggregate,
+    five projected rows."""
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    aggs = []
+    for i, lvl in enumerate(_NEYMAN_LEVELS, 1):
+        hit = F.col("o_orderpriority") == lvl
+        aggs += [
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(F.sum(F.when(hit, dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(F.sum(F.when(hit, dollars * dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    s = o.agg(*aggs).localCheckpoint(eager=False)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sd = {
+        i: F.sqrt(
+            (d(f"q{i}") - d(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}"))
+            / (F.col(f"n{i}") - 1)
+        )
+        for i in range(1, 6)
+    }
+    total = None
+    for i in range(1, 6):
+        term = F.col(f"n{i}") * sd[i]
+        total = term if total is None else total + term
+    parts = [
+        s.select(
+            F.lit(lvl).alias("stratum"),
+            F.col(f"n{i}").alias("n_pop"),
+            F.round(sd[i], 6).alias("sd_value"),
+            F.round((F.col(f"n{i}") * sd[i]) / total, 6).alias(
+                "neyman_share"
+            ),
+            F.floor(
+                _NEYMAN_BUDGET * (F.col(f"n{i}") * sd[i]) / total
+            )
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        for i, lvl in enumerate(_NEYMAN_LEVELS, 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stratum")

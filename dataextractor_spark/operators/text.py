@@ -2333,3 +2333,163 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_source_similarity",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(
+                   CASE WHEN length(text) >= 8
+                        THEN list_distinct(list_transform(
+                                 range(1, length(text) - 6),
+                                 i -> substr(text, i, 8)))
+                        ELSE [text] END) AS g
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY jaccard DESC, src_a, src_b
+    LIMIT 10
+    """,
+)
+def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level near-duplication: Jaccard similarity between the
+    distinct 8-gram vocabularies of every source pair, top-10 — the
+    corpus-curation view that finds mirror/aggregator SOURCES (where
+    the dedup family finds duplicate DOCUMENTS and text_ngram_novelty
+    scores sources in isolation).
+
+    Scale shape: the candidate join is keyed on the GRAM, and each
+    gram appears in at most |sources| vocabularies, so the pair
+    blow-up per gram is bounded by sources² — a fixed catalog
+    constant, NOT corpus size; intersections then aggregate on the
+    (src_a, src_b) pair key. Distinct-gram sets are one
+    explode + distinct; counts exact BIGINT; Jaccard 6dp with the
+    deterministic (jaccard, src_a, src_b) order. At 100 TB the gram
+    join inherits the dedup family's df-filter option (drop grams in
+    ALL sources — they contribute equally to every pair)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= 8,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(text) - 7),"
+                " i -> substring(text, i, 8))"
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    sh = (
+        d.select("source", F.explode(grams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("na")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("nb")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(10)
+    )
+
+
+@query("text_compression_quality")  # zlib isn't SQL-portable → rows-only
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality screen: deflate each document
+    (stdlib zlib, level 6) and report per-source byte ratios — the
+    classic repetition detector (boilerplate, template spam, and
+    looped generations compress far below natural prose; the signal
+    Gopher-style pipelines pair with text_collapse_repeats'
+    explicit-repeat counters).
+
+    zlib has no SQL twin, so this is a declared rows-only operator:
+    the per-doc computation is pinned instead by a pytest contract
+    that recomputes ratios with the same stdlib call, and by the
+    determinism of level-6 deflate (pure function of the bytes).
+    Plan shape: one mapInPandas pass (bytes cross into Python once,
+    two small numeric columns come back), one source-keyed JVM
+    aggregate. Ratios are deterministic doubles; 6dp."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_raw": raw.map(len),
+                    "n_comp": comp,
+                }
+            )
+
+    per = d.select("source", "text").mapInPandas(
+        run, "source STRING, n_raw BIGINT, n_comp BIGINT"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_raw").cast("long").alias("raw_bytes"),
+            F.sum("n_comp").cast("long").alias("compressed_bytes"),
+            F.round(F.sum("n_comp") / F.sum("n_raw"), 6).alias(
+                "compression_ratio"
+            ),
+            F.round(F.min(F.col("n_comp") / F.col("n_raw")), 6).alias(
+                "min_doc_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

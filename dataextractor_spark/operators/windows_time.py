@@ -1351,3 +1351,115 @@ def time_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("drawdown").cast("double") / F.col("peak")), 6
         ).alias("max_drawdown_frac"),
     )
+
+
+#: the intervention date for the interrupted-time-series readout —
+#: mid-series so both segments have years of support at every sf
+_ITS_CUT = "1998-01-01"
+
+
+def _its_sql() -> str:
+    seg = lambda tag, cond: f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_{tag},
+               CAST(sum(d) AS BIGINT) AS sx_{tag},
+               CAST(sum(cents) AS BIGINT) AS sy_{tag},
+               CAST(sum(d * d) AS BIGINT) AS sxx_{tag},
+               CAST(sum(d * cents) AS BIGINT) AS sxy_{tag}
+        FROM daily WHERE {cond}
+    """  # noqa: E731
+    slope = (
+        lambda t: f"((CAST(sxy_{t} AS DOUBLE) - CAST(sx_{t} AS DOUBLE)"
+        f" * sy_{t} / n_{t}) / (CAST(sxx_{t} AS DOUBLE)"
+        f" - CAST(sx_{t} AS DOUBLE) * sx_{t} / n_{t}))"
+    )  # noqa: E731
+    icept = (
+        lambda t: f"(CAST(sy_{t} AS DOUBLE) / n_{t} - {slope(t)}"
+        f" * CAST(sx_{t} AS DOUBLE) / n_{t})"
+    )  # noqa: E731
+    return f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{_ITS_CUT}',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    pre AS ({seg("pre", "d < 0")}),
+    post AS ({seg("post", "d >= 0")})
+    SELECT n_pre AS n_days_pre,
+           n_post AS n_days_post,
+           round({slope("pre")}, 6) AS slope_pre,
+           round({slope("post")}, 6) AS slope_post,
+           round({slope("post")} - {slope("pre")}, 6) AS slope_change,
+           round({icept("post")} - {icept("pre")}, 6) AS level_change
+    FROM pre CROSS JOIN post
+    """
+
+
+@query("time_interrupted_series", oracle=_its_sql())
+def time_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (ITS) readout around a fixed
+    intervention date: fit the daily-revenue trend separately BEFORE
+    and AFTER the cut and report the slope change and the level
+    change at the cut (the post intercept minus the pre line's
+    prediction, both evaluated at d = 0 by centering the day index on
+    the cut) — the standard quasi-experimental answer to "did the
+    launch bend the curve?" when there is no control group.
+
+    Each segment is a one-feature OLS over the calendar-bounded daily
+    aggregate (the agg_theil_sen_trend scale shape): exact BIGINT
+    moments per segment from ONE day-keyed pre-aggregate, slopes and
+    intercepts as fixed double expressions, rounded 6dp. Centering on
+    the cut makes level_change a simple intercept difference — no
+    extrapolation arithmetic to disagree on."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit(_ITS_CUT).cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def seg(tag: str, cond):
+        return daily.where(cond).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum("d").cast("long").alias(f"sx_{tag}"),
+            F.sum("cents").cast("long").alias(f"sy_{tag}"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias(f"sxx_{tag}"),
+            F.sum(F.col("d") * F.col("cents"))
+            .cast("long")
+            .alias(f"sxy_{tag}"),
+        )
+
+    def slope(t: str):
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        return (
+            d(f"sxy_{t}") - d(f"sx_{t}") * F.col(f"sy_{t}") / F.col(f"n_{t}")
+        ) / (
+            d(f"sxx_{t}") - d(f"sx_{t}") * F.col(f"sx_{t}") / F.col(f"n_{t}")
+        )
+
+    def icept(t: str):
+        d = lambda c: F.col(c).cast("double")  # noqa: E731
+        return d(f"sy_{t}") / F.col(f"n_{t}") - slope(t) * (
+            d(f"sx_{t}") / F.col(f"n_{t}")
+        )
+
+    pre = seg("pre", F.col("d") < 0)
+    post = seg("post", F.col("d") >= 0)
+    return pre.crossJoin(post).select(
+        F.col("n_pre").alias("n_days_pre"),
+        F.col("n_post").alias("n_days_post"),
+        F.round(slope("pre"), 6).alias("slope_pre"),
+        F.round(slope("post"), 6).alias("slope_post"),
+        F.round(slope("post") - slope("pre"), 6).alias("slope_change"),
+        F.round(icept("post") - icept("pre"), 6).alias("level_change"),
+    )

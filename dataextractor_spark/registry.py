@@ -151,6 +151,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_max_drawdown",  # new r6: peak-to-trough revenue risk stat
     "ab_funnel_lift",  # new r6: per-arm ordered funnel + pooled z
     "sim_matryoshka_recall",  # new r6: prefix-dim top-10 recall table
+    "sample_neyman_allocation",  # new r6: optimal stratified allocation
+    "time_interrupted_series",  # new r6: pre/post segmented trend (ITS)
+    "text_source_similarity",  # new r6: source-pair 8-gram Jaccard top-10
+    "text_compression_quality",  # new r6: deflate-ratio screen (rows-only)
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

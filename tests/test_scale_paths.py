@@ -1836,3 +1836,129 @@ def test_matryoshka_recall_matches_numpy(spark):
     for qi in range(10):
         want = len(top10(qi, 64) & top10(qi, 16))
         assert got[ids[qi]] == want, (ids[qi], got[ids[qi]], want)
+
+
+def test_neyman_allocation_invariants(spark):
+    """Shares sum to 1, floor allocations sum to ≤ budget, and the
+    allocation recomputes from exact per-stratum moments."""
+    import math
+    from collections import defaultdict
+
+    rows = load_all()["sample_neyman_allocation"].fn(spark, SF_SMALL).collect()
+    data = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS p",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for x in data:
+        groups[x.p].append(x.v)
+    sds = {}
+    for p, vs in groups.items():
+        m = sum(vs) / len(vs)
+        sds[p] = math.sqrt(sum((v - m) ** 2 for v in vs) / (len(vs) - 1))
+    total = sum(len(vs) * sds[p] for p, vs in groups.items())
+    assert math.isclose(sum(r.neyman_share for r in rows), 1.0, abs_tol=5e-6)
+    assert sum(r.n_alloc for r in rows) <= 1000
+    for r in rows:
+        want = len(groups[r.stratum]) * sds[r.stratum] / total
+        assert math.isclose(r.neyman_share, want, rel_tol=0, abs_tol=5e-7)
+        assert r.n_alloc == math.floor(1000 * want)
+
+
+def test_interrupted_series_matches_segment_ols(spark):
+    """Both segment slopes recomputed with exact Python sums; the
+    level change equals the intercept gap at the centered cut."""
+    import math
+
+    r = load_all()["time_interrupted_series"].fn(spark, SF_SMALL).first()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1998-01-01') AS d",
+            "CAST(round(o_totalprice * 100) AS LONG) AS cents",
+        )
+        .groupBy("d")
+        .sum("cents")
+        .withColumnRenamed("sum(cents)", "cents")
+        .collect()
+    )
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(d for d, _ in pts)
+        sy = sum(c for _, c in pts)
+        sxx = sum(d * d for d, _ in pts)
+        sxy = sum(d * c for d, c in pts)
+        b = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        return b, sy / n - b * sx / n
+
+    pre = [(x.d, x.cents) for x in daily if x.d < 0]
+    post = [(x.d, x.cents) for x in daily if x.d >= 0]
+    b0, a0 = ols(pre)
+    b1, a1 = ols(post)
+    assert (r.n_days_pre, r.n_days_post) == (len(pre), len(post))
+    assert math.isclose(r.slope_pre, b0, rel_tol=1e-6)
+    assert math.isclose(r.slope_post, b1, rel_tol=1e-6)
+    assert math.isclose(r.level_change, a1 - a0, rel_tol=1e-6)
+
+
+def test_source_similarity_matches_setops(spark):
+    """Top pair's Jaccard recomputed with Python set algebra."""
+    import math
+    from collections import defaultdict
+
+    rows = load_all()["text_source_similarity"].fn(spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    vocab = defaultdict(set)
+    for x in docs:
+        t = x.text
+        gs = (
+            {t[i : i + 8] for i in range(len(t) - 7)}
+            if len(t) >= 8
+            else {t}
+        )
+        vocab[x.source] |= gs
+    for r in rows[:3]:
+        inter = len(vocab[r.src_a] & vocab[r.src_b])
+        union = len(vocab[r.src_a] | vocab[r.src_b])
+        assert r.n_common == inter
+        assert math.isclose(
+            r.jaccard, inter / union, rel_tol=0, abs_tol=5e-7
+        )
+
+
+def test_compression_quality_matches_zlib(spark):
+    """Rows-only contract: per-source byte totals recomputed with the
+    same stdlib call; repetitive synthetic text must compress well."""
+    import math
+    import zlib
+    from collections import defaultdict
+
+    rows = load_all()["text_compression_quality"].fn(spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for x in docs:
+        raw = x.text.encode()
+        a = agg[x.source]
+        a[0] += 1
+        a[1] += len(raw)
+        a[2] += len(zlib.compress(raw, 6))
+    for r in rows:
+        n, raw, comp = agg[r.source]
+        assert (r.n_docs, r.raw_bytes, r.compressed_bytes) == (n, raw, comp)
+        assert math.isclose(
+            r.compression_ratio, comp / raw, rel_tol=0, abs_tol=5e-7
+        )
+        assert r.compression_ratio < 0.9  # word-salad text compresses
