@@ -207,6 +207,9 @@ HEADLINE = [
     "time_interrupted_series",
     "text_source_similarity",
     "text_compression_quality",
+    "time_autocorrelation",
+    "sample_ht_estimator",
+    "sim_centroid_classify_eval",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1018,3 +1018,157 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("stratum")
+
+
+# --- Horvitz-Thompson estimation under stratified Poisson sampling ----
+
+#: per-stratum Poisson inclusion rates (fixed design). The EXACT
+#: inclusion probability is floor(rate·2^32)/2^32 — the integer
+#: threshold the md5 test actually applies — and the HT weights use
+#: THAT value, so the estimator is design-unbiased for the design as
+#: implemented, not as approximated.
+_HT_RATES = {
+    "1-URGENT": 0.5,
+    "2-HIGH": 0.3,
+    "3-MEDIUM": 0.2,
+    "4-NOT SPECIFIED": 0.1,
+    "5-LOW": 0.05,
+}
+_HT_LEVELS = tuple(sorted(_HT_RATES))
+_TWO32 = 1 << 32
+
+
+def _ht_thresholds() -> dict[str, int]:
+    return {lvl: int(r * _TWO32) for lvl, r in _HT_RATES.items()}
+
+
+def _ht_sql() -> str:
+    thr = _ht_thresholds()
+    per = []
+    for i, lvl in enumerate(_HT_LEVELS, 1):
+        hit = f"o_orderpriority = '{lvl}'"
+        inc = (
+            f"CAST('0x' || substr(md5('ht:' "
+            f"|| CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"
+            f" < {thr[lvl]}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0)"
+            f" AS BIGINT) AS n{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN "
+            f"CAST(round(o_totalprice) AS BIGINT) END), 0)"
+            f" AS BIGINT) AS y{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} AND {inc} THEN 1 END), 0)"
+            f" AS BIGINT) AS sn{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} AND {inc} THEN "
+            f"CAST(round(o_totalprice) AS BIGINT) END), 0)"
+            f" AS BIGINT) AS sy{i}"
+        )
+    cols = ",\n               ".join(per)
+    est_y = " + ".join(
+        f"(CAST(sy{i} AS DOUBLE) * {_TWO32} / {thr[lvl]})"
+        for i, lvl in enumerate(_HT_LEVELS, 1)
+    )
+    est_n = " + ".join(
+        f"(CAST(sn{i} AS DOUBLE) * {_TWO32} / {thr[lvl]})"
+        for i, lvl in enumerate(_HT_LEVELS, 1)
+    )
+    n_pop = " + ".join(f"n{i}" for i in range(1, 6))
+    y_tot = " + ".join(f"y{i}" for i in range(1, 6))
+    n_smp = " + ".join(f"sn{i}" for i in range(1, 6))
+    return f"""
+    WITH s AS (
+        SELECT {cols}
+        FROM orders
+    )
+    SELECT CAST({n_pop} AS BIGINT) AS n_population,
+           CAST({n_smp} AS BIGINT) AS n_sampled,
+           CAST({y_tot} AS BIGINT) AS true_total,
+           round({est_y}, 2) AS ht_total_estimate,
+           round(({est_y}) / ({y_tot}) - 1, 6) AS rel_error_total,
+           round({est_n}, 2) AS ht_count_estimate,
+           round(({est_n}) / ({n_pop}) - 1, 6) AS rel_error_count
+    FROM s
+    """
+
+
+@query("sample_ht_estimator", oracle=_ht_sql())
+def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation under STRATIFIED POISSON sampling:
+    each priority stratum keeps rows at its own designed rate (50%
+    down to 5%), and the HT estimator re-weights stratum sample sums
+    by the exact inverse inclusion probability to recover unbiased
+    population totals — the estimate-from-a-biased-sample machinery
+    that lets a 100 TB pipeline answer full-corpus questions from the
+    5% it actually scanned, with the realized error REPORTED beside
+    the estimate.
+
+    Exactness chain: membership is the md5 HEX→INT threshold idiom
+    (salt 'ht:'), so the sample is deterministic and the TRUE applied
+    probability is floor(rate·2³²)/2³² — the weights use that exact
+    rational, making the estimator unbiased for the design as
+    implemented. Per-stratum sample sums are exact BIGINT pivoted
+    into fixed columns (stats_anova_oneway idiom); the two HT sums
+    are explicit five-term chains of fixed doubles. ONE orders scan,
+    one 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    thr = _ht_thresholds()
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ht:"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    aggs = []
+    for i, lvl in enumerate(_HT_LEVELS, 1):
+        hit = F.col("o_orderpriority") == lvl
+        inc = hit & (u < thr[lvl])
+        aggs += [
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(F.sum(F.when(hit, dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"y{i}"),
+            F.coalesce(F.sum(F.when(inc, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"sn{i}"),
+            F.coalesce(F.sum(F.when(inc, dollars)), F.lit(0))
+            .cast("long")
+            .alias(f"sy{i}"),
+        ]
+    s = o.agg(*aggs)
+    est_y = None
+    est_n = None
+    n_pop = None
+    y_tot = None
+    n_smp = None
+    for i, lvl in enumerate(_HT_LEVELS, 1):
+        ty = F.col(f"sy{i}").cast("double") * _TWO32 / thr[lvl]
+        tn = F.col(f"sn{i}").cast("double") * _TWO32 / thr[lvl]
+        est_y = ty if est_y is None else est_y + ty
+        est_n = tn if est_n is None else est_n + tn
+        n_pop = F.col(f"n{i}") if n_pop is None else n_pop + F.col(f"n{i}")
+        y_tot = F.col(f"y{i}") if y_tot is None else y_tot + F.col(f"y{i}")
+        n_smp = (
+            F.col(f"sn{i}") if n_smp is None else n_smp + F.col(f"sn{i}")
+        )
+    return s.select(
+        n_pop.cast("long").alias("n_population"),
+        n_smp.cast("long").alias("n_sampled"),
+        y_tot.cast("long").alias("true_total"),
+        F.round(est_y, 2).alias("ht_total_estimate"),
+        F.round(est_y / y_tot - 1, 6).alias("rel_error_total"),
+        F.round(est_n, 2).alias("ht_count_estimate"),
+        F.round(est_n / n_pop - 1, 6).alias("rel_error_count"),
+    )

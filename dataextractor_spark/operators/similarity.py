@@ -1356,3 +1356,167 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_centroid_classify_eval",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              v -> CAST(round(v * 1000000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT label, t.i AS pos, qv[t.i] AS val
+        FROM q CROSS JOIN range(1, 65) t(i)
+    ),
+    cent AS (
+        SELECT label AS clabel,
+               list(csum ORDER BY pos) AS cv
+        FROM (
+            SELECT label, pos, CAST(sum(val) AS BIGINT) AS csum
+            FROM flat GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    scored AS (
+        SELECT q.vec_id, q.label, c.clabel,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> q.qv[i] * q.qv[i])) AS BIGINT) AS qq,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> c.cv[i] * c.cv[i])) AS BIGINT) AS cc
+        FROM q CROSS JOIN cent c
+    ),
+    keyed AS (
+        SELECT vec_id, label,
+               lpad(CAST(CAST(round((CAST(dot AS DOUBLE)
+                        / sqrt(CAST(qq AS DOUBLE) * cc) + 1.0)
+                        * 1000000000) AS BIGINT) AS VARCHAR), 12, '0')
+               || CAST(9 - clabel AS VARCHAR) AS k
+        FROM scored
+    ),
+    pred AS (
+        SELECT vec_id, label,
+               9 - CAST(substr(max(k), 13, 1) AS BIGINT) AS plabel
+        FROM keyed GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN plabel = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN plabel = label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall
+    FROM pred
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_centroid_classify_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification eval over the
+    embedding corpus: build one centroid per label, assign every
+    vector to its max-cosine centroid, and report per-label
+    resubstitution recall — the cheapest supervised probe of whether
+    an embedding space separates its labels (the companion readout to
+    sim_label_centroids' geometry table, and the baseline an ANN
+    serving tier is judged against).
+
+    Portability is the design: cosine is SCALE-INVARIANT, so
+    centroids are exact integer SUM vectors (elements quantized to
+    1e-6 — round(v·1e6) of identical doubles) and never divided by
+    class counts; dot products and norms accumulate BIGINT through
+    sequential array folds (no group-order float sums anywhere — the
+    only doubles are one final fixed expression per (vec, label)
+    pair); argmax uses the lpad key with the 9−label digit so ties
+    break toward the smaller label identically in both engines.
+    Plan: one posexplode + (label, dim)-keyed aggregate builds the
+    10-row centroid table, which BROADCASTS into a single corpus
+    scan — vectors never shuffle. Sum magnitudes peak ~6e16 over 64
+    dims (int64 headroom per agg_hhi_concentration)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " v -> cast(round(cast(v as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = (
+        q.select("label", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").cast("long").alias("csum"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, csum))),"
+                " x -> x.csum)"
+            ).alias("cv")
+        )
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(qv, a -> a * a),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("qq"),
+        F.expr(
+            "aggregate(transform(cv, a -> a * a),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("cc"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qq").cast("double") * F.col("cc")
+    )
+    keyed = scored.select(
+        "vec_id",
+        "label",
+        F.concat(
+            F.lpad(
+                F.round((cos + 1.0) * 1000000000)
+                .cast("long")
+                .cast("string"),
+                12,
+                "0",
+            ),
+            (9 - F.col("clabel")).cast("string"),
+        ).alias("k"),
+    )
+    pred = keyed.groupBy("vec_id", "label").agg(
+        (9 - F.substring(F.max("k"), 13, 1).cast("long"))
+        .cast("long")
+        .alias("plabel")
+    )
+    return (
+        pred.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(
+                F.when(F.col("plabel") == F.col("label"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("plabel") == F.col("label"), F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("label")
+    )

@@ -1463,3 +1463,110 @@ def time_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope("post") - slope("pre"), 6).alias("slope_change"),
         F.round(icept("post") - icept("pre"), 6).alias("level_change"),
     )
+
+
+_ACF_MAX_LAG = 14
+
+
+def _acf_sql() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT))
+                    AS BIGINT) AS dollars
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.dollars AS x, b.dollars AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy / n)), 6) AS acf
+    FROM s
+    ORDER BY lag
+    """
+
+
+@query("time_autocorrelation", oracle=_acf_sql())
+def time_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..14 — the
+    diagnostic that says whether yesterday predicts today (lag-1) and
+    whether the week repeats (lag-7 spike), i.e. which ARIMA/seasonal
+    terms a forecast needs. time_lag_xcorr correlates TWO series;
+    this is the same-series memory profile.
+
+    Pearson at each lag over the lag-aligned day pairs (the
+    statistics literature's acf-with-pairwise-complete convention),
+    every moment an exact BIGINT sum: the daily aggregate is
+    calendar-bounded, the 14-row lag spine broadcasts, and the
+    self-alignment is one day+lag equi-join — so the whole plan is
+    independent of fact-table size after the first day-keyed
+    aggregate. r is a fixed double expression, rounded 6dp. The
+    series is integer DOLLARS, not dollars: sum(x·x) over ~2400 daily
+    values peaks ~5e17 at sf0.1 — inside int64; dollars squared would
+    overflow already at sf0.01 (the agg_hhi_concentration headroom
+    argument, applied at the square)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice")).cast("long"))
+            .cast("long")
+            .alias("dollars")
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = F.broadcast(
+        spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("dollars").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("dollars").alias("y"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (d("sxy") - d("sx") * F.col("sy") / F.col("n"))
+            / F.sqrt(
+                (d("sxx") - d("sx") * F.col("sx") / F.col("n"))
+                * (d("syy") - d("sy") * F.col("sy") / F.col("n"))
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -155,6 +155,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_interrupted_series",  # new r6: pre/post segmented trend (ITS)
     "text_source_similarity",  # new r6: source-pair 8-gram Jaccard top-10
     "text_compression_quality",  # new r6: deflate-ratio screen (rows-only)
+    "time_autocorrelation",  # new r6: daily-revenue ACF, lags 1..14
+    "sample_ht_estimator",  # new r6: stratified-Poisson HT totals
+    "sim_centroid_classify_eval",  # new r6: Rocchio recall, integer centroids
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

@@ -1962,3 +1962,115 @@ def test_compression_quality_matches_zlib(spark):
             r.compression_ratio, comp / raw, rel_tol=0, abs_tol=5e-7
         )
         assert r.compression_ratio < 0.9  # word-salad text compresses
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF at each lag recomputed with numpy over the aligned pairs;
+    lag-7 must exist with full pair support (weekly alignment)."""
+    import math
+
+    import numpy as np
+
+    rows = load_all()["time_autocorrelation"].fn(spark, SF_SMALL).collect()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS d",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .groupBy("d")
+        .sum("v")
+        .collect()
+    )
+    series = {x.d: x["sum(v)"] for x in daily}
+    assert len(rows) == 14
+    for r in rows:
+        xs, ys = [], []
+        for d, v in series.items():
+            if d + r.lag in series:
+                xs.append(v)
+                ys.append(series[d + r.lag])
+        assert r.n_pairs == len(xs)
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert math.isclose(r.acf, want, rel_tol=0, abs_tol=5e-6)
+
+
+def test_ht_estimator_matches_bruteforce(spark):
+    """Sample membership and both HT estimates recomputed with the
+    same md5 thresholds; the estimator must hit the truth within the
+    stratified-Poisson error envelope at this n."""
+    import hashlib
+    import math
+
+    from dataextractor_spark.operators.sampling import (
+        _HT_LEVELS,
+        _TWO32,
+        _ht_thresholds,
+    )
+
+    r = load_all()["sample_ht_estimator"].fn(spark, SF_SMALL).first()
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_orderkey AS k",
+            "o_orderpriority AS p",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    thr = _ht_thresholds()
+    est_y = est_n = 0.0
+    n_smp = 0
+    for lvl in _HT_LEVELS:
+        sy = sn = 0
+        for x in rows:
+            if x.p != lvl:
+                continue
+            u = int(hashlib.md5(f"ht:{x.k}".encode()).hexdigest()[:8], 16)
+            if u < thr[lvl]:
+                sy += x.v
+                sn += 1
+        est_y += sy * _TWO32 / thr[lvl]
+        est_n += sn * _TWO32 / thr[lvl]
+        n_smp += sn
+    assert r.n_population == len(rows)
+    assert r.n_sampled == n_smp
+    assert math.isclose(r.ht_total_estimate, est_y, rel_tol=1e-9, abs_tol=0.01)
+    assert math.isclose(r.ht_count_estimate, est_n, rel_tol=1e-9, abs_tol=0.01)
+    # estimate quality: within 25% at the sf0.001 sample size
+    assert abs(r.rel_error_total) < 0.25
+    assert abs(r.rel_error_count) < 0.25
+
+
+def test_centroid_classify_matches_numpy(spark):
+    """Per-label recall recomputed with numpy nearest-centroid on the
+    same 1e-6-quantized vectors and tie rule."""
+    import numpy as np
+
+    rows = load_all()["sim_centroid_classify_eval"].fn(spark, SF_SMALL).collect()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    Q = np.array(
+        [[round(float(v) * 1e6) for v in x.embedding] for x in emb],
+        dtype=np.int64,
+    )
+    labels = np.array([x.label for x in emb])
+    cents = np.stack(
+        [Q[labels == lab].sum(axis=0) for lab in range(10)]
+    )
+    correct = {lab: 0 for lab in range(10)}
+    totals = {lab: 0 for lab in range(10)}
+    for i in range(len(emb)):
+        dots = cents @ Q[i]
+        cos = dots / (
+            np.sqrt(float(Q[i] @ Q[i])) * np.sqrt((cents * cents).sum(axis=1))
+        )
+        enc = np.round((cos + 1.0) * 1e9).astype(np.int64)
+        best = min(
+            range(10), key=lambda lab: (-enc[lab], lab)
+        )  # smallest label on ties
+        totals[labels[i]] += 1
+        correct[labels[i]] += int(best == labels[i])
+    got = {r.label: (r.n_true, r.n_correct) for r in rows}
+    for lab in range(10):
+        if totals[lab]:
+            assert got[lab] == (totals[lab], correct[lab])
