@@ -210,6 +210,10 @@ HEADLINE = [
     "time_autocorrelation",
     "sample_ht_estimator",
     "sim_centroid_classify_eval",
+    "stats_kendall_tau",
+    "stats_runs_test",
+    "agg_chi2_cell_residuals",
+    "etl_delete_rewrite_plan",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1802,7 +1802,10 @@ def ab_funnel_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     )
-    return t1.crossJoin(t0).select(
+    # explicit broadcast: t0 is one row, but the localCheckpoint
+    # lineage hides size stats and Spark would fall back to a
+    # CartesianProduct (the plan gate forbids those)
+    return t1.crossJoin(F.broadcast(t0)).select(
         F.col("v1").alias("views_treat"),
         F.col("v0").alias("views_ctrl"),
         F.col("p1").alias("conv_treat"),

@@ -1297,3 +1297,104 @@ def etl_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+#: GDPR-style deletion: customers whose salted hash lands under 2%
+_DEL_THRESHOLD = int(0.02 * (1 << 32))
+
+
+@query(
+    "etl_delete_rewrite_plan",
+    oracle=f"""
+    WITH del AS (
+        SELECT c_custkey FROM customer
+        WHERE CAST('0x' || substr(md5('del:'
+              || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+              < {_DEL_THRESHOLD}
+    ),
+    parts AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS part_month,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN d.c_custkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+        FROM orders o LEFT JOIN del d ON d.c_custkey = o.o_custkey
+        GROUP BY part_month
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(CASE WHEN n_deleted > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS partitions_touched,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(n_deleted) AS BIGINT) AS rows_deleted,
+           CAST(sum(CASE WHEN n_deleted > 0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_rewritten,
+           round(CAST(sum(CASE WHEN n_deleted > 0 THEN n_rows ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(sum(n_deleted), 0), 6) AS write_amplification
+    FROM parts
+    """,
+)
+def etl_delete_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten DELETE planning on a copy-on-write
+    month-partitioned table: given a deletion list (customers whose
+    salted hash lands under 2% — the deterministic stand-in for a
+    GDPR request batch), report how many partitions the delete
+    touches, how many rows actually disappear, how many rows must be
+    REWRITTEN (copy-on-write rewrites every touched file), and the
+    write amplification ratio — the number that decides between
+    eager rewrite, deletion vectors, or batching requests (at 34×
+    amplification you batch; at 1.2× you just rewrite).
+
+    The deletion list never materializes to the driver: it is one
+    hash-filtered dimension scan, LEFT-joined (broadcast — the list
+    is a filtered dim) onto the fact, with per-partition counts from
+    one month-keyed aggregate. All counts exact BIGINT; the ratio is
+    one guarded division (nullif for the zero-deletion edge), 6dp."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("del:"), F.col("c_custkey").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    del_list = c.where(u < _DEL_THRESHOLD).select(
+        F.col("c_custkey").alias("dk"), F.lit(1).alias("hit")
+    )
+    parts = (
+        o.join(
+            F.broadcast(del_list),
+            o.o_custkey == del_list.dk,
+            "left",
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("part_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_deleted"),
+        )
+    )
+    touched = F.col("n_deleted") > 0
+    return parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum(touched.cast("long")).cast("long").alias("partitions_touched"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("n_deleted").cast("long").alias("rows_deleted"),
+        F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_rewritten"),
+        F.round(
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0)))
+            / F.nullif(F.sum("n_deleted"), F.lit(0)),
+            6,
+        ).alias("write_amplification"),
+    )

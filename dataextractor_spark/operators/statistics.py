@@ -2745,3 +2745,353 @@ def ab_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# --- Kendall tau-b from the joint frequency grid ------------------------
+
+
+def _kendall_sql() -> str:
+    return """
+    WITH joint AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+        FROM joint a CROSS JOIN joint b
+    ),
+    margins AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS tboth2
+        FROM joint
+    ),
+    xt AS (
+        SELECT CAST(sum(cx * (cx - 1)) AS BIGINT) AS tx2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY x)
+    ),
+    yt AS (
+        SELECT CAST(sum(cy * (cy - 1)) AS BIGINT) AS ty2
+        FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY y)
+    )
+    SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+           round((CAST(conc AS DOUBLE) - disc)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2
+                         - CAST(tx2 AS DOUBLE) / 2)
+                        * (CAST(n AS DOUBLE) * (n - 1) / 2
+                           - CAST(ty2 AS DOUBLE) / 2)), 6) AS kendall_tau_b
+    FROM pairs CROSS JOIN margins CROSS JOIN xt CROSS JOIN yt
+    """
+
+
+@query("stats_kendall_tau", oracle=_kendall_sql())
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between lineitem quantity and
+    discount — the concordance-based rank correlation that stays
+    meaningful on a 50×11 heavily-tied grid where Spearman's
+    average-rank construction (stats_spearman_corr) starts leaning on
+    tie conventions.
+
+    The scale design is the whole point: concordant/discordant pairs
+    are counted on the JOINT FREQUENCY GRID, not the rows — the
+    all-pairs double loop collapses to a ≤550×550 grid self-join with
+    integer products n_a·n_b, so cost is the square of the GRID, not
+    of the corpus (the naive row-pair count at sf0.1 would be 1.8e11
+    comparisons). Everything until the final tau is exact BIGINT
+    (pair totals peak ~1.8e11 — int64 headroom); tau-b is one fixed
+    double expression, rounded 6dp. One fact scan, one grid
+    aggregate, one tiny cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = joint.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = joint.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("disc"),
+    )
+    margins = joint.agg(
+        F.sum("c").cast("long").alias("n"),
+    )
+    xt = (
+        joint.groupBy("x")
+        .agg(F.sum("c").cast("long").alias("cx"))
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1)).cast("long").alias("tx2")
+        )
+    )
+    yt = (
+        joint.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .agg(
+            F.sum(F.col("cy") * (F.col("cy") - 1)).cast("long").alias("ty2")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n0 = d("n") * (F.col("n") - 1) / 2
+    return (
+        pairs.crossJoin(margins)
+        .crossJoin(xt)
+        .crossJoin(yt)
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (d("conc") - F.col("disc"))
+                / F.sqrt(
+                    (n0 - d("tx2") / 2) * (n0 - d("ty2") / 2)
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+# --- Wald-Wolfowitz runs test -------------------------------------------
+
+
+def _runs_sql() -> str:
+    return """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT avg(v) AS m FROM (
+            SELECT v, row_number() OVER (ORDER BY v, day) AS rn,
+                   count(*) OVER () AS k
+            FROM daily
+        ) WHERE rn IN (CAST(floor((k + 1) / 2.0) AS BIGINT),
+                       CAST(ceil((k + 1) / 2.0) AS BIGINT))
+    ),
+    signs AS (
+        SELECT day, CASE WHEN v > (SELECT m FROM med) THEN 1 ELSE 0 END
+                        AS s
+        FROM daily WHERE v <> (SELECT m FROM med)
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                      OR lag(s) OVER (ORDER BY day) <> s
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(new_run) AS BIGINT) AS r,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           round(1 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+           round((r - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_stat
+    FROM agg
+    """
+
+
+@query("stats_runs_test", oracle=_runs_sql())
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    series: split days into above/below the exact median, count
+    maximal same-sign RUNS in day order, and z-test the count against
+    the random-arrangement expectation — too FEW runs means the
+    series trends or clusters (autocorrelation confirms with its
+    lag profile); too many means oscillation.
+
+    The median is an exact order statistic (the agg_theil_sen_trend
+    rank idiom, day tiebreak); equal-to-median days are excluded (the
+    standard convention, and the only choice that is reproducible
+    cross-engine); run starts are one lag() over the calendar-bounded
+    day series; mu and sigma are fixed double expressions over the
+    exact (n1, n2, R) integers, rounded 6dp."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice")).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.orderBy("v", "day")
+    ranked = daily.select(
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("k"),
+    )
+    med = ranked.where(
+        (F.col("rn") == F.floor((F.col("k") + 1) / 2.0).cast("long"))
+        | (F.col("rn") == F.ceil((F.col("k") + 1) / 2.0).cast("long"))
+    ).agg(F.avg("v").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("v") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("v") > F.col("m"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("s"),
+        )
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = 1 + 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    num = (2.0 * F.col("n1") * F.col("n2")) * (
+        2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2")
+    )
+    den = (
+        (d("n1") + F.col("n2"))
+        * (F.col("n1") + F.col("n2"))
+        * (F.col("n1") + F.col("n2") - 1)
+    )
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("r") - mu) / F.sqrt(num / den), 6).alias("z_stat"),
+    )
+
+
+# --- chi-square cell residuals ------------------------------------------
+
+
+@query(
+    "agg_chi2_cell_residuals",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT x, y, o,
+               CAST(sum(o) OVER (PARTITION BY x) AS BIGINT) AS rx,
+               CAST(sum(o) OVER (PARTITION BY y) AS BIGINT) AS cy,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM joint
+    )
+    SELECT x AS priority, y AS status, o AS observed,
+           round(CAST(rx AS DOUBLE) * cy / n, 6) AS expected,
+           round((o - CAST(rx AS DOUBLE) * cy / n)
+                 / sqrt(CAST(rx AS DOUBLE) * cy / n), 6) AS std_residual,
+           round((o - CAST(rx AS DOUBLE) * cy / n)
+                 / sqrt(CAST(rx AS DOUBLE) * cy / n
+                        * (1 - CAST(rx AS DOUBLE) / n)
+                        * (1 - CAST(cy AS DOUBLE) / n)), 6)
+               AS adj_residual
+    FROM m
+    ORDER BY priority, status
+    """,
+)
+def agg_chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell diagnostics for the priority×status contingency
+    table: observed vs expected counts, standardized residuals, and
+    Haberman's ADJUSTED residuals (which are ~N(0,1) under
+    independence, so |adj| > 2 flags the specific cells driving a
+    significant agg_chi_square_independence verdict — the drill-down
+    that turns "the table is dependent" into "URGENT orders are
+    over-represented among cancellations").
+
+    All margins are exact BIGINT window sums over the 15-cell joint
+    table (bounded by the category product, never the fact size);
+    expected counts and both residual forms are fixed double
+    expressions, rounded 6dp. One fact scan, one grid aggregate,
+    three tiny windows."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    m = joint.select(
+        "x",
+        "y",
+        "o",
+        F.sum("o").over(Window.partitionBy("x")).cast("long").alias("rx"),
+        F.sum("o").over(Window.partitionBy("y")).cast("long").alias("cy"),
+        F.sum("o")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    exp = d("rx") * F.col("cy") / F.col("n")
+    return m.select(
+        F.col("x").alias("priority"),
+        F.col("y").alias("status"),
+        F.col("o").alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("o") - exp) / F.sqrt(exp), 6).alias("std_residual"),
+        F.round(
+            (F.col("o") - exp)
+            / F.sqrt(
+                exp
+                * (1 - d("rx") / F.col("n"))
+                * (1 - d("cy") / F.col("n"))
+            ),
+            6,
+        ).alias("adj_residual"),
+    ).orderBy("priority", "status")

@@ -158,6 +158,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_autocorrelation",  # new r6: daily-revenue ACF, lags 1..14
     "sample_ht_estimator",  # new r6: stratified-Poisson HT totals
     "sim_centroid_classify_eval",  # new r6: Rocchio recall, integer centroids
+    "stats_kendall_tau",  # new r6: grid-join tau-b, corpus-size-free
+    "stats_runs_test",  # new r6: Wald-Wolfowitz randomness z
+    "agg_chi2_cell_residuals",  # new r6: Haberman adjusted residual drill-down
+    "etl_delete_rewrite_plan",  # new r6: GDPR copy-on-write amplification
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

@@ -352,6 +352,18 @@ UNPARTITIONED_WINDOW_OK = {
     "time_concurrency_peak",         # running sum over the bounded DAILY
                                      # delta table (calendar-sized), never
                                      # lineitem rows
+    "stats_mann_whitney_u",          # cumulative count over the DISTINCT
+                                     # dollar-value table (price grid), never
+                                     # order rows
+    "stats_spearman_corr",           # same distinct-value rank tables, one
+                                     # per variable
+    "agg_theil_sen_trend",           # rank over day-PAIR slopes — bounded by
+                                     # calendar² (~2.9M), independent of fact
+                                     # size (documented in the docstring)
+    "time_max_drawdown",             # running sum/max over the bounded DAILY
+                                     # series (calendar-sized)
+    "stats_runs_test",               # median rank + lag over the bounded
+                                     # DAILY series (calendar-sized)
 }
 
 

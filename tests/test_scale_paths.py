@@ -2074,3 +2074,117 @@ def test_centroid_classify_matches_numpy(spark):
     for lab in range(10):
         if totals[lab]:
             assert got[lab] == (totals[lab], correct[lab])
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """tau-b recomputed with the O(n²) definition over raw rows at
+    sf0.001 (6k rows → 18M comparisons via numpy broadcasting)."""
+    import math
+
+    import numpy as np
+
+    r = load_all()["stats_kendall_tau"].fn(spark, SF_SMALL).first()
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS LONG) AS x",
+            "CAST(round(l_discount * 100) AS LONG) AS y",
+        )
+        .collect()
+    )
+    x = np.array([a.x for a in li])
+    y = np.array([a.y for a in li])
+    n = len(x)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    prod = dx * dy
+    conc = int((prod > 0).sum() // 2)
+    disc = int((prod < 0).sum() // 2)
+    n0 = n * (n - 1) / 2
+    tx = sum(
+        c * (c - 1) / 2 for c in np.bincount(x - x.min()) if c > 1
+    )
+    ty = sum(
+        c * (c - 1) / 2 for c in np.bincount(y - y.min()) if c > 1
+    )
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert (r.concordant, r.discordant) == (conc, disc)
+    assert math.isclose(r.kendall_tau_b, tau, rel_tol=0, abs_tol=5e-7)
+
+
+def test_runs_test_matches_bruteforce(spark):
+    """Run count and z recomputed with a sequential Python fold."""
+    import math
+    import statistics as pystats
+
+    r = load_all()["stats_runs_test"].fn(spark, SF_SMALL).first()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .groupBy("day")
+        .sum("v")
+        .collect()
+    )
+    pts = sorted((x.day, x["sum(v)"]) for x in daily)
+    med = pystats.median(v for _, v in pts)
+    signs = [1 if v > med else 0 for _, v in pts if v != med]
+    runs = 1 + sum(
+        1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+    )
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    assert (r.n_above, r.n_below, r.n_runs) == (n1, n2, runs)
+    mu = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert math.isclose(r.z_stat, (runs - mu) / math.sqrt(var), rel_tol=1e-5)
+
+
+def test_chi2_residuals_reconcile_with_chi2(spark):
+    """Σ std_residual² over cells must equal the chi-square statistic
+    reported by agg_chi_square_independence."""
+    import math
+
+    cells = load_all()["agg_chi2_cell_residuals"].fn(spark, SF_SMALL).collect()
+    chi = load_all()["agg_chi_square_independence"].fn(spark, SF_SMALL).first()
+    total = sum(c.std_residual**2 for c in cells)
+    assert math.isclose(total, chi.chi2, rel_tol=1e-4)
+    # adjusted residuals are strictly larger in magnitude than raw ones
+    for c in cells:
+        if c.std_residual != 0:
+            assert abs(c.adj_residual) > abs(c.std_residual)
+
+
+def test_delete_rewrite_plan_matches_bruteforce(spark):
+    """Partition ledger recomputed in Python with the same md5 rule."""
+    import hashlib
+    from collections import defaultdict
+
+    r = load_all()["etl_delete_rewrite_plan"].fn(spark, SF_SMALL).first()
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    dels = {
+        x.c_custkey
+        for x in cust
+        if int(hashlib.md5(f"del:{x.c_custkey}".encode()).hexdigest()[:8], 16)
+        < int(0.02 * (1 << 32))
+    }
+    orders = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for x in orders:
+        per[x.m][0] += 1
+        per[x.m][1] += int(x.o_custkey in dels)
+    assert r.n_partitions == len(per)
+    assert r.partitions_touched == sum(1 for v in per.values() if v[1])
+    assert r.rows_deleted == sum(v[1] for v in per.values())
+    assert r.rows_rewritten == sum(v[0] for v in per.values() if v[1])
