@@ -214,6 +214,10 @@ HEADLINE = [
     "stats_runs_test",
     "agg_chi2_cell_residuals",
     "etl_delete_rewrite_plan",
+    "time_rolling_median",
+    "ml_calibration_error",
+    "ab_power_mde",
+    "multimodal_pixel_histogram",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

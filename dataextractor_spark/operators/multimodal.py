@@ -1485,3 +1485,82 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_checksums"
         ),
     )
+
+
+@query(
+    "multimodal_pixel_histogram",
+    oracle=f"""
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+        SELECT i.doc_id,
+               CAST(((i.doc_id + t.y) % 256) // 16 AS BIGINT) AS bin
+        FROM img i CROSS JOIN range({BMP_H}) t(y)
+    )
+    SELECT bin,
+           CAST(count(*) * {BMP_W} * 3 AS BIGINT) AS n_bytes,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images_hit
+    FROM px
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-intensity histogram as a FEATURE EXTRACTION stage over
+    real decoded rasters: synthesize 24-bit BMPs (the established
+    16×12 (doc_id+y)%256 row pattern), DECODE them back byte-for-byte
+    with the pure-Python parser, bucket every raster byte into 16
+    intensity bins, and aggregate the per-image histograms corpus-wide
+    — the brightness-distribution profile an image-quality gate
+    computes before training (all-dark / all-bright shards are
+    corrupt-decode smells). Completes the multimodal story: codecs
+    prove bytes survive; this consumes the decoded bytes as features.
+
+    The oracle recomputes every bin in closed form from the synthetic
+    pixel formula, so a single mis-parsed raster byte anywhere in the
+    BMP decode path shifts a bin count and flips the hash. All
+    counts exact BIGINT; one mapInPandas stage (bytes cross into
+    Python once, 16 small rows per image come back), one JVM bin
+    aggregate."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "bin": [], "n": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows = [
+                    bytes([(doc_id + y) % 256]) * (BMP_W * 3)
+                    for y in range(BMP_H)
+                ]
+                w, h, decoded = _decode_bmp(
+                    _encode_bmp(rows, BMP_W, BMP_H)
+                )
+                if (w, h, decoded) != (BMP_W, BMP_H, rows):
+                    raise ValueError(
+                        f"BMP roundtrip mismatch for doc {doc_id}"
+                    )
+                hist: dict[int, int] = {}
+                for r in decoded:
+                    for b in r:
+                        hist[b // 16] = hist.get(b // 16, 0) + 1
+                for k, v in sorted(hist.items()):
+                    out["doc_id"].append(doc_id)
+                    out["bin"].append(k)
+                    out["n"].append(v)
+            yield pd.DataFrame(out)
+
+    per = docs.select("doc_id").mapInPandas(
+        run, "doc_id BIGINT, bin BIGINT, n BIGINT"
+    )
+    return (
+        per.groupBy("bin")
+        .agg(
+            F.sum("n").cast("long").alias("n_bytes"),
+            F.countDistinct("doc_id").cast("long").alias("n_images_hit"),
+        )
+        .orderBy("bin")
+    )

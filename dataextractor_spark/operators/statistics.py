@@ -3095,3 +3095,112 @@ def agg_chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("adj_residual"),
     ).orderBy("priority", "status")
+
+
+# --- experiment power / MDE planning -------------------------------------
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (fixed design
+#: constants — the only two z-values every power calculator hardcodes)
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+def _power_sql() -> str:
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5('pz:'
+                    || CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT) % 2
+                   AS t,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'error'
+                                  THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(count(*) - sum(t) AS BIGINT) AS n_c,
+               CAST(sum(converted) AS BIGINT) AS x
+        FROM per_user
+    )
+    SELECT n_t AS n_treat, n_c AS n_ctrl,
+           round(CAST(x AS DOUBLE) / (n_t + n_c), 6) AS base_rate,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt((CAST(x AS DOUBLE) / (n_t + n_c))
+                        * (1 - CAST(x AS DOUBLE) / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c)), 6) AS mde_abs,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt((CAST(x AS DOUBLE) / (n_t + n_c))
+                        * (1 - CAST(x AS DOUBLE) / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c))
+                 / (CAST(x AS DOUBLE) / (n_t + n_c)), 6) AS mde_rel,
+           CAST(ceil(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                 * 2 * (CAST(x AS DOUBLE) / (n_t + n_c))
+                 * (1 - CAST(x AS DOUBLE) / (n_t + n_c)) / 0.0001)
+                AS BIGINT) AS n_per_arm_for_1pp
+    FROM s
+    """
+
+
+@query("ab_power_mde", oracle=_power_sql())
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power planning for the conversion experiment: with the CURRENT
+    arm sizes and base rate, what absolute/relative effect is
+    detectable at alpha=0.05 two-sided with 80% power — and how many
+    users per arm would a 1-percentage-point MDE require? This is the
+    pre-experiment sizing table (the before-picture to
+    stats_proportion_ztest's readout and ab_srm_guardrail's health
+    check; same assignment idiom, same conversion definition).
+
+    All counts exact BIGINT from one user-keyed aggregate; the MDE
+    formulas are fixed double expressions with the two standard
+    normal quantiles as literal design constants, rounded 6dp; the
+    required-n uses ceil (you can't recruit a fraction of a user).
+    One events scan, one scalar row."""
+    e = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("pz:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    n_of = lambda et: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == et, F.lit(1)).otherwise(F.lit(0))
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max(t).alias("t"),
+        F.when(n_of("purchase") > n_of("error"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+    s = per_user.agg(
+        F.sum("t").cast("long").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_c"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = d("x") / (F.col("n_t") + F.col("n_c"))
+    zsum = _Z_ALPHA + _Z_BETA
+    mde = zsum * F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    return s.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+        F.ceil(zsum * zsum * 2 * p * (1 - p) / 0.0001)
+        .cast("long")
+        .alias("n_per_arm_for_1pp"),
+    )

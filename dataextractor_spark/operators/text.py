@@ -2493,3 +2493,139 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "ml_calibration_error",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    weighted AS (
+        SELECT doc_id, lang, n,
+               (CAST('0x' || substr(md5('cal:' || t), 1, 4) AS BIGINT)
+                % 2001 - 1000) AS wi
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN min(lang) = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(round(1.0 / (1.0 + exp(-(0.1 + CAST(sum(wi) AS DOUBLE)
+                    / (1000.0 * min(n))))) * 1000000) AS BIGINT) AS c6
+        FROM weighted GROUP BY doc_id
+    ),
+    binned AS (
+        SELECT CASE WHEN c6 >= 1000000 THEN 9
+                    ELSE CAST(floor(c6 / 100000) AS BIGINT) END AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(c6) AS BIGINT) AS conf6,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(abs(pos * 1000000 - conf6)) AS BIGINT) AS num,
+               CAST(sum(n_docs) AS BIGINT) AS n
+        FROM binned
+    )
+    SELECT b.bin,
+           b.n_docs,
+           round(CAST(b.conf6 AS DOUBLE) / b.n_docs / 1000000, 6)
+               AS avg_confidence,
+           round(CAST(b.pos AS DOUBLE) / b.n_docs, 6) AS frac_positive,
+           round(CAST(t.num AS DOUBLE) / t.n / 1000000, 6) AS ece
+    FROM binned b CROSS JOIN tot t
+    ORDER BY b.bin
+    """,
+)
+def ml_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + Expected Calibration Error for a
+    classifier score over the corpus: confidence-decile bins with
+    average confidence vs realized positive rate (label: document is
+    English), and ECE = Σ (n_b/N)·|acc_b − conf_b| — the standard
+    "can you trust the probabilities" readout an ML-data pipeline
+    runs before using classifier scores as sampling weights
+    (text_dsir_importance) or filter gates (text_quality_threshold
+    _sweep). The scorer is the text_hashed_linear_score construction
+    under a fresh hash salt ('cal:'), i.e. a deliberately untrained
+    model — the table shows exactly how overconfident it is.
+
+    Exactness: confidence is quantized to integer MICRO-units at the
+    same 6dp grain the score is rounded to, so per-bin confidence
+    sums are BIGINT, and the ECE numerator Σ|pos_b·1e6 − conf6_b| is
+    an exact integer — no cross-bin float accumulation anywhere.
+    One explode + doc-keyed aggregate, one 10-row bin aggregate, one
+    broadcast scalar join."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select(
+        "doc_id", "lang", F.size(w).alias("n"), F.explode(w).alias("t")
+    )
+    hexv = lambda i: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("cal:"), F.col("t"))), i, 1),
+        )
+        - 1
+    )
+    wi = (
+        hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)
+    ) % 2001 - 1000
+    scored = (
+        toks.withColumn("wi", wi)
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.min("lang") == "en", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(-(0.1 + F.sum("wi") / (1000.0 * F.min("n"))))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("c6"),
+        )
+    )
+    binned = (
+        scored.groupBy(
+            F.when(F.col("c6") >= 1000000, F.lit(9))
+            .otherwise(F.floor(F.col("c6") / 100000))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c6").cast("long").alias("conf6"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = binned.agg(
+        F.sum(F.abs(F.col("pos") * 1000000 - F.col("conf6")))
+        .cast("long")
+        .alias("num"),
+        F.sum("n_docs").cast("long").alias("n"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            F.round(
+                F.col("conf6").cast("double") / F.col("n_docs") / 1000000, 6
+            ).alias("avg_confidence"),
+            F.round(F.col("pos").cast("double") / F.col("n_docs"), 6).alias(
+                "frac_positive"
+            ),
+            F.round(
+                F.col("num").cast("double") / F.col("n") / 1000000, 6
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )

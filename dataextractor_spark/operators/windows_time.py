@@ -1570,3 +1570,98 @@ def time_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+@query(
+    "time_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY 1
+    ),
+    nb AS (
+        SELECT a.d, a.v, list_sort(list(b.v)) AS w
+        FROM daily a
+        JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+        GROUP BY a.d, a.v
+    ),
+    med AS (
+        SELECT d, v,
+               CAST(len(w) AS BIGINT) AS n_window,
+               (w[CAST(floor((len(w) + 1) / 2.0) AS BIGINT)]
+                + w[CAST(ceil((len(w) + 1) / 2.0) AS BIGINT)]) / 2.0
+                   AS rolling_med
+        FROM nb
+    )
+    SELECT CAST(d AS BIGINT) AS day_index, v AS dollars,
+           round(rolling_med, 1) AS rolling_median,
+           n_window,
+           CAST(round(abs(v - rolling_med) * 10) AS BIGINT)
+               AS abs_dev_x10
+    FROM med
+    ORDER BY abs_dev_x10 DESC, day_index
+    LIMIT 10
+    """,
+)
+def time_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN smoother over daily revenue with the ten
+    largest deviations surfaced — the robust outlier screen a
+    moving AVERAGE can't provide (one spike day drags the mean and
+    masks itself; the median shrugs it off, so spike days stand out
+    against their own neighborhood).
+
+    The window is by CALENDAR DAY (a.d±3 via a bounded self-join on
+    the daily aggregate — gap days simply shrink the window, honest
+    behavior a row-frame would fake). The median of ≤7 exact integer
+    dollars is an exact order statistic off one sorted list —
+    integer-or-half values only, so abs deviations ×10 are exact
+    BIGINTs and the top-10 ordering (deviation desc, day) is
+    deterministic on both engines with no float comparison anywhere
+    near the cut. Calendar-bounded end to end after the day-keyed
+    pre-aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice")).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("d").alias("ad"), F.col("v").alias("av"))
+    b = daily.select(F.col("d").alias("bd"), F.col("v").alias("bv"))
+    nb = (
+        a.join(
+            b,
+            (F.col("bd") >= F.col("ad") - 3) & (F.col("bd") <= F.col("ad") + 3),
+        )
+        .groupBy("ad", "av")
+        .agg(F.array_sort(F.collect_list("bv")).alias("w"))
+    )
+    n = F.size("w")
+    lo = F.floor((n + 1) / 2.0).cast("int")
+    hi = F.ceil((n + 1) / 2.0).cast("int")
+    med = (
+        F.element_at("w", lo) + F.element_at("w", hi)
+    ) / 2.0
+    scored = nb.select(
+        F.col("ad").cast("long").alias("day_index"),
+        F.col("av").alias("dollars"),
+        F.round(med, 1).alias("rolling_median"),
+        n.cast("long").alias("n_window"),
+        F.round(F.abs(F.col("av") - med) * 10)
+        .cast("long")
+        .alias("abs_dev_x10"),
+    )
+    return scored.orderBy(
+        F.col("abs_dev_x10").desc(), "day_index"
+    ).limit(10)

@@ -162,6 +162,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stats_runs_test",  # new r6: Wald-Wolfowitz randomness z
     "agg_chi2_cell_residuals",  # new r6: Haberman adjusted residual drill-down
     "etl_delete_rewrite_plan",  # new r6: GDPR copy-on-write amplification
+    "time_rolling_median",  # new r6: robust 7-day smoother, top deviations
+    "ml_calibration_error",  # new r6: reliability bins + integer-exact ECE
+    "ab_power_mde",  # new r6: MDE / required-n experiment sizing
+    "multimodal_pixel_histogram",  # new r6: decoded-raster intensity bins
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

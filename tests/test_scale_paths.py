@@ -2188,3 +2188,94 @@ def test_delete_rewrite_plan_matches_bruteforce(spark):
     assert r.partitions_touched == sum(1 for v in per.values() if v[1])
     assert r.rows_deleted == sum(v[1] for v in per.values())
     assert r.rows_rewritten == sum(v[0] for v in per.values() if v[1])
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    """Windows and medians recomputed with a Python dict walk."""
+    import statistics as pystats
+
+    rows = load_all()["time_rolling_median"].fn(spark, SF_SMALL).collect()
+    daily = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS d",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .groupBy("d")
+        .sum("v")
+        .collect()
+    )
+    series = {x.d: x["sum(v)"] for x in daily}
+    scored = []
+    for d, v in series.items():
+        w = [series[k] for k in range(d - 3, d + 4) if k in series]
+        med = pystats.median(w)
+        scored.append((round(abs(v - med) * 10), d, v, med, len(w)))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = scored[:10]
+    assert len(rows) == 10
+    for r, (dev, d, v, med, nw) in zip(rows, want):
+        assert (r.day_index, r.dollars, r.n_window, r.abs_dev_x10) == (
+            d,
+            v,
+            nw,
+            dev,
+        )
+        assert float(r.rolling_median) == round(float(med), 1)
+
+
+def test_calibration_ece_reconciles(spark):
+    """ECE recomputed from the emitted reliability table itself."""
+    import math
+
+    rows = load_all()["ml_calibration_error"].fn(spark, SF_SMALL).collect()
+    n = sum(r.n_docs for r in rows)
+    ece = sum(
+        r.n_docs / n * abs(r.frac_positive - r.avg_confidence) for r in rows
+    )
+    # the operator computes the numerator pre-rounding, so allow the
+    # per-bin 6dp rounding to accumulate across <=10 bins
+    assert math.isclose(rows[0].ece, ece, rel_tol=0, abs_tol=1e-5)
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.avg_confidence <= 1.0
+        assert 0.0 <= r.frac_positive <= 1.0
+
+
+def test_power_mde_consistent_with_ztest(spark):
+    """The MDE at the observed arm sizes must exceed the observed
+    |rate difference| whenever the z-test is not significant, and the
+    required-n formula must recompute."""
+    import math
+
+    p_row = load_all()["ab_power_mde"].fn(spark, SF_SMALL).first()
+    z_row = load_all()["stats_proportion_ztest"].fn(spark, SF_SMALL).first()
+    assert (p_row.n_treat, p_row.n_ctrl) == (z_row.n_treat, z_row.n_ctrl)
+    obs_diff = abs(z_row.rate_treat - z_row.rate_ctrl)
+    if abs(z_row.z_stat) < 1.96:
+        assert p_row.mde_abs > obs_diff
+    p = p_row.base_rate
+    want_n = math.ceil((1.959964 + 0.841621) ** 2 * 2 * p * (1 - p) / 1e-4)
+    assert p_row.n_per_arm_for_1pp == want_n
+
+
+def test_pixel_histogram_closed_form(spark):
+    """Bin counts recomputed from the synthetic pixel formula."""
+    from collections import defaultdict
+
+    rows = load_all()["multimodal_pixel_histogram"].fn(spark, SF_SMALL).collect()
+    ids = [
+        x.doc_id
+        for x in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if x.doc_id % 3 == 0
+    ]
+    bins = defaultdict(lambda: [0, set()])
+    for d in ids:
+        for y in range(12):
+            b = ((d + y) % 256) // 16
+            bins[b][0] += 16 * 3
+            bins[b][1].add(d)
+    got = {r.bin: (r.n_bytes, r.n_images_hit) for r in rows}
+    assert got == {b: (v[0], len(v[1])) for b, v in bins.items()}
