@@ -218,6 +218,8 @@ HEADLINE = [
     "ml_calibration_error",
     "ab_power_mde",
     "multimodal_pixel_histogram",
+    "graph_hits_scores",
+    "stats_brown_forsythe",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

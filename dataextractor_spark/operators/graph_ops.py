@@ -1173,3 +1173,122 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+_HITS_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+a1 AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS a FROM pairs GROUP BY p
+),
+h1 AS (
+    SELECT e.s, CAST(sum(a1.a) AS BIGINT) AS h
+    FROM pairs e JOIN a1 ON a1.p = e.p GROUP BY e.s
+),
+a2 AS (
+    SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS a
+    FROM pairs e JOIN h1 ON h1.s = e.s GROUP BY e.p
+),
+h2 AS (
+    SELECT e.s, CAST(sum(a2.a) AS BIGINT) AS h
+    FROM pairs e JOIN a2 ON a2.p = e.p GROUP BY e.s
+),
+amax AS (SELECT max(a) AS m FROM a2),
+hmax AS (SELECT max(h) AS m FROM h2),
+tops AS (
+    SELECT 'authority' AS role, 'p' || CAST(p AS VARCHAR) AS node,
+           round(CAST(a AS DOUBLE) / (SELECT m FROM amax), 6) AS score
+    FROM a2
+    ORDER BY a DESC, p LIMIT 10
+),
+toph AS (
+    SELECT 'hub' AS role, 's' || CAST(s AS VARCHAR) AS node,
+           round(CAST(h AS DOUBLE) / (SELECT m FROM hmax), 6) AS score
+    FROM h2
+    ORDER BY h DESC, s LIMIT 10
+)
+SELECT * FROM tops
+UNION ALL
+SELECT * FROM toph
+ORDER BY role, score DESC, node
+"""
+
+
+@query("graph_hits_scores", oracle=_HITS_ORACLE)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) on the directed
+    supplier→part incidence graph, two full mutual-reinforcement
+    sweeps: a part is a strong AUTHORITY when many strong hubs stock
+    it; a supplier is a strong HUB when it stocks strong authorities
+    — the ranking pair that separates "broad generalist supplier"
+    from "supplier of the critical parts", which plain degree
+    (graph_degree_distribution) and PageRank's single score cannot.
+
+    The portability trick: iterations run UN-normalized, so every
+    intermediate score is an exact BIGINT (a1 = in-degree; h1 = Σa1 ≤
+    deg·max_deg; a2 = Σh1 ≤ ~1e12 at sf0.1 — int64 headroom bounds
+    the sweep count at two, documented), and normalization happens
+    ONCE at the end by the integer maximum (max is order-free, unlike
+    the textbook L2 norm, whose cross-node float sum would be
+    accumulation-order-dependent). Each sweep is one edge-keyed join
+    + node-keyed aggregate — the pagerank shuffle shape without the
+    teleport bookkeeping. Top-10 per role with (score desc, node)
+    deterministic ordering."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    pairs = (
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a1 = pairs.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        pairs.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        pairs.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum("h").cast("long").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    h2 = (
+        pairs.join(a2, "p")
+        .groupBy("s")
+        .agg(F.sum("a").cast("long").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    amax = a2.agg(F.max("a").alias("m"))
+    hmax = h2.agg(F.max("h").alias("m"))
+    tops = (
+        a2.orderBy(F.col("a").desc(), "p")
+        .limit(10)
+        .crossJoin(F.broadcast(amax))
+        .select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("node"),
+            F.round(F.col("a").cast("double") / F.col("m"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    toph = (
+        h2.orderBy(F.col("h").desc(), "s")
+        .limit(10)
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("node"),
+            F.round(F.col("h").cast("double") / F.col("m"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    return tops.unionByName(toph).orderBy(
+        "role", F.col("score").desc(), "node"
+    )

@@ -3204,3 +3204,189 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_for_1pp"),
     )
+
+
+# --- Brown-Forsythe variance-homogeneity test ---------------------------
+
+
+def _bf_sql() -> str:
+    per = []
+    for i, lvl in enumerate(_ANOVA_LEVELS, 1):
+        hit = f"p = '{lvl}'"
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0)"
+            f" AS BIGINT) AS n{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN z END), 0)"
+            f" AS BIGINT) AS s{i}"
+        )
+        per.append(
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN z * z END), 0)"
+            f" AS BIGINT) AS q{i}"
+        )
+    cols = ",\n               ".join(per)
+    grp = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+    )
+    n = " + ".join(f"n{i}" for i in range(1, 6))
+    s = " + ".join(f"s{i}" for i in range(1, 6))
+    q = " + ".join(f"q{i}" for i in range(1, 6))
+    return f"""
+    WITH vals AS (
+        SELECT o_orderpriority AS p,
+               CAST(round(o_totalprice) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p, v, cnt,
+               CAST(coalesce(sum(cnt) OVER (
+                   PARTITION BY p ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before,
+               CAST(sum(cnt) OVER (PARTITION BY p) AS BIGINT) AS ng
+        FROM vals
+    ),
+    med AS (
+        SELECT p,
+               CAST(sum(CASE WHEN cum_before
+                                  < CAST(floor((ng + 1) / 2.0) AS BIGINT)
+                              AND cum_before + cnt
+                                  >= CAST(floor((ng + 1) / 2.0) AS BIGINT)
+                             THEN v ELSE 0 END)
+                    + sum(CASE WHEN cum_before
+                                    < CAST(ceil((ng + 1) / 2.0) AS BIGINT)
+                                AND cum_before + cnt
+                                    >= CAST(ceil((ng + 1) / 2.0) AS BIGINT)
+                               THEN v ELSE 0 END) AS BIGINT) AS med2
+        FROM ranked GROUP BY p
+    ),
+    devs AS (
+        SELECT o.o_orderpriority AS p,
+               abs(2 * CAST(round(o.o_totalprice) AS BIGINT) - m.med2)
+                   AS z
+        FROM orders o JOIN med m ON m.p = o.o_orderpriority
+    ),
+    piv AS (
+        SELECT {cols}
+        FROM devs
+    ),
+    m2 AS (
+        SELECT *,
+               CAST({n} AS BIGINT) AS n,
+               CAST({s} AS BIGINT) AS st,
+               CAST({q} AS BIGINT) AS qt,
+               ({grp}) AS grp_term
+        FROM piv
+    )
+    SELECT n AS n_total,
+           round((grp_term - CAST(st AS DOUBLE) * st / n) / 4
+                 / ((CAST(qt AS DOUBLE) - grp_term) / (n - 5)), 6)
+               AS bf_f_stat,
+           round((grp_term - CAST(st AS DOUBLE) * st / n), 2)
+               AS ss_between_dev,
+           round((CAST(qt AS DOUBLE) - grp_term), 2) AS ss_within_dev
+    FROM m2
+    """
+
+
+@query("stats_brown_forsythe", oracle=_bf_sql())
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for variance homogeneity across the five
+    priority strata: one-way ANOVA on |x − group MEDIAN| — the
+    robust Levene variant, and the pre-check that says whether
+    pooled-variance methods are safe or you reach for
+    stats_ttest_welch (which assumes nothing about equal spread).
+
+    Two exact passes: per-group medians come from the distinct-value
+    rank tables (the stats_mann_whitney_u idiom; med2 = 2×median
+    stays integral through even-count averaging), broadcast back onto
+    the fact scan, where deviations z = |2x − med2| are exact BIGINT
+    (the ×2 scale avoids .5 fractions entirely — F is scale-invariant
+    so the doubling cancels). The deviation ANOVA is the
+    stats_anova_oneway pivot: fixed per-stratum columns, explicit
+    cross-group chains, one fixed double F at the end. Windows
+    partition BY GROUP (bounded per-priority price grids)."""
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    vals = (
+        o.select(F.col("o_orderpriority").alias("p"), dollars.alias("v"))
+        .groupBy("p", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("p")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("p")
+    ranked = vals.select(
+        "p",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("cnt").over(wall).cast("long").alias("ng"),
+    )
+    lo = F.floor((F.col("ng") + 1) / 2.0).cast("long")
+    hi = F.ceil((F.col("ng") + 1) / 2.0).cast("long")
+    covers = lambda r: (F.col("cum_before") < r) & (  # noqa: E731
+        F.col("cum_before") + F.col("cnt") >= r
+    )
+    med = ranked.groupBy("p").agg(
+        (
+            F.sum(F.when(covers(lo), F.col("v")).otherwise(F.lit(0)))
+            + F.sum(F.when(covers(hi), F.col("v")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    devs = o.join(
+        F.broadcast(med), o.o_orderpriority == med.p
+    ).select(
+        "p", F.abs(2 * dollars - F.col("med2")).alias("z")
+    )
+    aggs = []
+    for i, lvl in enumerate(_ANOVA_LEVELS, 1):
+        hit = F.col("p") == lvl
+        aggs += [
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(F.sum(F.when(hit, F.col("z"))), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}"),
+            F.coalesce(
+                F.sum(F.when(hit, F.col("z") * F.col("z"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    piv = devs.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    grp_term = None
+    n = None
+    st = None
+    qt = None
+    for i in range(1, 6):
+        term = d(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        grp_term = term if grp_term is None else grp_term + term
+        n = F.col(f"n{i}") if n is None else n + F.col(f"n{i}")
+        st = F.col(f"s{i}") if st is None else st + F.col(f"s{i}")
+        qt = F.col(f"q{i}") if qt is None else qt + F.col(f"q{i}")
+    m2 = piv.select(
+        n.cast("long").alias("n"),
+        st.cast("long").alias("st"),
+        qt.cast("long").alias("qt"),
+        grp_term.alias("grp_term"),
+    )
+    ssb = F.col("grp_term") - d("st") * F.col("st") / F.col("n")
+    ssw = d("qt") - F.col("grp_term")
+    return m2.select(
+        F.col("n").alias("n_total"),
+        F.round(ssb / 4 / (ssw / (F.col("n") - 5)), 6).alias("bf_f_stat"),
+        F.round(ssb, 2).alias("ss_between_dev"),
+        F.round(ssw, 2).alias("ss_within_dev"),
+    )

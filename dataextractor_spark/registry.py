@@ -166,6 +166,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ml_calibration_error",  # new r6: reliability bins + integer-exact ECE
     "ab_power_mde",  # new r6: MDE / required-n experiment sizing
     "multimodal_pixel_histogram",  # new r6: decoded-raster intensity bins
+    "graph_hits_scores",  # new r6: 2-sweep integer HITS, max-normalized
+    "stats_brown_forsythe",  # new r6: robust variance-homogeneity F
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

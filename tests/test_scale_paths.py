@@ -2279,3 +2279,82 @@ def test_pixel_histogram_closed_form(spark):
             bins[b][1].add(d)
     got = {r.bin: (r.n_bytes, r.n_images_hit) for r in rows}
     assert got == {b: (v[0], len(v[1])) for b, v in bins.items()}
+
+
+def test_hits_matches_bruteforce(spark):
+    """Two un-normalized HITS sweeps recomputed with Python dicts;
+    top-10 sets and max-normalized scores must agree."""
+    import math
+    from collections import defaultdict
+
+    rows = load_all()["graph_hits_scores"].fn(spark, SF_SMALL).collect()
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .selectExpr("l_suppkey AS s", "l_partkey AS p")
+        .distinct()
+        .collect()
+    )
+    edges = [(x.s, x.p) for x in li]
+    a1 = defaultdict(int)
+    for s, p in edges:
+        a1[p] += 1
+    h1 = defaultdict(int)
+    for s, p in edges:
+        h1[s] += a1[p]
+    a2 = defaultdict(int)
+    for s, p in edges:
+        a2[p] += h1[s]
+    h2 = defaultdict(int)
+    for s, p in edges:
+        h2[s] += a2[p]
+    am, hm = max(a2.values()), max(h2.values())
+    want_auth = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want_hub = sorted(h2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    # the output re-sorts by node STRING for equal scores ('p10' <
+    # 'p2'), so compare as (set, score-map) not positionally
+    got_auth = {r.node: r.score for r in rows if r.role == "authority"}
+    got_hub = {r.node: r.score for r in rows if r.role == "hub"}
+    assert set(got_auth) == {f"p{p}" for p, _ in want_auth}
+    assert set(got_hub) == {f"s{s}" for s, _ in want_hub}
+    for p_, v in want_auth:
+        assert math.isclose(
+            got_auth[f"p{p_}"], v / am, rel_tol=0, abs_tol=5e-7
+        )
+    for s_, v in want_hub:
+        assert math.isclose(
+            got_hub[f"s{s_}"], v / hm, rel_tol=0, abs_tol=5e-7
+        )
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    """BF statistic recomputed from raw rows with Python medians."""
+    import math
+    import statistics as pystats
+    from collections import defaultdict
+
+    r = load_all()["stats_brown_forsythe"].fn(spark, SF_SMALL).first()
+    data = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_orderpriority AS p",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for x in data:
+        groups[x.p].append(x.v)
+    devs = defaultdict(list)
+    for p, vs in groups.items():
+        med = pystats.median(vs)
+        devs[p] = [abs(2 * v - int(2 * med)) for v in vs]
+    allz = [z for zs in devs.values() for z in zs]
+    n, k = len(allz), len(devs)
+    gm = sum(allz) / n
+    ssb = sum(len(zs) * (sum(zs) / len(zs) - gm) ** 2 for zs in devs.values())
+    ssw = sum(
+        (z - sum(zs) / len(zs)) ** 2 for zs in devs.values() for z in zs
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.n_total == n
+    assert math.isclose(r.bf_f_stat, f, rel_tol=1e-6)
