@@ -220,6 +220,9 @@ HEADLINE = [
     "multimodal_pixel_histogram",
     "graph_hits_scores",
     "stats_brown_forsythe",
+    "udf_arrow_map_tokencount",
+    "sql_observe_metrics",
+    "sql_parameterized_args",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -11,6 +11,8 @@ other operator in the engine stays built-in.
 
 from __future__ import annotations
 
+import datetime
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -672,4 +674,152 @@ def sql_udf_scalar_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY band
         ORDER BY band
         """
+    )
+
+
+@query(
+    "udf_arrow_map_tokencount",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udf_arrow_map_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python extension point (the
+    Arrow RecordBatch itself crosses the boundary; no pandas
+    conversion on either side): whitespace token counts computed
+    against raw Arrow arrays, then rolled up per language in the JVM.
+    Completes the Python-UDF ladder the repo demonstrates: row UDF
+    (never) < pandas_udf < mapInPandas < mapInArrow, each shaving a
+    serialization layer. The oracle recomputes the counts relationally
+    (string_split length), so the Arrow path is value-checked — and
+    the token counts are exact integers, immune to every float
+    portability concern. One scan, one Arrow stage, one hash
+    aggregate."""
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def count_tokens(batches):
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "lang": batch.column("lang"),
+                    "n": pa.array(
+                        [len(t.split(" ")) for t in texts], pa.int64()
+                    ),
+                }
+            )
+
+    per = d.select("lang", "text").mapInArrow(
+        count_tokens, "lang STRING, n BIGINT"
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "sql_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f_status
+    FROM orders
+    """,
+)
+def sql_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` — Spark's zero-extra-pass metric
+    collection: named aggregates piggyback on a query's execution as
+    AggregatingAccumulators, so data-quality counters (row counts,
+    conditional counts, control totals) ride along with the real job
+    instead of costing a second scan — at 100 TB the difference
+    between free observability and doubling the read bill. Here the
+    observed metrics ARE the result (re-emitted as a 1-row
+    DataFrame), and the oracle recomputes the same three controls
+    relationally, proving the accumulator path loses nothing. The
+    observed query itself is a noop-ish narrow pass (the metrics
+    attach to the scan); all values exact BIGINT."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq_controls")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_f_status"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_f_status"]))],
+        "n_rows BIGINT, total_cents BIGINT, n_f_status BIGINT",
+    )
+
+
+@query(
+    "sql_parameterized_args",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1998-01-01'
+      AND o_totalprice >= 100000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (SPARK-44066): the query text carries
+    ``:from_date`` / ``:min_price`` markers and values bind at
+    execution — the injection-safe template surface a query service
+    exposes instead of f-string SQL (parameters are typed literals in
+    the plan, never string splices, so Catalyst constant-folds and
+    pushes them down exactly like hand-written literals). The oracle
+    inlines the same literals, proving the binding is lossless."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_param
+        WHERE o_orderdate >= :from_date
+          AND o_orderdate < :to_date
+          AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={
+            "from_date": datetime.date(1996, 1, 1),
+            "to_date": datetime.date(1998, 1, 1),
+            "min_price": 100000.0,
+        },
     )

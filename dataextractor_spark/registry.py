@@ -168,6 +168,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_pixel_histogram",  # new r6: decoded-raster intensity bins
     "graph_hits_scores",  # new r6: 2-sweep integer HITS, max-normalized
     "stats_brown_forsythe",  # new r6: robust variance-homogeneity F
+    "udf_arrow_map_tokencount",  # new r6: raw-Arrow extension point
+    "sql_observe_metrics",  # new r6: piggybacked DQ accumulators
+    "sql_parameterized_args",  # new r6: named-parameter SQL binding
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",
