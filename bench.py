@@ -223,6 +223,9 @@ HEADLINE = [
     "udf_arrow_map_tokencount",
     "sql_observe_metrics",
     "sql_parameterized_args",
+    "source_text_lines_scan",
+    "time_interevent_gaps",
+    "text_vocab_growth",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

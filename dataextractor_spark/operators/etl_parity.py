@@ -1398,3 +1398,40 @@ def etl_delete_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("write_amplification"),
     )
+
+
+@query(
+    "source_text_lines_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS line_md5_sum
+    FROM documents
+    """,
+)
+def source_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink roundtrip — ``df.write.text`` /
+    ``spark.read.text``, the lowest-common-denominator line format
+    (log shipping, WET extracts, token dumps). Document bodies carry
+    no newlines (measured — the WARC/XML operators rely on the same
+    fixture property), so one document is one line, and the scan-back
+    is pinned by line count, total characters, and the summed 32-bit
+    md5 prefix — a single flipped byte anywhere in the write→read
+    cycle breaks the hash. Text files split on line boundaries, so
+    the read parallelizes like any other splittable format; mkdtemp
+    isolates concurrent invocations."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="dataextractor_spark_text_"), "docs_txt"
+    )
+    d.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    md5_prefix = F.conv(
+        F.substring(F.md5(F.col("value")), 1, 8), 16, 10
+    ).cast("long")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(md5_prefix).cast("long").alias("line_md5_sum"),
+    )

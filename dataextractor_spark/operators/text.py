@@ -2629,3 +2629,103 @@ def ml_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    toks AS (
+        SELECT doc_id,
+               CAST(floor(doc_id * 10.0 / (mx.m + 1)) AS BIGINT)
+                   AS bucket,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents CROSS JOIN mx
+    ),
+    first_seen AS (
+        SELECT t, CAST(min(bucket) AS BIGINT) AS b
+        FROM toks GROUP BY t
+    ),
+    new_types AS (
+        SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY b
+    ),
+    occ AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY bucket
+    )
+    SELECT o.bucket,
+           o.n_tokens,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+                ORDER BY o.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_vocab,
+           CAST(sum(o.n_tokens) OVER (
+                ORDER BY o.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM occ o LEFT JOIN new_types n ON n.bucket = o.bucket
+    ORDER BY o.bucket
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law table): split the corpus
+    into ten ingestion buckets (by doc_id — the arrival order) and
+    report, per bucket, token volume, NEW word types first seen
+    there, and the cumulative vocabulary — the saturation curve that
+    tells a pretraining pipeline when additional data stops buying
+    lexical coverage (types grow ~ tokens^β, β<1; a flattening curve
+    is the data-mixture signal to diversify sources rather than
+    scale the same one).
+
+    First-occurrence attribution is ONE token-keyed min (the
+    text_ngram_novelty shape — no prefix re-scans: cumulative counts
+    come from a 10-row window, not from re-reading the corpus per
+    prefix). All counts exact BIGINT; the 10-row cumulative window is
+    trivially bounded. One explode, two token-keyed aggregates, one
+    broadcast max."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") * 10.0 / (F.col("m") + 1))
+            .cast("long")
+            .alias("bucket"),
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first_seen = toks.groupBy("t").agg(
+        F.min("bucket").cast("long").alias("b")
+    )
+    new_types = first_seen.groupBy(F.col("b").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    occ = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        occ.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_types",
+            F.sum("new_types").over(w).cast("long").alias("cum_vocab"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -1665,3 +1665,76 @@ def time_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("abs_dev_x10").desc(), "day_index"
     ).limit(10)
+
+
+@query(
+    "time_interevent_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) // 1000000 AS gap_s
+        FROM events
+    ),
+    binned AS (
+        SELECT user_id, gap_s,
+               CAST(CASE WHEN gap_s <= 0 THEN 0
+                         ELSE length(bin(CAST(gap_s AS BIGINT))) END
+                    AS BIGINT) AS b
+        FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT b AS gap_log2_bin,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM binned
+    GROUP BY b
+    ORDER BY b
+    """,
+)
+def time_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution on a log2 grid: per user, the
+    seconds between consecutive events, bucketed by the gap's binary
+    length — the heavy-tail fingerprint that picks session timeout
+    thresholds (time_session_window's 30 minutes should sit in the
+    valley between the intra-session and inter-session modes) and
+    feeds time_burstiness with its distributional backdrop.
+
+    One user-keyed sort window produces the lags (per-user partitions
+    are activity-bounded, the established events-window shape); the
+    log2 bin is the graph_degree_distribution binary-length idiom —
+    integer, portable, no log() float anywhere; all outputs exact
+    BIGINT. The DuckDB twin of Spark's bin() is bin() too via
+    length(bin(x)) ≡ bit length for positive x. Gaps are
+    FLOOR(microsecond delta / 1e6) on BOTH sides — DuckDB's
+    date_diff('second') counts boundary CROSSINGS, not elapsed time,
+    so the exact microsecond delta is divided instead."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 1000000
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    b = (
+        F.when(F.col("gap_s") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("gap_s"))))
+        .cast("long")
+    )
+    return (
+        gaps.groupBy(b.alias("gap_log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("gap_log2_bin")
+    )

@@ -171,6 +171,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "udf_arrow_map_tokencount",  # new r6: raw-Arrow extension point
     "sql_observe_metrics",  # new r6: piggybacked DQ accumulators
     "sql_parameterized_args",  # new r6: named-parameter SQL binding
+    "source_text_lines_scan",  # new r6: write.text/read.text, md5-pinned
+    "time_interevent_gaps",  # new r6: log2 gap histogram per user
+    "text_vocab_growth",  # new r6: Heaps-law saturation curve
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

@@ -364,6 +364,8 @@ UNPARTITIONED_WINDOW_OK = {
                                      # series (calendar-sized)
     "stats_runs_test",               # median rank + lag over the bounded
                                      # DAILY series (calendar-sized)
+    "text_vocab_growth",             # cumulative sum over the 10-row
+                                     # ingestion-bucket table
 }
 
 

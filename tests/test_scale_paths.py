@@ -2358,3 +2358,78 @@ def test_brown_forsythe_matches_bruteforce(spark):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert r.n_total == n
     assert math.isclose(r.bf_f_stat, f, rel_tol=1e-6)
+
+
+def test_interevent_gaps_matches_bruteforce(spark):
+    """Gap bins recomputed with a per-user Python sort."""
+    from collections import defaultdict
+
+    rows = load_all()["time_interevent_gaps"].fn(spark, SF_SMALL).collect()
+    from dataextractor_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for x in ev:
+        per[x.user_id].append((x.us, x.event_id))
+    bins = defaultdict(lambda: [0, set(), None, None])
+    for u, lst in per.items():
+        lst.sort()
+        for (a, _), (b_, _) in zip(lst, lst[1:]):
+            gap = (b_ - a) // 1000000
+            b = 0 if gap <= 0 else gap.bit_length()
+            e = bins[b]
+            e[0] += 1
+            e[1].add(u)
+            e[2] = gap if e[2] is None else min(e[2], gap)
+            e[3] = gap if e[3] is None else max(e[3], gap)
+    got = {
+        r.gap_log2_bin: (r.n_gaps, r.n_users, r.min_gap_s, r.max_gap_s)
+        for r in rows
+    }
+    want = {b: (v[0], len(v[1]), v[2], v[3]) for b, v in bins.items()}
+    assert got == want
+
+
+def test_vocab_growth_is_saturating_and_conserves(spark):
+    """Heaps contracts: cumulative vocab equals the corpus-wide
+    distinct token count at the last bucket; new-type counts are
+    non-increasing in aggregate trend (first bucket claims the most);
+    token totals conserve."""
+    rows = load_all()["text_vocab_growth"].fn(spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    vocab = set()
+    total = 0
+    for x in docs:
+        toks = x.text.split(" ")
+        total += len(toks)
+        vocab |= set(toks)
+    assert rows[-1].cum_vocab == len(vocab)
+    assert rows[-1].cum_tokens == total
+    assert rows[0].new_types == max(r.new_types for r in rows)
+    assert sum(r.new_types for r in rows) == len(vocab)
+
+
+def test_text_lines_scan_matches_documents(spark):
+    """Line totals recomputed directly from the parquet table."""
+    r = load_all()["source_text_lines_scan"].fn(spark, SF_SMALL).first()
+    import hashlib
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    assert r.n_lines == len(docs)
+    assert r.total_chars == sum(len(x.text) for x in docs)
+    want = sum(
+        int(hashlib.md5(x.text.encode()).hexdigest()[:8], 16) for x in docs
+    )
+    assert r.line_md5_sum == want
