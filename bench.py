@@ -226,6 +226,8 @@ HEADLINE = [
     "source_text_lines_scan",
     "time_interevent_gaps",
     "text_vocab_growth",
+    "stats_wilcoxon_signed_rank",
+    "agg_mcnemar_paired",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

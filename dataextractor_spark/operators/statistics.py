@@ -3390,3 +3390,252 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssb, 2).alias("ss_between_dev"),
         F.round(ssw, 2).alias("ss_within_dev"),
     )
+
+
+# --- Wilcoxon signed-rank (paired pre/post) -----------------------------
+
+
+def _wilcoxon_sql() -> str:
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderdate < DATE '{_CUPED_CUT}'
+                             THEN CAST(round(o_totalprice) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN o_orderdate >= DATE '{_CUPED_CUT}'
+                             THEN CAST(round(o_totalprice) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    diffs AS (
+        SELECT abs(y - x) AS ad,
+               CASE WHEN y > x THEN 1 ELSE 0 END AS pos
+        FROM cust WHERE y <> x
+    ),
+    vals AS (
+        SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS npos
+        FROM diffs GROUP BY ad
+    ),
+    ranked AS (
+        SELECT ad, cnt, npos,
+               CAST(coalesce(sum(cnt) OVER (
+                   ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM vals
+    ),
+    s AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(npos * (2 * cum_before + cnt + 1)) AS BIGINT)
+                   AS wx2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+        FROM ranked
+    )
+    SELECT n AS n_nonzero, n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           round(CAST(wx2 AS DOUBLE) / 2, 2) AS w_plus,
+           round((CAST(wx2 AS DOUBLE) / 2
+                  - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                        - CAST(tie_term AS DOUBLE) / 48), 6) AS z_stat
+    FROM s
+    """
+
+
+@query("stats_wilcoxon_signed_rank", oracle=_wilcoxon_sql())
+def stats_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-customer spend (total
+    dollars before vs after the CUPED cut date): rank the absolute
+    differences, sum the ranks of the positive ones, z-test with the
+    tie-corrected variance — the nonparametric paired-samples test
+    (the within-subject sibling of stats_mann_whitney_u's independent
+    two-sample design), immune to the spend skew that breaks a paired
+    t-test.
+
+    Same distinct-value rank machinery as the U test: |d| ranks come
+    from the |d|-frequency table (one grouped aggregate + one bounded
+    cumulative window; doubled ranks stay exact BIGINT), zero
+    differences are excluded (the standard convention), and W+, the
+    normal approximation, and the tie term Σ(t³−t)/48 are fixed
+    double expressions over exact integers — identical both engines,
+    rounded 2dp/6dp. One orders scan, one customer-keyed aggregate,
+    one value-keyed aggregate, one scalar row."""
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    pre = F.col("o_orderdate") < F.lit(_CUPED_CUT).cast("date")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(~pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    )
+    diffs = cust.where(F.col("y") != F.col("x")).select(
+        F.abs(F.col("y") - F.col("x")).alias("ad"),
+        F.when(F.col("y") > F.col("x"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    vals = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "ad",
+        "cnt",
+        "npos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    s = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("wx2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    wp = d("wx2") / 2
+    mu = d("n") * (F.col("n") + 1) / 4
+    sigma = F.sqrt(
+        d("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+        - d("tie_term") / 48
+    )
+    return s.select(
+        F.col("n").alias("n_nonzero"),
+        F.col("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.round(wp, 2).alias("w_plus"),
+        F.round((wp - mu) / sigma, 6).alias("z_stat"),
+    )
+
+
+# --- McNemar paired-binary test ------------------------------------------
+
+
+def _mcnemar_sql() -> str:
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                   AND ts < TIMESTAMP '{_MCNEMAR_CUT}'
+                                  THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'error'
+                                   AND ts < TIMESTAMP '{_MCNEMAR_CUT}'
+                                  THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS pre,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                   AND ts >= TIMESTAMP '{_MCNEMAR_CUT}'
+                                  THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'error'
+                                   AND ts >= TIMESTAMP '{_MCNEMAR_CUT}'
+                                  THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS post
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pre = 0 AND post = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN pre = 1 AND post = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN pre = 1 AND post = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both_pos
+        FROM per_user
+    )
+    SELECT n AS n_users, b AS n_gained, c AS n_lost, both_pos,
+           round(CASE WHEN b + c = 0 THEN 0.0
+                      ELSE (abs(CAST(b AS DOUBLE) - c) - 1)
+                           * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c)
+                 END, 6) AS mcnemar_chi2
+    FROM s
+    """
+
+
+#: the pre/post boundary for the paired-binary comparison
+_MCNEMAR_CUT = "1997-01-01 00:00:00"
+
+
+@query("agg_mcnemar_paired", oracle=_mcnemar_sql())
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: did each user's
+    "healthy" flag (more purchases than errors — the
+    stats_proportion_ztest outcome) flip between the pre- and
+    post-1997 halves of their history? Only the DISCORDANT pairs
+    (gained b, lost c) carry information; chi² = (|b−c|−1)²/(b+c)
+    with continuity correction — the within-user before/after test a
+    plain two-proportion z gets wrong because the samples are the
+    same people.
+
+    One events scan, one user-keyed aggregate building both flags,
+    one scalar row; all cells exact BIGINT, the statistic one guarded
+    fixed expression (0.0 when no discordant pairs — both engines by
+    the same CASE)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(_MCNEMAR_CUT).cast("timestamp")
+    flag = lambda cond: F.when(  # noqa: E731
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & cond, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        > F.sum(
+            F.when(
+                (F.col("event_type") == "error") & cond, F.lit(1)
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_user = e.groupBy("user_id").agg(
+        flag(F.col("ts") < cut).alias("pre"),
+        flag(F.col("ts") >= cut).alias("post"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pre") == 0) & (F.col("post") == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("pre") == 1) & (F.col("post") == 0), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when((F.col("pre") == 1) & (F.col("post") == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("both_pos"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.abs(d("b") - F.col("c")) - 1)
+            * (F.abs(d("b") - F.col("c")) - 1)
+            / (F.col("b") + F.col("c")),
+            6,
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("b").alias("n_gained"),
+        F.col("c").alias("n_lost"),
+        F.col("both_pos"),
+        chi2.alias("mcnemar_chi2"),
+    )

@@ -174,6 +174,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "source_text_lines_scan",  # new r6: write.text/read.text, md5-pinned
     "time_interevent_gaps",  # new r6: log2 gap histogram per user
     "text_vocab_growth",  # new r6: Heaps-law saturation curve
+    "stats_wilcoxon_signed_rank",  # new r6: paired pre/post rank test
+    "agg_mcnemar_paired",  # new r6: discordant-pair flip chi-square
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

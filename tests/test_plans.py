@@ -366,6 +366,9 @@ UNPARTITIONED_WINDOW_OK = {
                                      # DAILY series (calendar-sized)
     "text_vocab_growth",             # cumulative sum over the 10-row
                                      # ingestion-bucket table
+    "stats_wilcoxon_signed_rank",    # cumulative count over the DISTINCT
+                                     # |difference|-value table (customer-
+                                     # bounded), never order rows
 }
 
 

@@ -2433,3 +2433,77 @@ def test_text_lines_scan_matches_documents(spark):
         int(hashlib.md5(x.text.encode()).hexdigest()[:8], 16) for x in docs
     )
     assert r.line_md5_sum == want
+
+
+def test_wilcoxon_matches_bruteforce(spark):
+    """W+ and tie-corrected z recomputed with naive average ranks."""
+    import math
+    from collections import Counter, defaultdict
+
+    r = load_all()["stats_wilcoxon_signed_rank"].fn(spark, SF_SMALL).first()
+    from dataextractor_spark.operators.statistics import _CUPED_CUT
+
+    data = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_custkey AS k",
+            f"CAST(o_orderdate < DATE '{_CUPED_CUT}' AS INT) AS pre",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for x in data:
+        per[x.k][0 if x.pre else 1] += x.v
+    diffs = [y - xv for xv, y in per.values() if y != xv]
+    ads = [abs(d) for d in diffs]
+    freq = Counter(ads)
+    avg_rank, cum = {}, 0
+    for v in sorted(freq):
+        avg_rank[v] = cum + (freq[v] + 1) / 2
+        cum += freq[v]
+    w_plus = sum(avg_rank[abs(d)] for d in diffs if d > 0)
+    n = len(diffs)
+    tie = sum(c**3 - c for c in freq.values())
+    mu = n * (n + 1) / 4
+    sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24 - tie / 48)
+    assert r.n_nonzero == n
+    assert r.n_pos == sum(1 for d in diffs if d > 0)
+    assert math.isclose(r.w_plus, w_plus, rel_tol=0, abs_tol=0.01)
+    assert math.isclose(r.z_stat, (w_plus - mu) / sigma, rel_tol=1e-5)
+
+
+def test_mcnemar_matches_bruteforce(spark):
+    """Discordant cells recomputed per user in Python."""
+    import math
+    from collections import defaultdict
+
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.statistics import _MCNEMAR_CUT
+
+    r = load_all()["agg_mcnemar_paired"].fn(spark, SF_SMALL).first()
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(
+            "user_id",
+            f"CAST(ts < TIMESTAMP '{_MCNEMAR_CUT}' AS INT) AS pre",
+            "event_type",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0, 0])  # pre_p, pre_e, post_p, post_e
+    for x in ev:
+        if x.event_type == "purchase":
+            per[x.user_id][0 if x.pre else 2] += 1
+        elif x.event_type == "error":
+            per[x.user_id][1 if x.pre else 3] += 1
+    b = c = 0
+    for pp, pe, qp, qe in per.values():
+        pre, post = pp > pe, qp > qe
+        b += (not pre) and post
+        c += pre and (not post)
+    assert (r.n_gained, r.n_lost) == (b, c)
+    if b + c:
+        assert math.isclose(
+            r.mcnemar_chi2, (abs(b - c) - 1) ** 2 / (b + c), rel_tol=1e-6
+        )
