@@ -228,6 +228,7 @@ HEADLINE = [
     "text_vocab_growth",
     "stats_wilcoxon_signed_rank",
     "agg_mcnemar_paired",
+    "agg_capture_recapture",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

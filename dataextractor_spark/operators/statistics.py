@@ -3639,3 +3639,84 @@ def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("both_pos"),
         chi2.alias("mcnemar_chi2"),
     )
+
+
+# --- capture-recapture population estimate --------------------------------
+
+#: independent 10% "capture" probabilities (exact applied thresholds,
+#: the sample_ht_estimator convention)
+_CR_THRESHOLD = int(0.10 * (1 << 32))
+
+
+def _capture_recapture_sql() -> str:
+    u = (
+        lambda salt: f"CAST('0x' || substr(md5('{salt}:' "
+        f"|| CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+    return f"""
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN {u("cr1")} < {_CR_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN {u("cr2")} < {_CR_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN {u("cr1")} < {_CR_THRESHOLD}
+                              AND {u("cr2")} < {_CR_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM orders
+    )
+    SELECT n_true, n1 AS n_sample1, n2 AS n_sample2, m AS n_overlap,
+           round((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1, 2)
+               AS chapman_estimate,
+           round(((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1)
+                 / n_true - 1, 6) AS rel_error
+    FROM s
+    """
+
+
+@query("agg_capture_recapture", oracle=_capture_recapture_sql())
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen)
+    population estimation: two INDEPENDENT 10% hash samples of the
+    order stream; the overlap rate between them estimates the total
+    population — N̂ = (n1+1)(n2+1)/(m+1) − 1 — with the realized
+    error reported against the truth. This is how a pipeline
+    estimates the size of a population it can only sample (dedup
+    overlap between two crawls, log-loss rates between two taps)
+    without ever counting it.
+
+    Both capture events are md5 thresholds under different salts, so
+    independence is by construction and the sample is deterministic
+    (the sample_ht_estimator idiom); all four cells are exact BIGINT
+    from ONE orders scan; Chapman's estimator and the error are fixed
+    double expressions, rounded 2dp/6dp."""
+    o = load_table(spark, sf_dir, "orders")
+    u = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col("o_orderkey").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    in1 = u("cr1") < _CR_THRESHOLD
+    in2 = u("cr2") < _CR_THRESHOLD
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(in1.cast("long")).cast("long").alias("n1"),
+        F.sum(in2.cast("long")).cast("long").alias("n2"),
+        F.sum((in1 & in2).cast("long")).cast("long").alias("m"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    est = (d("n1") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        "n_true",
+        F.col("n1").alias("n_sample1"),
+        F.col("n2").alias("n_sample2"),
+        F.col("m").alias("n_overlap"),
+        F.round(est, 2).alias("chapman_estimate"),
+        F.round(est / F.col("n_true") - 1, 6).alias("rel_error"),
+    )

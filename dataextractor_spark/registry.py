@@ -176,6 +176,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_vocab_growth",  # new r6: Heaps-law saturation curve
     "stats_wilcoxon_signed_rank",  # new r6: paired pre/post rank test
     "agg_mcnemar_paired",  # new r6: discordant-pair flip chi-square
+    "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

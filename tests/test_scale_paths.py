@@ -2507,3 +2507,35 @@ def test_mcnemar_matches_bruteforce(spark):
         assert math.isclose(
             r.mcnemar_chi2, (abs(b - c) - 1) ** 2 / (b + c), rel_tol=1e-6
         )
+
+
+def test_capture_recapture_matches_bruteforce(spark):
+    """Cells and Chapman estimate recomputed with hashlib; the
+    estimator must land within the hypergeometric error envelope at
+    this sample size."""
+    import hashlib
+    import math
+
+    r = load_all()["agg_capture_recapture"].fn(spark, SF_SMALL).first()
+    keys = [
+        x.o_orderkey
+        for x in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    thr = int(0.10 * (1 << 32))
+    h = lambda s, k: int(  # noqa: E731
+        hashlib.md5(f"{s}:{k}".encode()).hexdigest()[:8], 16
+    )
+    s1 = {k for k in keys if h("cr1", k) < thr}
+    s2 = {k for k in keys if h("cr2", k) < thr}
+    m = len(s1 & s2)
+    assert (r.n_true, r.n_sample1, r.n_sample2, r.n_overlap) == (
+        len(keys),
+        len(s1),
+        len(s2),
+        m,
+    )
+    est = (len(s1) + 1) * (len(s2) + 1) / (m + 1) - 1
+    assert math.isclose(r.chapman_estimate, est, rel_tol=0, abs_tol=0.01)
+    assert abs(r.rel_error) < 0.6  # ~1% joint capture at sf0.001
