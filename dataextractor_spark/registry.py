@@ -128,9 +128,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- r7 queue head: stale-evidence refreshes (r1 rows predate
     #    the r2 dedup/as-of rewrites), displaced by the r6 additions --
     # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- late-round-6 additions (landed after the 50-slot window was
-    #    committed; first-ever evidence, so they outrank the stale
-    #    rechecks below and lead the r7 window) --
+    # -- late-round-6 additions (46 queries, landed after the 50-slot
+    #    window was committed; first-ever evidence, so they outrank
+    #    the stale rechecks below and lead the r7 window — with the
+    #    window at ~50 slots, the r7 plan is: these 46 first, then
+    #    the head of the stale-r1 dedup/as-of refreshes below) --
     "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
     "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
     "stats_spearman_corr",  # new r6: doubled-rank Pearson, no row sort
