@@ -229,6 +229,8 @@ HEADLINE = [
     "stats_wilcoxon_signed_rank",
     "agg_mcnemar_paired",
     "agg_capture_recapture",
+    "stats_cochran_q",
+    "etl_calendar_coverage_audit",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -1435,3 +1435,63 @@ def source_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("long").alias("total_chars"),
         F.sum(md5_prefix).cast("long").alias("line_md5_sum"),
     )
+
+
+@query(
+    "etl_calendar_coverage_audit",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    yearly AS (
+        SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+               CAST(count(*) AS BIGINT) AS observed_days,
+               min(d) AS first_day, max(d) AS last_day
+        FROM days GROUP BY yr
+    )
+    SELECT yr,
+           CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+               AS span_days,
+           observed_days,
+           CAST(date_diff('day', first_day, last_day) + 1
+                - observed_days AS BIGINT) AS missing_days,
+           strftime(first_day, '%Y-%m-%d') AS first_day_s,
+           strftime(last_day, '%Y-%m-%d') AS last_day_s
+    FROM yearly
+    ORDER BY yr
+    """,
+)
+def etl_calendar_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar coverage audit: per year, the span between the first
+    and last active order day versus the days actually OBSERVED —
+    missing_days > 0 inside a year is the classic silent-ingestion-
+    gap smell (a dropped partition, a dead upstream day) that row
+    counts alone never show, and the audit every SLA'd pipeline runs
+    before publishing a daily mart. The span-based expectation (not
+    365) keeps partial first/last years honest.
+
+    One orders scan → distinct-day set (calendar-bounded) → per-year
+    min/max/count; all values exact integers/dates; the date strings
+    use the established yyyy-MM-dd cross-engine format."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    yearly = days.groupBy(
+        F.year("d").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("observed_days"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+    )
+    span = F.datediff(F.col("last_day"), F.col("first_day")) + 1
+    return yearly.select(
+        "yr",
+        span.cast("long").alias("span_days"),
+        "observed_days",
+        (span - F.col("observed_days")).cast("long").alias("missing_days"),
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day_s"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day_s"),
+    ).orderBy("yr")

@@ -3720,3 +3720,135 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 2).alias("chapman_estimate"),
         F.round(est / F.col("n_true") - 1, 6).alias("rel_error"),
     )
+
+
+# --- Cochran's Q across three periods -------------------------------------
+
+#: fixed period boundaries for the k=3 repeated-measures design
+_COCHRAN_CUTS = ("1997-01-01", "1999-01-01")
+
+
+def _cochran_sql() -> str:
+    c1, c2 = _COCHRAN_CUTS
+    period = (
+        f"CASE WHEN o_orderdate < DATE '{c1}' THEN 1 "
+        f"WHEN o_orderdate < DATE '{c2}' THEN 2 ELSE 3 END"
+    )
+    return f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               {period} AS pd,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY o_custkey, pd
+    ),
+    flags AS (
+        SELECT o_custkey,
+               CAST(coalesce(max(CASE WHEN pd = 1 THEN v END), 0)
+                    AS BIGINT) AS v1,
+               CAST(coalesce(max(CASE WHEN pd = 2 THEN v END), 0)
+                    AS BIGINT) AS v2,
+               CAST(coalesce(max(CASE WHEN pd = 3 THEN v END), 0)
+                    AS BIGINT) AS v3
+        FROM spend GROUP BY o_custkey
+    ),
+    x AS (
+        SELECT CASE WHEN 3 * v1 > v1 + v2 + v3 THEN 1 ELSE 0 END AS x1,
+               CASE WHEN 3 * v2 > v1 + v2 + v3 THEN 1 ELSE 0 END AS x2,
+               CASE WHEN 3 * v3 > v1 + v2 + v3 THEN 1 ELSE 0 END AS x3
+        FROM flags
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS c1,
+               CAST(sum(x2) AS BIGINT) AS c2,
+               CAST(sum(x3) AS BIGINT) AS c3,
+               CAST(sum(x1 + x2 + x3) AS BIGINT) AS rsum,
+               CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+                   AS rsq
+        FROM x
+    )
+    SELECT n AS n_customers, c1 AS c_early, c2 AS c_mid, c3 AS c_late,
+           round(6.0 * ((CAST(c1 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3)
+                          * (CAST(c1 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3)
+                        + (CAST(c2 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3)
+                          * (CAST(c2 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3)
+                        + (CAST(c3 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3)
+                          * (CAST(c3 AS DOUBLE) - CAST(rsum AS DOUBLE) / 3))
+                 / (3.0 * rsum - rsq), 6) AS cochran_q
+    FROM s
+    """
+
+
+@query("stats_cochran_q", oracle=_cochran_sql())
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across k=3 periods: per customer, a binary
+    "over-indexed this period" flag (period spend strictly above
+    their own three-period average — a self-normalized outcome that
+    stays non-degenerate at every scale factor), tested for equal
+    marginal proportions across the periods. This generalizes
+    agg_mcnemar_paired's k=2 design to repeated measures: Q =
+    k(k−1)·Σ_j(C_j − R̄)² / (k·ΣR_i − ΣR_i²), χ² with k−1 df under
+    the null.
+
+    The three period columns are FIXED (the stats_anova_oneway pivot
+    rule), so the cross-period sum of squared deviations is an
+    explicit three-term chain; every C_j, ΣR_i, ΣR_i² is exact
+    BIGINT; Q is one fixed double expression, rounded 6dp. One
+    orders scan, one (customer, period) aggregate, one customer
+    pivot, one scalar row."""
+    o = load_table(spark, sf_dir, "orders")
+    c1, c2 = _COCHRAN_CUTS
+    pd_ = (
+        F.when(F.col("o_orderdate") < F.lit(c1).cast("date"), F.lit(1))
+        .when(F.col("o_orderdate") < F.lit(c2).cast("date"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    spend = o.groupBy("o_custkey", pd_.alias("pd")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    flags = spend.groupBy("o_custkey").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("pd") == i, F.col("v"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"v{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    tot = F.col("v1") + F.col("v2") + F.col("v3")
+    x = flags.select(
+        *[
+            F.when(3 * F.col(f"v{i}") > tot, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"x{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("c1"),
+        F.sum("x2").cast("long").alias("c2"),
+        F.sum("x3").cast("long").alias("c3"),
+        F.sum(r).cast("long").alias("rsum"),
+        F.sum(r * r).cast("long").alias("rsq"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rbar = d("rsum") / 3
+    ssq = None
+    for c in ("c1", "c2", "c3"):
+        term = (d(c) - rbar) * (d(c) - rbar)
+        ssq = term if ssq is None else ssq + term
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("c1").alias("c_early"),
+        F.col("c2").alias("c_mid"),
+        F.col("c3").alias("c_late"),
+        F.round(6.0 * ssq / (3.0 * F.col("rsum") - F.col("rsq")), 6).alias(
+            "cochran_q"
+        ),
+    )

@@ -179,6 +179,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stats_wilcoxon_signed_rank",  # new r6: paired pre/post rank test
     "agg_mcnemar_paired",  # new r6: discordant-pair flip chi-square
     "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
+    "stats_cochran_q",  # new r6: k=3 repeated-measures binary test
+    "etl_calendar_coverage_audit",  # new r6: ingestion-gap day ledger
     # -- remaining stale rechecks queue first for r7 --
     "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
     "dedup_exact",

@@ -2539,3 +2539,57 @@ def test_capture_recapture_matches_bruteforce(spark):
     est = (len(s1) + 1) * (len(s2) + 1) / (m + 1) - 1
     assert math.isclose(r.chapman_estimate, est, rel_tol=0, abs_tol=0.01)
     assert abs(r.rel_error) < 0.6  # ~1% joint capture at sf0.001
+
+
+def test_cochran_q_matches_bruteforce(spark):
+    """Q recomputed from per-customer period spends in Python."""
+    import math
+    from collections import defaultdict
+
+    r = load_all()["stats_cochran_q"].fn(spark, SF_SMALL).first()
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr(
+            "o_custkey AS k",
+            "CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 "
+            "WHEN o_orderdate < DATE '1999-01-01' THEN 2 ELSE 3 END AS pd",
+            "CAST(round(o_totalprice) AS LONG) AS v",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0, 0])
+    for x in rows:
+        per[x.k][x.pd - 1] += x.v
+    C = [0, 0, 0]
+    rsum = rsq = 0
+    for v in per.values():
+        t = sum(v)
+        xs = [int(3 * vi > t) for vi in v]
+        for j in range(3):
+            C[j] += xs[j]
+        rr = sum(xs)
+        rsum += rr
+        rsq += rr * rr
+    q = (
+        6.0 * sum((c - rsum / 3) ** 2 for c in C) / (3.0 * rsum - rsq)
+    )
+    assert r.n_customers == len(per)
+    assert (r.c_early, r.c_mid, r.c_late) == tuple(C)
+    assert math.isclose(r.cochran_q, q, rel_tol=1e-6)
+
+
+def test_calendar_coverage_bounds(spark):
+    """Observed days can never exceed the span; yearly spans tile the
+    global span; the distinct-day total conserves."""
+    rows = load_all()["etl_calendar_coverage_audit"].fn(spark, SF_SMALL).collect()
+    total = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d")
+        .distinct()
+        .count()
+    )
+    assert sum(r.observed_days for r in rows) == total
+    for r in rows:
+        assert 1 <= r.observed_days <= r.span_days
+        assert r.missing_days == r.span_days - r.observed_days
+        assert str(r.first_day_s)[:4] == str(r.yr)
