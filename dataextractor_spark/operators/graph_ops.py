@@ -929,18 +929,23 @@ tri_node AS (
     GROUP BY node
 ),
 cc AS (
-    SELECT deg.node, deg.d,
-           2.0 * coalesce(tri_node.t, 0) / (deg.d * (deg.d - 1)) AS c
+    SELECT deg.node, deg.d, CAST(coalesce(tri_node.t, 0) AS BIGINT) AS t
     FROM deg LEFT JOIN tri_node ON tri_node.node = deg.node
     WHERE deg.d >= 2
+),
+fixed AS (
+    SELECT node, d,
+           (4 * t * 100000000 + d * (d - 1)) // (2 * d * (d - 1)) AS c8,
+           least(CAST(9 AS BIGINT), (20 * t) // (d * (d - 1))) AS cc_decile
+    FROM cc
 )
-SELECT CASE WHEN c >= 1.0 THEN 9
-            ELSE CAST(floor(c * 10) AS BIGINT) END AS cc_decile,
+SELECT cc_decile,
        CAST(count(*) AS BIGINT)  AS n_nodes,
-       round(avg(c), 6)          AS avg_cc,
+       round(CAST(sum(c8) AS DOUBLE) / (100000000.0 * count(*)), 6)
+           AS avg_cc,
        CAST(min(d) AS BIGINT)    AS min_degree,
        CAST(max(d) AS BIGINT)    AS max_degree
-FROM cc
+FROM fixed
 GROUP BY cc_decile
 ORDER BY cc_decile
 """
@@ -962,11 +967,14 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     three corners via one explode + node-keyed count. cc_i =
     2·t_i / (d_i(d_i−1)) is exact (integer triangle counts over
     integer degree pairs); nodes of degree <2 are excluded (the
-    coefficient is undefined). avg(c) inside each decile is a mean of
-    exact dyadic rationals — safe to 6dp (sub-ulp accumulation noise
-    sits ~1e-17, ten orders below the rounding grain). The oracle
-    recounts per-corner triangles off the canonical u<v list, proving
-    orientation-invariance node-by-node, not just in total."""
+    coefficient is undefined). The decile mean is computed from an
+    8-dp fixed-point BIGINT quantization of each cc_i (pure integer
+    round-half-up; see the inline comment), so the only cross-row
+    accumulation is an exact integer sum — no engine- or
+    partition-order-dependent double folding anywhere in the query.
+    The oracle recounts per-corner triangles off the canonical u<v
+    list, proving orientation-invariance node-by-node, not just in
+    total."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -1042,27 +1050,43 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
+    # Integer-exact fixed-point form (repo convention: no cross-row
+    # double accumulation). Per node: c_i = 2t/(d(d-1)) is quantized
+    # ONCE to an 8-dp BIGINT via pure integer arithmetic —
+    # round-half-up(x/y) = (2x + y) div (2y) with x = 2t·1e8 — and the
+    # decile is the exact integral floor(20t / (d(d-1))) capped at 9
+    # (c ≥ 1 ⇔ 20t div d(d-1) ≥ 10). Sums of BIGINTs are
+    # order-independent, so the decile mean is engine/partition-order
+    # deterministic; quantization error ≤ 5e-9 per node, two orders
+    # below the 6-dp output grain. Overflow bound: 4t·1e8 ≤
+    # 2e8·d(d-1) < 2^63 for d up to ~2.1e5 (test graphs: d < 1e3).
     cc = (
         deg.where(F.col("d") >= 2)
         .join(tri_corners, "node", "left")
         .select(
             "node",
             "d",
-            (
-                2.0
-                * F.coalesce(F.col("t"), F.lit(0))
-                / (F.col("d") * (F.col("d") - 1))
-            ).alias("c"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("t"),
+        )
+        .select(
+            "node",
+            "d",
+            F.expr(
+                "(4 * t * 100000000 + d * (d - 1)) div (2 * d * (d - 1))"
+            ).alias("c8"),
+            F.least(
+                F.lit(9).cast("long"),
+                F.expr("(20 * t) div (d * (d - 1))"),
+            ).alias("cc_decile"),
         )
     )
-    decile = F.when(F.col("c") >= 1.0, F.lit(9)).otherwise(
-        F.floor(F.col("c") * 10)
-    ).cast("long")
     return (
-        cc.groupBy(decile.alias("cc_decile"))
+        cc.groupBy("cc_decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.round(F.avg("c"), 6).alias("avg_cc"),
+            F.round(
+                F.sum("c8") / (F.lit(100000000.0) * F.count(F.lit(1))), 6
+            ).alias("avg_cc"),
             F.min("d").cast("long").alias("min_degree"),
             F.max("d").cast("long").alias("max_degree"),
         )

@@ -2554,13 +2554,17 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATE, so the pair count is calendar-bounded (~2.9M for ~2400
     days) and INDEPENDENT of fact-table size — at 100 TB the only
     thing that grows is the one day-keyed pre-aggregate. The median is
-    an exact order statistic (row_number over the slope sort, average
-    of the two middle values when the pair count is even); slope
-    DOUBLES are identical on both engines (exact integer cents / exact
-    integer day gaps, one division), so ranking them sorts identically
-    and ties can't move the VALUE at the median rank. The single-task
-    global sort of 2.9M slope rows is the windows_time precedent:
-    bounded by the calendar, not the data."""
+    an exact order statistic computed with the window_deciles two-pass
+    distributed ranking (repartitionByRange on slope, per-partition
+    row_number, broadcast prefix offsets, global rank = offset +
+    local rank) — NO single-task global sort anywhere in the plan:
+    the heaviest task sorts ~pairs/32 rows, and the range-partition
+    count scales if the calendar ever widens. Slope DOUBLES are
+    identical on both engines (exact integer cents / exact integer
+    day gaps, one division); the range partitioner sends equal keys
+    to one partition, so tie ranks stay contiguous and the VALUE at
+    the median rank (average of the two middle values when the pair
+    count is even) is well-defined and engine-independent."""
     o = load_table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(
@@ -2583,15 +2587,25 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.d") - F.col("a.d"))
         ).alias("slope")
     )
-    w = Window.orderBy("slope")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("k"),
+    parts = slopes.repartitionByRange(32, "slope").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    rhs = counts.select(
+        F.col("pid").alias("pid_b"), F.col("cnt").alias("cnt_b")
+    )
+    offsets = (
+        counts.join(F.broadcast(rhs), F.col("pid_b") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("cnt_b"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("k"))
+    lw = Window.partitionBy("pid").orderBy("slope")
+    ranked = (
+        parts.withColumn("lrn", F.row_number().over(lw))
+        .join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", F.col("off") + F.col("lrn"))
     )
     med = ranked.where(
         (F.col("rn") == F.floor((F.col("k") + 1) / 2.0).cast("long"))

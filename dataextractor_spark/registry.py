@@ -57,82 +57,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ================= round-6 prefix (50 slots) =================
-    # Goal: drain the never-driver-checked ledger to ZERO. All 50
-    # slots carry queries with no CORRECTNESS row in any round:
-    # sim_mmr_diversify (displaced by rotation three rounds running —
-    # leads, per the r5 verdict), the 18 round-6 additions (stdlib
-    # PNG codec; the four batch-form streaming audits; LPA /
-    # link-prediction / k-core graph ops; CUPED / ANOVA; partition
-    # skew; DSIR; WARC; embedding drift; quality sweep; funnel
-    # latency; position attribution; concurrency peak), and the 31
-    # late-round-5 entries that landed after the r5 window was full.
-    # With 242 registered and 192 ever-checked, these 50 first-ever
-    # rows complete cumulative driver coverage exactly; the stale
-    # dedup/as-of refreshes the r5 verdict queued (r1 rows predating
-    # r2 rewrites) therefore sit JUST below the boundary and lead
-    # the round-7 window instead — first-ever evidence outranks
-    # refresh evidence when the window can't hold both.
-    "sim_mmr_diversify",  # MMR re-rank; greedy contract in tests
-    # -- round-6 additions --
-    "multimodal_png_codec",       # new r6: stdlib-zlib PNG, all 5 filters
-    "streaming_late_discard_audit",   # new r6: watermark kept/dropped audit
-    "streaming_watermark_frontier",   # new r6: per-batch frontier split
-    "streaming_dedup_replay_audit",   # new r6: at-least-once dedup leak audit
-    "streaming_join_state_audit",     # new r6: stream-stream join loss audit
-    "graph_label_propagation",        # new r6: deterministic LPA communities
-    "graph_link_prediction",          # new r6: rarest-R common-neighbor index
-    "ab_cuped_adjustment",            # new r6: CUPED variance reduction
-    "stats_anova_oneway",             # new r6: fixed-order pivoted F-test
-    "etl_partition_skew_audit",       # new r6: layout skew + sizing plan
-    "text_dsir_importance",           # new r6: DSIR hashed-unigram selection
-    "source_warc_scan",               # new r6: WARC archive ingestion
-    "sim_embedding_drift",            # new r6: sign-rate drift monitor
-    "text_quality_threshold_sweep",   # new r6: curation operating-point table
-    "graph_kcore_decomposition",      # new r6: 3-sweep peeling, unrolled oracle
-    "funnel_step_latency",            # new r6: time-to-convert percentiles
-    "attr_position_weighted",         # new r6: U-shaped multi-touch credit
-    "time_concurrency_peak",          # new r6: interval-stabbing capacity stat
-    # -- round-5 eighth/ninth batches (oracled, never checked) --
-    "sample_bootstrap_ci",  # new r5: Poisson bootstrap, 1-pass cols
-    "agg_hhi_concentration",  # new r5: integer-exact HHI per nation
-    "time_seasonal_anomaly",  # new r5: weekday baseline, int |z|>2
-    "time_interval_coverage",  # new r5: gaps-and-islands union length
-    "graph_degree_distribution",  # new r5: binary-length log2 bins
-    "etl_vacuum_retention_plan",  # new r5: retention/anchor/expire plan
-    "agg_permutation_test",  # new r5: md5-deterministic label test
-    "agg_tail_cvar",  # new r5: per-group VaR + shortfall
-    "agg_skyline_pareto",  # new r5: 2-D skyline in one window
-    "time_burstiness",  # new r5: Fano + Goh-Barabási B
-    "source_binaryfile_scan",  # new r5: binaryFile round-trip, oracled
-    "graph_bfs_levels",  # new r5: 4-sweep BFS, unrolled oracle
-    "time_lag_xcorr",  # new r5: lead-lag Pearson r, int sums
-    "agg_mode_deterministic",  # new r5: tie-proof portable mode
-    "agg_grouping_id_rollup",  # new r5: GROUPING() flag surface
-    "time_yoy_growth",  # new r5: lag window on yearly rollup
-    "time_cohort_ltv",  # new r5: money-dim cohort triangle
-    "attr_last_touch",  # new r5: carry-forward attribution
-    "sample_balanced_downsample",  # new r5: per-class quota, md5-pinned
-    "time_peak_detection",  # new r5: integer-exact local maxima
-    "agg_share_of_parent",  # new r5: OLAP %-of-parent ratios
-    "agg_pareto_8020",  # new r5: integer-exact 80/20 crossing
-    "udf_grouped_minmax_norm",  # new r5: applyInPandas under an oracle
-    "time_forecast_backtest",  # new r5: seasonal-naive WAPE/bias/MAE
-    "agg_fulfillment_latency",  # new r5: SLA latency percentiles
-    "agg_seasonality_strength",  # new r5: weekday-R² model selector
-    "join_basket_affinity",  # new r5: support/confidence/lift top-20
-    "time_new_vs_returning",  # new r5: DAU growth accounting
-    "time_dormancy_reactivation",  # new r5: gap/resurrection counter
-    "agg_reorder_rate",  # new r5: repeat-purchase profile
-    "time_active_streaks",  # new r5: d - row_number islands
-    # -- r7 queue head: stale-evidence refreshes (r1 rows predate
-    #    the r2 dedup/as-of rewrites), displaced by the r6 additions --
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # -- late-round-6 additions (46 queries, landed after the 50-slot
-    #    window was committed; first-ever evidence, so they outrank
-    #    the stale rechecks below and lead the r7 window — with the
-    #    window at ~50 slots, the r7 plan is: these 46 first, then
-    #    the head of the stale-r1 dedup/as-of refreshes below) --
+    # ================= round-7 prefix (50 slots) =================
+    # Goal: close the cumulative driver-coverage ledger. The r6 window
+    # harvested 50/50 first-ever green rows (CORRECTNESS_r06), leaving
+    # exactly 48 registered queries with no driver row in any round —
+    # the late-round-6 additions that landed after the r6 window was
+    # frozen. They fill slots 1-48 here. Slots 49-50 carry the TWO
+    # OLDEST stale-evidence refreshes (`join_asof_latest_order`,
+    # `dedup_exact` — r1 rows predating the r2 merge-form/digest
+    # rewrites), ending the two-round deferral the r6 verdict flagged.
+    # After this window: cumulative driver coverage = 290/290 (modulo
+    # this round's ≤2 additions, scheduled inside the prefix when they
+    # land) and the remaining stale-r1/r2 refreshes below form the
+    # ENTIRE r8 prefix (see the r8 block comment).
+    # -- late-round-6 additions (48 queries, never driver-checked) --
     "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
     "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
     "stats_spearman_corr",  # new r6: doubled-rank Pearson, no row sort
@@ -181,9 +119,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
     "stats_cochran_q",  # new r6: k=3 repeated-measures binary test
     "etl_calendar_coverage_audit",  # new r6: ingestion-gap day ledger
-    # -- remaining stale rechecks queue first for r7 --
-    "join_asof_latest_order",  # merge-form rewrite (r2), pytest-green
-    "dedup_exact",
+    # -- slots 49-50: the two OLDEST stale refreshes (r1 rows predate
+    #    the r2 merge-form as-of / md5-digest dedup rewrites); queued
+    #    here per the r6 verdict item 2 after two deferrals --
+    "join_asof_latest_order",  # merge-form rewrite (r2); r1 row stale
+    "dedup_exact",  # md5-digest rewrite (r2); r1 row stale
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # ============ round-8 prefix: the refresh queue ============
+    # Everything from here down to the r5-window block is the stale-
+    # evidence refresh queue, oldest latest-row first: the remaining
+    # r1-era dedup/as-of/join rows (predating r2 rewrites), then the
+    # r2/r3-era families. Once the r7 window closes the first-ever
+    # ledger at 290/290, these refreshes ARE the r8 window verbatim —
+    # no reordering needed, just run the prefix.
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",
@@ -376,6 +324,58 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_recall_eval",  # recall@5 gate for the LSH index
     "time_sliding_distinct_hll",  # sketch-over-window scale path
     "graph_triangle_count",
+    # -- the round-6 window: all 50 driver-green in
+    #    CORRECTNESS_r06 — freshest evidence, re-check last --
+    "sim_mmr_diversify",  # r6 rows-only-green: MMR re-rank
+    "multimodal_png_codec",  # r6-green: stdlib-zlib PNG, all 5 filters
+    "streaming_late_discard_audit",  # r6-green: watermark kept/dropped audit
+    "streaming_watermark_frontier",  # r6-green: per-batch frontier split
+    "streaming_dedup_replay_audit",  # r6-green: at-least-once dedup leak audit
+    "streaming_join_state_audit",  # r6-green: stream-stream join loss audit
+    "graph_label_propagation",  # r6-green: deterministic LPA communities
+    "graph_link_prediction",  # r6-green: rarest-R common-neighbor index
+    "ab_cuped_adjustment",  # r6-green: CUPED variance reduction
+    "stats_anova_oneway",  # r6-green: fixed-order pivoted F-test
+    "etl_partition_skew_audit",  # r6-green: layout skew + sizing plan
+    "text_dsir_importance",  # r6-green: DSIR hashed-unigram selection
+    "source_warc_scan",  # r6-green: WARC archive ingestion
+    "sim_embedding_drift",  # r6-green: sign-rate drift monitor
+    "text_quality_threshold_sweep",  # r6-green: curation operating points
+    "graph_kcore_decomposition",  # r6-green: 3-sweep peeling
+    "funnel_step_latency",  # r6-green: time-to-convert percentiles
+    "attr_position_weighted",  # r6-green: U-shaped multi-touch credit
+    "time_concurrency_peak",  # r6-green: interval-stabbing capacity
+    "sample_bootstrap_ci",  # r6-green: Poisson bootstrap
+    "agg_hhi_concentration",  # r6-green: integer-exact HHI per nation
+    "time_seasonal_anomaly",  # r6-green: weekday baseline, int |z|>2
+    "time_interval_coverage",  # r6-green: gaps-and-islands union length
+    "graph_degree_distribution",  # r6-green: binary-length log2 bins
+    "etl_vacuum_retention_plan",  # r6-green: retention/expire plan
+    "agg_permutation_test",  # r6-green: md5-deterministic label test
+    "agg_tail_cvar",  # r6-green: per-group VaR + shortfall
+    "agg_skyline_pareto",  # r6-green: 2-D skyline in one window
+    "time_burstiness",  # r6-green: Fano + Goh-Barabási B
+    "source_binaryfile_scan",  # r6-green: binaryFile round-trip
+    "graph_bfs_levels",  # r6-green: 4-sweep BFS, unrolled oracle
+    "time_lag_xcorr",  # r6-green: lead-lag Pearson r, int sums
+    "agg_mode_deterministic",  # r6-green: tie-proof portable mode
+    "agg_grouping_id_rollup",  # r6-green: GROUPING() flag surface
+    "time_yoy_growth",  # r6-green: lag window on yearly rollup
+    "time_cohort_ltv",  # r6-green: money-dim cohort triangle
+    "attr_last_touch",  # r6-green: carry-forward attribution
+    "sample_balanced_downsample",  # r6-green: per-class quota
+    "time_peak_detection",  # r6-green: integer-exact local maxima
+    "agg_share_of_parent",  # r6-green: OLAP %-of-parent ratios
+    "agg_pareto_8020",  # r6-green: integer-exact 80/20 crossing
+    "udf_grouped_minmax_norm",  # r6-green: applyInPandas under an oracle
+    "time_forecast_backtest",  # r6-green: seasonal-naive WAPE/bias/MAE
+    "agg_fulfillment_latency",  # r6-green: SLA latency percentiles
+    "agg_seasonality_strength",  # r6-green: weekday-R² model selector
+    "join_basket_affinity",  # r6-green: support/confidence/lift top-20
+    "time_new_vs_returning",  # r6-green: DAU growth accounting
+    "time_dormancy_reactivation",  # r6-green: gap/resurrection counter
+    "agg_reorder_rate",  # r6-green: repeat-purchase profile
+    "time_active_streaks",  # r6-green: d - row_number islands
 )
 
 

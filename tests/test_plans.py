@@ -357,9 +357,6 @@ UNPARTITIONED_WINDOW_OK = {
                                      # order rows
     "stats_spearman_corr",           # same distinct-value rank tables, one
                                      # per variable
-    "agg_theil_sen_trend",           # rank over day-PAIR slopes — bounded by
-                                     # calendar² (~2.9M), independent of fact
-                                     # size (documented in the docstring)
     "time_max_drawdown",             # running sum/max over the bounded DAILY
                                      # series (calendar-sized)
     "stats_runs_test",               # median rank + lag over the bounded

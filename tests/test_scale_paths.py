@@ -1486,8 +1486,8 @@ def test_local_clustering_matches_bruteforce(spark):
             for v in nbl[i + 1 :]
             if v in adj[u]
         )
-        c = 2.0 * t / (d * (d - 1))
-        hist[9 if c >= 1.0 else int(c * 10)] += 1
+        # exact integral decile — the query's spec (c >= 1 caps at 9)
+        hist[min(9, (20 * t) // (d * (d - 1)))] += 1
     got = {r.cc_decile: r.n_nodes for r in rows}
     assert got == dict(hist)
 
