@@ -231,6 +231,8 @@ HEADLINE = [
     "agg_capture_recapture",
     "stats_cochran_q",
     "etl_calendar_coverage_audit",
+    # round-7 addition
+    "streaming_session_state_audit",
 ]
 
 #: interleaved repetitions: the whole headline list runs N times

@@ -856,3 +856,202 @@ def streaming_join_state_audit(
         )
         .orderBy("day")
     )
+
+
+# --- arbitrary-state sessionizer accounting ----------------------------
+
+#: idle gap of the per-user sessionizer (seconds). 4 h against the
+#: fixture's ~7.7 h median inter-event gap keeps BOTH populations
+#: non-degenerate at every SF: multi-event sessions and splits.
+SESSION_GAP_S = 14400
+_GAP_US = SESSION_GAP_S * 1_000_000
+
+
+def session_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replica of the streaming arbitrary-state sessionizer's
+    final emitted set (streaming/windows.py sessionize_user_events):
+    per-user gap-4h islands over the KEPT events of the arrival replay
+    (kept = not behind the batch's late-filter watermark, the same
+    measured two-watermark rule as the other audits in this module).
+
+    The sessionizer's state design makes this closed form EXACT, not
+    approximate: islands are finalized only when the watermark proves
+    no future non-late input can extend, bridge, or land inside them,
+    so the emitted set is a pure function of the kept-event SET —
+    independent of arrival interleaving and of when timeouts happen to
+    fire. tests/test_streaming.py replays the same model through the
+    real applyInPandasWithState pipeline and asserts set equality.
+
+    Columns: user_id, start_us / end_us (epoch micros, exact BIGINT),
+    n (events), cents (integer value mass)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    return sessions_from(e)
+
+
+def sessions_from(e: DataFrame) -> DataFrame:
+    """session_table over an explicit events frame (the equivalence
+    test feeds a time-sliced fixture through the same construction)."""
+    arr = _with_arrival(e)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    ann = arr.join(F.broadcast(wm), "batch_id")
+    kept = ann.filter(
+        F.col("wm_late_ts").isNull() | (F.col("ts") >= F.col("wm_late_ts"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    s2 = kept.withColumn(
+        "brk",
+        F.when(
+            F.col("tus") - F.lag("tus").over(w) > _GAP_US, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s2.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@query(
+    "streaming_session_state_audit",
+    oracle=_ARRIVAL_SQL
+    + f"""
+    , ke AS (
+        SELECT b.user_id, b.event_id, b.ts, epoch_us(b.ts) AS tus,
+               CAST(round(b.value * 100) AS BIGINT) AS cents,
+               CASE WHEN w.wm_late_ts IS NOT NULL AND b.ts < w.wm_late_ts
+                    THEN 1 ELSE 0 END AS late
+        FROM b JOIN wm w ON b.batch_id = w.batch_id
+    ),
+    s1 AS (
+        SELECT user_id, event_id, tus, cents,
+               CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                              ORDER BY tus, event_id)
+                         > {_GAP_US} THEN 1 ELSE 0 END AS brk
+        FROM ke WHERE late = 0
+    ),
+    s2 AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM s1
+    ),
+    sess AS (
+        SELECT user_id, sid, min(tus) AS start_us, max(tus) AS end_us,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM s2 GROUP BY user_id, sid
+    ),
+    byday AS (
+        SELECT strftime(make_timestamp(start_us), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events_kept,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(sum((end_us - start_us) // 1000000) AS BIGINT)
+                   AS total_duration_s,
+               CAST(sum(cents) AS BIGINT) AS kept_value_cents
+        FROM sess GROUP BY 1
+    ),
+    dropped AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_dropped_late
+        FROM ke WHERE late = 1 GROUP BY 1
+    )
+    SELECT coalesce(bd.day, dr.day) AS day,
+           CAST(coalesce(n_sessions, 0) AS BIGINT) AS n_sessions,
+           CAST(coalesce(n_events_kept, 0) AS BIGINT) AS n_events_kept,
+           CAST(coalesce(n_singletons, 0) AS BIGINT) AS n_singletons,
+           CAST(coalesce(total_duration_s, 0) AS BIGINT)
+               AS total_duration_s,
+           CAST(coalesce(kept_value_cents, 0) AS BIGINT)
+               AS kept_value_cents,
+           CAST(coalesce(n_dropped_late, 0) AS BIGINT) AS n_dropped_late
+    FROM byday bd FULL JOIN dropped dr ON bd.day = dr.day
+    ORDER BY day
+    """,
+)
+def streaming_session_state_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day accounting for the ARBITRARY-state streaming
+    sessionizer (streaming/windows.py sessionize_user_events — the
+    flatMapGroupsWithState-class surface, the last Structured
+    Streaming operator family without a driver-visible oracle): for
+    each day (of session start), how many gap-4h sessions the engine
+    emits, their event/value mass, singleton share, and total dwell
+    time — plus how many inputs the watermark discarded as late (keyed
+    by their own event day). The production question it answers: what
+    does the 1 h transport budget do to session completeness?
+
+    Exactness argument (why a batch oracle can exist for an
+    arbitrary-state operator at all): the sessionizer finalizes an
+    island only when ``last + gap < watermark``, i.e. when NO future
+    non-late event can extend it from above (ts > last + gap), attach
+    below or inside it (every such ts also exceeds last + gap ≥
+    start + gap), or bridge it to anything — so its emitted set is
+    exactly the event-time gap-islands of the kept set, regardless of
+    arrival interleaving or timeout timing. Kept = the same
+    late-filter rule the other audits in this module MEASURED on real
+    engine runs (ts >= wm_late(batch), SPARK-40925 two-watermark
+    semantics). tests/test_streaming.py replays the identical model
+    through the real applyInPandasWithState pipeline and asserts the
+    emitted (user, start, end, n, cents) set equals session_table's.
+
+    Scale: two event scans (batch maxima + classification), a
+    broadcast of the bounded per-batch watermark table, ONE
+    user-partitioned window for the islands, and bounded per-day
+    output — no state, no driver loops, no global sort."""
+    sess = session_table(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    arr = _with_arrival(e)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    late = (
+        arr.join(F.broadcast(wm), "batch_id")
+        .filter(
+            F.col("wm_late_ts").isNotNull()
+            & (F.col("ts") < F.col("wm_late_ts"))
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_late"))
+    )
+    byday = sess.groupBy(
+        F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events_kept"),
+        F.sum((F.col("n") == 1).cast("long"))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.expr("(end_us - start_us) div 1000000"))
+        .cast("long")
+        .alias("total_duration_s"),
+        F.sum("cents").cast("long").alias("kept_value_cents"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        byday.join(late, "day", "full")
+        .select(
+            "day",
+            z("n_sessions").alias("n_sessions"),
+            z("n_events_kept").alias("n_events_kept"),
+            z("n_singletons").alias("n_singletons"),
+            z("total_duration_s").alias("total_duration_s"),
+            z("kept_value_cents").alias("kept_value_cents"),
+            z("n_dropped_late").alias("n_dropped_late"),
+        )
+        .orderBy("day")
+    )

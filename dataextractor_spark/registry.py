@@ -70,6 +70,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # this round's ≤2 additions, scheduled inside the prefix when they
     # land) and the remaining stale-r1/r2 refreshes below form the
     # ENTIRE r8 prefix (see the r8 block comment).
+    # -- round-7 addition (the one genuine gap the r6 verdict named:
+    #    arbitrary-state streaming parity) — brand-new, leads --
+    "streaming_session_state_audit",  # new r7: gap-4h sessionizer audit
     # -- late-round-6 additions (48 queries, never driver-checked) --
     "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
     "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
@@ -119,19 +122,22 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
     "stats_cochran_q",  # new r6: k=3 repeated-measures binary test
     "etl_calendar_coverage_audit",  # new r6: ingestion-gap day ledger
-    # -- slots 49-50: the two OLDEST stale refreshes (r1 rows predate
-    #    the r2 merge-form as-of / md5-digest dedup rewrites); queued
-    #    here per the r6 verdict item 2 after two deferrals --
+    # -- slot 50: the OLDEST stale refresh (its r1 row predates the
+    #    r2 merge-form as-of rewrite); queued per the r6 verdict
+    #    item 2 after two deferrals. The r7 addition above displaces
+    #    the second refresh (dedup_exact) to lead the r8 queue below:
+    #    49 first-ever rows + this refresh = 291/291 cumulative
+    #    ever-checked coverage, the maximum a 50-slot window allows.
     "join_asof_latest_order",  # merge-form rewrite (r2); r1 row stale
-    "dedup_exact",  # md5-digest rewrite (r2); r1 row stale
     # ---- 50-entry prefix boundary (typical per-run budget) ----
     # ============ round-8 prefix: the refresh queue ============
     # Everything from here down to the r5-window block is the stale-
     # evidence refresh queue, oldest latest-row first: the remaining
     # r1-era dedup/as-of/join rows (predating r2 rewrites), then the
     # r2/r3-era families. Once the r7 window closes the first-ever
-    # ledger at 290/290, these refreshes ARE the r8 window verbatim —
-    # no reordering needed, just run the prefix.
+    # ledger, these refreshes ARE the r8 window verbatim — no
+    # reordering needed, just run the prefix.
+    "dedup_exact",  # md5-digest rewrite (r2); r1 row stale — oldest
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
     "dedup_shingle_jaccard",

@@ -349,6 +349,8 @@ UNPARTITIONED_WINDOW_OK = {
     "streaming_watermark_frontier",  # same bounded per-batch table
     "streaming_dedup_replay_audit",  # same bounded per-batch table
     "streaming_join_state_audit",    # same bounded per-batch table
+    "streaming_session_state_audit",  # same bounded per-batch table (the
+                                      # islands window IS user-partitioned)
     "time_concurrency_peak",         # running sum over the bounded DAILY
                                      # delta table (calendar-sized), never
                                      # lineitem rows

@@ -564,3 +564,110 @@ def test_join_state_audit_matches_streaming_engine(spark, tmp_path):
     )
     got = sorted((r.c_id, r.p_id) for r in out.collect())
     assert got == expected
+
+
+def test_session_state_audit_matches_streaming_engine(spark, tmp_path):
+    """The oracled arbitrary-state sessionizer audit
+    (streaming_session_state_audit) must agree with the REAL
+    applyInPandasWithState pipeline: stage the deterministic arrival
+    replay, run sessionize_user_events (EventTimeTimeout, custom
+    array-valued state) end-to-end, and assert the engine's emitted
+    (user, start, end, n, cents) multiset equals the batch
+    session_table exactly — with the late-drop, multi-event-session,
+    and singleton populations all non-vacuously present."""
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.streaming_audit import (
+        SESSION_GAP_S,
+        _batch_watermarks,
+        _with_arrival,
+        sessions_from,
+        stage_arrival_replay,
+    )
+    from dataextractor_spark.streaming.windows import sessionize_user_events
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") < F.lit("2024-01-11").cast("timestamp")
+    )
+
+    # batch-audit side: same construction as the registry query
+    sess = sessions_from(events).cache()
+    expected = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n, r.cents)
+        for r in sess.collect()
+    )
+    assert any(t[3] > 1 for t in expected), "need a multi-event session"
+    assert any(t[3] == 1 for t in expected), "need a singleton session"
+    arr = _with_arrival(events)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    n_late = (
+        arr.join(F.broadcast(wm), "batch_id")
+        .filter(
+            F.col("wm_late_ts").isNotNull()
+            & (F.col("ts") < F.col("wm_late_ts"))
+        )
+        .count()
+    )
+    assert n_late >= 1, "fixture must exercise the late-drop path"
+    assert sum(t[3] for t in expected) == events.count() - n_late
+
+    # engine side: real file-source replay through the stateful op
+    input_dir = str(tmp_path / "session_input")
+    stage_arrival_replay(spark, events, input_dir)
+    out = run_available_now(
+        sessionize_user_events(
+            events_stream(spark, input_dir), gap_s=SESSION_GAP_S
+        ),
+        query_name="t_session_audit",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_session_audit"),
+    ).filter(F.col("user_id") >= 0)  # sentinel never finalizes anyway
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.value_cents)
+        for r in out.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+            "value_cents",
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_merge_islands_order_independent():
+    """The sessionizer's closed-form-oracle argument rests on island
+    merging being a pure function of the point SET. Pin it: for random
+    point sets, every random partition of the points into 'batches'
+    (arrival interleavings), folded through merge_islands exactly as
+    the update function does, yields identical islands — and they
+    equal the single-shot gaps-and-islands of the sorted set."""
+    import random
+
+    from dataextractor_spark.streaming.windows import merge_islands
+
+    rng = random.Random(0xC0FFEE)
+    gap = 50
+    for _case in range(200):
+        pts = [rng.randrange(0, 1000) for _ in range(rng.randrange(1, 40))]
+        ref = merge_islands([[p, p, 1, p % 7] for p in pts], gap)
+        # brute-force islands of the sorted multiset
+        exp = []
+        for p in sorted(pts):
+            if exp and p - exp[-1][1] <= gap:
+                exp[-1][1] = p
+                exp[-1][2] += 1
+                exp[-1][3] += p % 7
+            else:
+                exp.append([p, p, 1, p % 7])
+        assert ref == exp
+        # arbitrary interleaving: shuffle, split into batches, fold
+        shuffled = pts[:]
+        rng.shuffle(shuffled)
+        state = []
+        while shuffled:
+            k = rng.randrange(1, len(shuffled) + 1)
+            batch, shuffled = shuffled[:k], shuffled[k:]
+            state = merge_islands(
+                state + [[p, p, 1, p % 7] for p in batch], gap
+            )
+        assert state == exp
