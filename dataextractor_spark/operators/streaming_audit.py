@@ -890,12 +890,25 @@ def session_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions_from(e)
 
 
+def _annotated(e: DataFrame) -> DataFrame:
+    """events + arrival model + broadcast late-filter watermark, pinned
+    with localCheckpoint so the sessions branch and the late-drop
+    branch of the audit share ONE classification scan instead of
+    re-deriving it per consumer (the module's two-scan budget)."""
+    arr = _with_arrival(e)
+    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    return arr.join(F.broadcast(wm), "batch_id").localCheckpoint(
+        eager=False
+    )
+
+
 def sessions_from(e: DataFrame) -> DataFrame:
     """session_table over an explicit events frame (the equivalence
     test feeds a time-sliced fixture through the same construction)."""
-    arr = _with_arrival(e)
-    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
-    ann = arr.join(F.broadcast(wm), "batch_id")
+    return _sessions_from_ann(_annotated(e))
+
+
+def _sessions_from_ann(ann: DataFrame) -> DataFrame:
     kept = ann.filter(
         F.col("wm_late_ts").isNull() | (F.col("ts") >= F.col("wm_late_ts"))
     ).select(
@@ -1013,13 +1026,13 @@ def streaming_session_state_audit(
     broadcast of the bounded per-batch watermark table, ONE
     user-partitioned window for the islands, and bounded per-day
     output — no state, no driver loops, no global sort."""
-    sess = session_table(spark, sf_dir)
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    arr = _with_arrival(e)
-    wm = _batch_watermarks(arr).select("batch_id", "wm_late_ts")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    ann = _annotated(e)  # ONE classification scan, shared by branches
+    sess = _sessions_from_ann(ann)
     late = (
-        arr.join(F.broadcast(wm), "batch_id")
-        .filter(
+        ann.filter(
             F.col("wm_late_ts").isNotNull()
             & (F.col("ts") < F.col("wm_late_ts"))
         )
