@@ -131,12 +131,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_asof_latest_order",  # merge-form rewrite (r2); r1 row stale
     # ---- 50-entry prefix boundary (typical per-run budget) ----
     # ============ round-8 prefix: the refresh queue ============
-    # Everything from here down to the r5-window block is the stale-
-    # evidence refresh queue, oldest latest-row first: the remaining
-    # r1-era dedup/as-of/join rows (predating r2 rewrites), then the
-    # r2/r3-era families. Once the r7 window closes the first-ever
-    # ledger, these refreshes ARE the r8 window verbatim — no
-    # reordering needed, just run the prefix.
+    # Everything from here down to the r5-window block is the r8
+    # window verbatim — no reordering needed, just run the prefix:
+    # first the one remaining first-ever (the round-7 JPEG codec,
+    # landed after the r7 window was already full at 49 first-evers +
+    # the oldest refresh), then the stale-evidence refresh queue,
+    # oldest latest-row first: the r1-era dedup/as-of/join rows
+    # (predating r2 rewrites), then the r2/r3-era families.
+    "multimodal_jpeg_codec",  # new r7: baseline JPEG, closed-form oracle
     "dedup_exact",  # md5-digest rewrite (r2); r1 row stale — oldest
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",

@@ -330,3 +330,132 @@ def test_phash_spark_hashes_match_reference(spark):
         if ref >= 1 << 63:
             ref -= 1 << 64
         assert h == ref, doc_id
+
+
+# --- baseline JPEG codec contracts --------------------------------------
+
+
+def test_jpeg_huffman_tables_match_spec_vectors():
+    """Published T.81 Annex-K luminance vectors: EOB (symbol 0x00) is
+    1010 in 4 bits; ZRL (0xF0) is 11111111001 in 11 bits; DC category
+    0 is 00 in 2 bits. A transposed BITS/HUFFVAL entry anywhere shifts
+    the canonical assignment and breaks these."""
+    from dataextractor_spark.operators.multimodal import (
+        _JPG_AC_BITS,
+        _JPG_AC_VALS,
+        _JPG_DC_BITS,
+        _JPG_DC_VALS,
+        _jpg_canonical_codes,
+    )
+
+    ac = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    dc = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    assert ac[0x00] == (0b1010, 4)
+    assert ac[0xF0] == (0b11111111001, 11)
+    assert dc[0] == (0b00, 2)
+    # canonical codes are prefix-free by construction — verify anyway
+    for codes in (ac, dc):
+        seen = sorted((ln, code) for code, ln in codes.values())
+        for i, (ln_a, c_a) in enumerate(seen):
+            for ln_b, c_b in seen[i + 1 :]:
+                assert not (c_b >> (ln_b - ln_a)) == c_a or ln_a == ln_b
+
+
+def test_jpeg_constant_mosaic_closed_form():
+    """Every constant block value 0..255 decodes to the closed form
+    2*round-half-away((v-128)/2) + 128 clamped — including every .5
+    quantizer boundary (odd v-128) and both clamp ends."""
+    import numpy as np
+
+    from dataextractor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+        _jpg_expected_decoded,
+    )
+
+    vals = list(range(256))
+    # 256 blocks = 16x16 grid -> 128x128 raster
+    gray = np.zeros((128, 128), np.uint8)
+    want = np.zeros_like(gray)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 16)
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            _jpg_expected_decoded(v)
+        )
+    w, h, dec = _decode_jpeg(_encode_jpeg(gray))
+    assert (w, h) == (128, 128)
+    assert np.array_equal(dec, want)
+    assert _jpg_expected_decoded(0) == 0  # low clamp
+    assert _jpg_expected_decoded(255) == 255  # high clamp
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_deterministic():
+    """General rasters: the lossy roundtrip is (a) deterministic —
+    encode twice, byte-identical; (b) bounded — smooth gradients
+    reconstruct within a few levels, white noise within the block
+    dynamic range; (c) exercises the AC path — the entropy stream must
+    contain non-EOB AC symbols (bitstream longer than DC-only)."""
+    import numpy as np
+
+    from dataextractor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    smooth = ((xx * 3 + yy * 2) // 2 % 200 + 20).astype(np.uint8)
+    b1, b2 = _encode_jpeg(smooth), _encode_jpeg(smooth)
+    assert b1 == b2
+    w, h, dec = _decode_jpeg(b1)
+    assert (w, h) == (48, 32)
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 6
+
+    rng = np.random.RandomState(42)
+    noise = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    nb = _encode_jpeg(noise)
+    w, h, dn = _decode_jpeg(nb)
+    assert (w, h) == (16, 16)
+    assert np.abs(dn.astype(int) - noise.astype(int)).max() < 128
+    flat = _encode_jpeg(np.full((16, 16), 128, np.uint8))
+    assert len(nb) > len(flat)  # AC symbols actually emitted
+
+
+def test_jpeg_decoder_rejects_corruption():
+    """Hard-fail contract: bad SOI, truncated stream, non-baseline
+    SOF marker, and a flipped entropy byte must raise, never return
+    silently wrong pixels (a flipped byte that still Huffman-decodes
+    is caught by the coefficient-overrun / marker checks or changes
+    the output — assert it cannot equal the clean decode)."""
+    import numpy as np
+    import pytest
+
+    from dataextractor_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    img = (np.indices((16, 16)).sum(0) * 7 % 256).astype(np.uint8)
+    blob = _encode_jpeg(img)
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"\x00\x00" + blob[2:])
+    with pytest.raises((ValueError, IndexError)):
+        _decode_jpeg(blob[: len(blob) // 2])
+    sof2 = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _decode_jpeg(sof2)
+    clean = _decode_jpeg(blob)[2]
+    # flip one entropy-coded byte (well past the fixed-size headers,
+    # before EOI); any survivable decode must differ from the truth
+    k = len(blob) - 8
+    for delta in (1, 7, 77):
+        broken = bytearray(blob)
+        if broken[k] in (0xFF, 0x00) or broken[k - 1] == 0xFF:
+            k -= 3
+            broken = bytearray(blob)
+        broken[k] = (broken[k] + delta) % 256
+        try:
+            out = _decode_jpeg(bytes(broken))[2]
+        except (ValueError, IndexError, KeyError):
+            continue
+        assert not np.array_equal(out, clean)
