@@ -244,23 +244,25 @@ HEADLINE = [
 N_REPS = 3
 
 
-#: tables worth splitting during restage: many rows (lineitem/orders/
-#: events) or heavy per-row CPU (documents: codecs, shingling). The
-#: rest stay single-file on purpose — measured: splitting the 2k-row
-#: embeddings table into 32 files REGRESSED the multi-job ANN sweeps
-#: (ivf/k-means/semantic-dedup, +1-3 s each) because every tiny sweep
-#: stage then pays 32-task scheduling for 62-row partitions. Same
-#: lesson as production file sizing: target partition ROW counts,
-#: don't split indiscriminately.
-_RESTAGE_SPLIT = {
-    "lineitem",
-    "orders",
-    "events",
-    "documents",
+#: per-table restage file counts: many rows (lineitem) or heavy
+#: per-row CPU (documents: codecs, shingling) get wide layouts;
+#: mid-size fact tables (events/orders) get a moderate split —
+#: measured: 32 files on the 100k-row events table regressed the many
+#: small funnel/attribution queries ~2× (32-task scheduling per tiny
+#: stage), while 8 keeps their stage-1 parallel without the overhead.
+#: Unlisted tables stay single-file on purpose — splitting the 2k-row
+#: embeddings table regressed the multi-job ANN sweeps (ivf/k-means/
+#: semantic-dedup, +1-3 s each). Same lesson as production file
+#: sizing: target partition ROW counts, don't split indiscriminately.
+_RESTAGE_FILES = {
+    "lineitem": 32,
+    "documents": 32,
+    "orders": 8,
+    "events": 8,
 }
 
 
-def restage_fixtures(spark, sf_dir: str, n_files: int) -> str:
+def restage_fixtures(spark, sf_dir: str) -> str:
     """Rewrite the fixture tables into an n-file-per-table layout.
 
     Every driver fixture is ONE parquet file with ONE row group
@@ -284,7 +286,7 @@ def restage_fixtures(spark, sf_dir: str, n_files: int) -> str:
     out = tempfile.mkdtemp(prefix="bench_restage_")
     for t in TABLES:
         df = load_table(spark, sf_dir, t, validate=False)
-        n = n_files if t in _RESTAGE_SPLIT else 1
+        n = _RESTAGE_FILES.get(t, 1)
         df.repartition(n).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -308,7 +310,7 @@ def main() -> None:
     specs = load_all()
 
     t0 = time.perf_counter()
-    sf_dir = restage_fixtures(spark, env_dir, n_files=32)
+    sf_dir = restage_fixtures(spark, env_dir)
     restage_s = round(time.perf_counter() - t0, 3)
 
     # warm the JVM/codegen path once outside timing
