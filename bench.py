@@ -279,11 +279,16 @@ def restage_fixtures(spark, sf_dir: str) -> str:
     and it is reported in the output (``restage_s``), not hidden.
     Row contents are identical (same multiset; every registered query
     is order-insensitive by the registry convention)."""
+    import atexit
+    import shutil
     import tempfile
 
     from dataextractor_spark.catalog import TABLES, load_table
 
     out = tempfile.mkdtemp(prefix="bench_restage_")
+    # the restaged copy is per-run scratch — reap it on exit so
+    # repeated bench runs don't accumulate dataset copies under /tmp
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     for t in TABLES:
         df = load_table(spark, sf_dir, t, validate=False)
         n = _RESTAGE_FILES.get(t, 1)

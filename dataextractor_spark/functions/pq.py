@@ -12,9 +12,13 @@ Spark shape, same discipline as the k-means module it builds on:
   once into (subspace, segment) rows and every Lloyd sweep is ONE job
   — one joint assignment expression (per-subspace d2 literals behind
   a CASE on the subspace id) and one groupBy(j, cell) mean update —
-  instead of m separate kmeans_fit job chains. Same seeds, same
-  argmin, same means, so the learned codebooks are identical to the
-  per-subspace form; the job count drops from m·(sweeps+1) to
+  instead of m separate kmeans_fit job chains. Same seeds and the
+  same argmin assignment as the per-subspace form; the mean update
+  aggregates the same rows but in a different partial-sum order
+  (groupBy(j, cell) vs per-subspace groupBy(cell)), so the learned
+  codebooks agree up to float-summation reassociation — equal in
+  exact arithmetic, ulp-level on doubles. The job count drops from
+  m·(sweeps+1) to
   sweeps+1 (measured ~2× on the sf0.1 IVF+PQ build, where
   driver-scheduled job overhead, not data volume, dominates).
   Driver state is still m·ksub·(d/m) = ksub·d floats.
@@ -47,8 +51,9 @@ def pq_fit(
     divisible by m; subspace j covers elements [j·d/m, (j+1)·d/m).
     Deterministic (the same hash-ranked seeding as kmeans_fit — the
     seed ids are slice-independent, so one collect seeds all m books);
-    returns [m][ksub][dim/m] floats. Exactly the per-subspace Lloyd
-    fit, executed fused (module docstring)."""
+    returns [m][ksub][dim/m] floats. The per-subspace Lloyd fit
+    executed fused — same seeds/assignments, means equal up to float
+    partial-sum order (module docstring)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ds = dim // m

@@ -20,18 +20,42 @@ def _salt_expr(cols: list[str], n_salts: int) -> Column:
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
 
 
+def _with_hot_flag(df: DataFrame, key: str, hot_df: DataFrame) -> DataFrame:
+    """Mark each row hot/cold via a BROADCAST join against the hot-key
+    set, so the hot keys never leave the cluster as Python values —
+    the salting plan stays fully lazy/distributed no matter how the
+    hot set was derived (typically a frequency-histogram aggregate).
+    The hot frame is deduped defensively: a duplicate hot key in a
+    left marker join would duplicate data rows."""
+    hk = F.broadcast(
+        hot_df.select(F.col(hot_df.columns[0]).alias("_hot_key"))
+        .dropDuplicates()
+        .withColumn("_is_hot", F.lit(True))
+    )
+    return (
+        df.join(hk, df[key] == hk["_hot_key"], "left")
+        .drop("_hot_key")
+        .withColumn("_is_hot", F.coalesce(F.col("_is_hot"), F.lit(False)))
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    hot_keys: list,
+    hot_keys,
     *,
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
     """Join fact⋈dim on key with hot-key salting.
 
+    ``hot_keys`` is either a single-column DataFrame of hot key values
+    (preferred at scale: the hot set stays a distributed/broadcast
+    relation end-to-end — never ``collect()``-ed into driver Python —
+    so the salting works even if 'hot' means millions of keys) or a
+    plain Python list (convenient for tests / truly static sets).
     Fact rows with a hot key get salt = hash(all fact columns) mod n;
     cold rows salt 0. Dim rows for hot keys are replicated across all
     n salts (cold: salt 0 only) — the dim grows by |hot|×(n-1) rows,
@@ -52,18 +76,32 @@ def salted_join(
             f"got how={how!r} — dim replication across salts would emit one "
             "null-extended row per unmatched salt under right/full outer"
         )
-    is_hot_fact = F.col(fact_key).isin(hot_keys)
-    fact_s = fact.withColumn(
+    fact_cols = list(fact.columns)
+    if isinstance(hot_keys, DataFrame):
+        fact_h = _with_hot_flag(fact, fact_key, hot_keys)
+        dim_h = _with_hot_flag(dim, dim_key, hot_keys)
+        is_hot_fact = is_hot_dim = F.col("_is_hot")
+    else:
+        fact_h, dim_h = fact, dim
+        is_hot_fact = F.col(fact_key).isin(hot_keys)
+        is_hot_dim = F.col(dim_key).isin(hot_keys)
+    fact_s = fact_h.withColumn(
         "_salt",
-        F.when(is_hot_fact, _salt_expr(fact.columns, n_salts)).otherwise(F.lit(0)),
+        F.when(is_hot_fact, _salt_expr(fact_cols, n_salts)).otherwise(
+            F.lit(0)
+        ),
+    ).drop("_is_hot")
+    dim_s = (
+        dim_h.withColumn(
+            "_salts",
+            F.when(
+                is_hot_dim, F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .drop("_is_hot")
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_salts")
     )
-    is_hot_dim = F.col(dim_key).isin(hot_keys)
-    dim_s = dim.withColumn(
-        "_salts",
-        F.when(
-            is_hot_dim, F.sequence(F.lit(0), F.lit(n_salts - 1))
-        ).otherwise(F.array(F.lit(0))),
-    ).withColumn("_salt", F.explode("_salts")).drop("_salts")
     joined = fact_s.join(
         dim_s,
         (fact_s[fact_key] == dim_s[dim_key]) & (fact_s["_salt"] == dim_s["_salt"]),

@@ -585,26 +585,22 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the hot dim rows replicate. AQE's skew split handles moderate
     sort-merge skew automatically (and broadcast beats salting when
     the dim fits); salting is the explicit, engine-independent form
-    for extreme keys. The hot-key collect is bounded by the number of
-    hot keys, never by data volume — same contract as a broadcast dim.
-    Oracle: the plain join (salting must be result-invariant;
-    tests/test_plans.py also proves row-identity and hot-key spread on
-    the physical plan)."""
+    for extreme keys. The hot set stays a DataFrame end-to-end —
+    broadcast-joined against both sides to mark hot rows, never
+    collected into driver Python — so the plan holds even if the hot
+    set itself grows with the data. Oracle: the plain join (salting
+    must be result-invariant; tests/test_plans.py also proves
+    row-identity and hot-key spread on the physical plan)."""
     from dataextractor_spark.functions.skew import salted_join
 
     e = load_table(spark, sf_dir, "events").select("user_id", "value")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     hist = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    hot = [
-        r.user_id
-        for r in hist.join(
-            F.broadcast(hist.agg(F.avg("n").alias("mean_n"))),
-            F.col("n") > 4 * F.col("mean_n"),
-            "inner",
-        )
-        .select("user_id")
-        .collect()
-    ]
+    hot = hist.join(
+        F.broadcast(hist.agg(F.avg("n").alias("mean_n"))),
+        F.col("n") > 4 * F.col("mean_n"),
+        "inner",
+    ).select("user_id")
     joined = salted_join(e, c, "user_id", "c_custkey", hot, n_salts=8)
     return (
         joined.groupBy("c_mktsegment")

@@ -1966,8 +1966,14 @@ def _decode_jpeg(payload: bytes):
     return w, h, out
 
 
-def _jpg_mosaic_value(doc_id: int, by: int, bx: int) -> int:
-    """Block (bx, by) of doc d is the constant (5d + 7by + 11bx) % 256."""
+def _jpg_mosaic_value(doc_id, by, bx):
+    """Block (bx, by) of doc d is the constant (5d + 7by + 11bx) % 256.
+
+    The single source of the mosaic formula: the query body calls it
+    (plain arithmetic, so scalar ints and numpy meshgrids both work);
+    the SQL oracle inlines the same expression by necessity, and the
+    closed-form-mismatch hard-fail inside the mapInPandas stage is
+    what keeps the two from drifting apart."""
     return (doc_id * 5 + by * 7 + bx * 11) % 256
 
 
@@ -2050,7 +2056,7 @@ def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                v = (doc_id * 5 + by_g * 7 + bx_g * 11) % 256
+                v = _jpg_mosaic_value(doc_id, by_g, bx_g)
                 t = v - 128
                 qdc = np.sign(t) * ((np.abs(t) + 1) // 2)
                 exp = np.clip(2 * qdc + 128, 0, 255)

@@ -2587,8 +2587,17 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.d") - F.col("a.d"))
         ).alias("slope")
     )
-    parts = slopes.repartitionByRange(32, "slope").withColumn(
-        "pid", F.spark_partition_id()
+    # pinned: counts/offsets/total AND ranked all consume `parts`, and
+    # global ranks are only coherent if every consumer reads the SAME
+    # range shuffle (same sampled boundaries, same partition ids).
+    # Exchange reuse usually guarantees that, but it is an optimizer
+    # choice — the lazy checkpoint makes the single materialization a
+    # plan property instead of a config dependency (same device as
+    # `daily` above and pq.py's `segs`).
+    parts = (
+        slopes.repartitionByRange(32, "slope")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     rhs = counts.select(

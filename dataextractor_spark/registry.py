@@ -57,88 +57,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ================= round-7 prefix (50 slots) =================
-    # Goal: close the cumulative driver-coverage ledger. The r6 window
-    # harvested 50/50 first-ever green rows (CORRECTNESS_r06), leaving
-    # exactly 48 registered queries with no driver row in any round —
-    # the late-round-6 additions that landed after the r6 window was
-    # frozen. They fill slots 1-48 here. Slots 49-50 carry the TWO
-    # OLDEST stale-evidence refreshes (`join_asof_latest_order`,
-    # `dedup_exact` — r1 rows predating the r2 merge-form/digest
-    # rewrites), ending the two-round deferral the r6 verdict flagged.
-    # After this window: cumulative driver coverage = 290/290 (modulo
-    # this round's ≤2 additions, scheduled inside the prefix when they
-    # land) and the remaining stale-r1/r2 refreshes below form the
-    # ENTIRE r8 prefix (see the r8 block comment).
-    # -- round-7 addition (the one genuine gap the r6 verdict named:
-    #    arbitrary-state streaming parity) — brand-new, leads --
-    "streaming_session_state_audit",  # new r7: gap-4h sessionizer audit
-    # -- late-round-6 additions (48 queries, never driver-checked) --
-    "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
-    "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
-    "stats_spearman_corr",  # new r6: doubled-rank Pearson, no row sort
-    "source_xml_roundtrip",  # new r6: Spark-4 native XML, md5-pinned text
-    "scalar_variant_funcs",  # new r6: VARIANT parse_json/variant_get surface
-    "sql_udf_scalar_tvf",  # new r6: SQL-language scalar + table UDFs, inlined
-    "ab_srm_guardrail",  # new r6: weekly sample-ratio-mismatch chi-square
-    "graph_local_clustering",  # new r6: per-node Watts-Strogatz cc deciles
-    "text_readability",  # new r6: Flesch/FK vowel-group readability
-    "etl_zonemap_prune_audit",  # new r6: min/max data-skipping ledger
-    "text_ngram_novelty",  # new r6: first-owner source novelty shares
-    "graph_assortativity",  # new r6: Newman degree-degree Pearson
-    "agg_ols_two_features",  # new r6: 2-feature normal-equation OLS + R2
-    "stats_proportion_ztest",  # new r6: pooled-SE conversion z-test
-    "agg_theil_sen_trend",  # new r6: calendar-bounded median-slope trend
-    "ab_delta_method_ratio",  # new r6: linearized ratio-metric z-test
-    "multimodal_gif_codec",  # new r6: from-scratch LZW GIF roundtrip
-    "time_max_drawdown",  # new r6: peak-to-trough revenue risk stat
-    "ab_funnel_lift",  # new r6: per-arm ordered funnel + pooled z
-    "sim_matryoshka_recall",  # new r6: prefix-dim top-10 recall table
-    "sample_neyman_allocation",  # new r6: optimal stratified allocation
-    "time_interrupted_series",  # new r6: pre/post segmented trend (ITS)
-    "text_source_similarity",  # new r6: source-pair 8-gram Jaccard top-10
-    "text_compression_quality",  # new r6: deflate-ratio screen (rows-only)
-    "time_autocorrelation",  # new r6: daily-revenue ACF, lags 1..14
-    "sample_ht_estimator",  # new r6: stratified-Poisson HT totals
-    "sim_centroid_classify_eval",  # new r6: Rocchio recall, integer centroids
-    "stats_kendall_tau",  # new r6: grid-join tau-b, corpus-size-free
-    "stats_runs_test",  # new r6: Wald-Wolfowitz randomness z
-    "agg_chi2_cell_residuals",  # new r6: Haberman adjusted residual drill-down
-    "etl_delete_rewrite_plan",  # new r6: GDPR copy-on-write amplification
-    "time_rolling_median",  # new r6: robust 7-day smoother, top deviations
-    "ml_calibration_error",  # new r6: reliability bins + integer-exact ECE
-    "ab_power_mde",  # new r6: MDE / required-n experiment sizing
-    "multimodal_pixel_histogram",  # new r6: decoded-raster intensity bins
-    "graph_hits_scores",  # new r6: 2-sweep integer HITS, max-normalized
-    "stats_brown_forsythe",  # new r6: robust variance-homogeneity F
-    "udf_arrow_map_tokencount",  # new r6: raw-Arrow extension point
-    "sql_observe_metrics",  # new r6: piggybacked DQ accumulators
-    "sql_parameterized_args",  # new r6: named-parameter SQL binding
-    "source_text_lines_scan",  # new r6: write.text/read.text, md5-pinned
-    "time_interevent_gaps",  # new r6: log2 gap histogram per user
-    "text_vocab_growth",  # new r6: Heaps-law saturation curve
-    "stats_wilcoxon_signed_rank",  # new r6: paired pre/post rank test
-    "agg_mcnemar_paired",  # new r6: discordant-pair flip chi-square
-    "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
-    "stats_cochran_q",  # new r6: k=3 repeated-measures binary test
-    "etl_calendar_coverage_audit",  # new r6: ingestion-gap day ledger
-    # -- slot 50: the OLDEST stale refresh (its r1 row predates the
-    #    r2 merge-form as-of rewrite); queued per the r6 verdict
-    #    item 2 after two deferrals. The r7 addition above displaces
-    #    the second refresh (dedup_exact) to lead the r8 queue below:
-    #    49 first-ever rows + this refresh = 291/291 cumulative
-    #    ever-checked coverage, the maximum a 50-slot window allows.
-    "join_asof_latest_order",  # merge-form rewrite (r2); r1 row stale
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # ============ round-8 prefix: the refresh queue ============
-    # Everything from here down to the r5-window block is the r8
-    # window verbatim — no reordering needed, just run the prefix:
-    # first the one remaining first-ever (the round-7 JPEG codec,
-    # landed after the r7 window was already full at 49 first-evers +
-    # the oldest refresh), then the stale-evidence refresh queue,
-    # oldest latest-row first: the r1-era dedup/as-of/join rows
-    # (predating r2 rewrites), then the r2/r3-era families.
-    "multimodal_jpeg_codec",  # new r7: baseline JPEG, closed-form oracle
+    # ================= round-8 prefix (50 slots) =================
+    # Goal: finish the cumulative ledger and retire the stale-r1/r2
+    # evidence. Slot 1 is the single never-driver-checked query (the
+    # round-7 JPEG codec, which landed after the r7 window was full).
+    # Slots 2-3 are the two queries whose PLANS changed this round
+    # (the Theil-Sen shuffle pin and the de-collected salted join) —
+    # changed plans re-verify first by policy. Slots 4-50 are the
+    # head of the stale-evidence refresh queue, oldest latest-row
+    # first: r1-era dedup/join rows predating the r2 rewrites, then
+    # the r3-green families. After this window the oldest remaining
+    # evidence is r3, and the whole registry has been driver-checked.
+    "multimodal_jpeg_codec",  # new r7: baseline JPEG codec — the ONE query with no driver row ever
+    "agg_theil_sen_trend",  # plan changed r8: range shuffle pinned (exchange-reuse advice)
+    "join_salted_skew",  # plan changed r8: hot set stays a broadcast DataFrame, no collect
+    # -- stale-evidence refresh queue (oldest latest-row first) --
     "dedup_exact",  # md5-digest rewrite (r2); r1 row stale — oldest
     "dedup_canonical_pick",
     "dedup_jaccard_pairs",
@@ -161,7 +94,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "profile_constraint_checks",  # r3-green: one lazy job
     "rest_paged_scan",  # r3-green: cursor-paginated REST fetch
     "join_bucketed_colocated",  # r3-green: zero-exchange bucketed join
-    "join_salted_skew",  # r3-green: explicit skew-salt join
     "text_chunk_documents",  # r3-green: overlap chunking, md5-pinned
     "source_corrupt_records",  # r3-green: PERMISSIVE quarantine contract
     "sample_uniform_k",  # r3-green: md5-ranked portable k-sample
@@ -187,6 +119,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_bucketed",  # r3-green: keyless range join
     "sim_ivfpq_search",  # r3 rows-only: IVF+PQ capstone
     "sort_limit_topk",  # r3-green
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # ============ round-9 queue: remaining refreshes ============
+    # The refresh queue continues in the same oldest-first order;
+    # run the prefix each round until every row is r8+.
     "union_except_intersect",  # r3-green
     "sample_stratified",  # r3-green oracled
     "profile_table",  # r3-green
@@ -280,8 +216,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_framesample",
     "multimodal_resize",
-    # -- the round-5 window: all 50 driver-green in
-    #    CORRECTNESS_r05 — freshest evidence, re-check last --
     "agg_chi_square_independence",  # new r5: chi²/Cramér's V vs MI
     "agg_gini_concentration",  # new r5: Gini + Lorenz top-decile
     "agg_survival_km",  # new r5: Kaplan-Meier retention curve
@@ -332,8 +266,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_recall_eval",  # recall@5 gate for the LSH index
     "time_sliding_distinct_hll",  # sketch-over-window scale path
     "graph_triangle_count",
-    # -- the round-6 window: all 50 driver-green in
-    #    CORRECTNESS_r06 — freshest evidence, re-check last --
     "sim_mmr_diversify",  # r6 rows-only-green: MMR re-rank
     "multimodal_png_codec",  # r6-green: stdlib-zlib PNG, all 5 filters
     "streaming_late_discard_audit",  # r6-green: watermark kept/dropped audit
@@ -384,6 +316,57 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_dormancy_reactivation",  # r6-green: gap/resurrection counter
     "agg_reorder_rate",  # r6-green: repeat-purchase profile
     "time_active_streaks",  # r6-green: d - row_number islands
+    # -- the round-7 window (slots 1-50 of r7, re-verified most
+    #    recently of all — CORRECTNESS_r07 is 50/50 green) goes LAST --
+    "streaming_session_state_audit",  # new r7: gap-4h sessionizer audit
+    "stats_ttest_welch",  # new r6: pivoted Welch t + Satterthwaite df
+    "stats_mann_whitney_u",  # new r6: distinct-value rank-sum, tie-corrected
+    "stats_spearman_corr",  # new r6: doubled-rank Pearson, no row sort
+    "source_xml_roundtrip",  # new r6: Spark-4 native XML, md5-pinned text
+    "scalar_variant_funcs",  # new r6: VARIANT parse_json/variant_get surface
+    "sql_udf_scalar_tvf",  # new r6: SQL-language scalar + table UDFs, inlined
+    "ab_srm_guardrail",  # new r6: weekly sample-ratio-mismatch chi-square
+    "graph_local_clustering",  # new r6: per-node Watts-Strogatz cc deciles
+    "text_readability",  # new r6: Flesch/FK vowel-group readability
+    "etl_zonemap_prune_audit",  # new r6: min/max data-skipping ledger
+    "text_ngram_novelty",  # new r6: first-owner source novelty shares
+    "graph_assortativity",  # new r6: Newman degree-degree Pearson
+    "agg_ols_two_features",  # new r6: 2-feature normal-equation OLS + R2
+    "stats_proportion_ztest",  # new r6: pooled-SE conversion z-test
+    "ab_delta_method_ratio",  # new r6: linearized ratio-metric z-test
+    "multimodal_gif_codec",  # new r6: from-scratch LZW GIF roundtrip
+    "time_max_drawdown",  # new r6: peak-to-trough revenue risk stat
+    "ab_funnel_lift",  # new r6: per-arm ordered funnel + pooled z
+    "sim_matryoshka_recall",  # new r6: prefix-dim top-10 recall table
+    "sample_neyman_allocation",  # new r6: optimal stratified allocation
+    "time_interrupted_series",  # new r6: pre/post segmented trend (ITS)
+    "text_source_similarity",  # new r6: source-pair 8-gram Jaccard top-10
+    "text_compression_quality",  # new r6: deflate-ratio screen (rows-only)
+    "time_autocorrelation",  # new r6: daily-revenue ACF, lags 1..14
+    "sample_ht_estimator",  # new r6: stratified-Poisson HT totals
+    "sim_centroid_classify_eval",  # new r6: Rocchio recall, integer centroids
+    "stats_kendall_tau",  # new r6: grid-join tau-b, corpus-size-free
+    "stats_runs_test",  # new r6: Wald-Wolfowitz randomness z
+    "agg_chi2_cell_residuals",  # new r6: Haberman adjusted residual drill-down
+    "etl_delete_rewrite_plan",  # new r6: GDPR copy-on-write amplification
+    "time_rolling_median",  # new r6: robust 7-day smoother, top deviations
+    "ml_calibration_error",  # new r6: reliability bins + integer-exact ECE
+    "ab_power_mde",  # new r6: MDE / required-n experiment sizing
+    "multimodal_pixel_histogram",  # new r6: decoded-raster intensity bins
+    "graph_hits_scores",  # new r6: 2-sweep integer HITS, max-normalized
+    "stats_brown_forsythe",  # new r6: robust variance-homogeneity F
+    "udf_arrow_map_tokencount",  # new r6: raw-Arrow extension point
+    "sql_observe_metrics",  # new r6: piggybacked DQ accumulators
+    "sql_parameterized_args",  # new r6: named-parameter SQL binding
+    "source_text_lines_scan",  # new r6: write.text/read.text, md5-pinned
+    "time_interevent_gaps",  # new r6: log2 gap histogram per user
+    "text_vocab_growth",  # new r6: Heaps-law saturation curve
+    "stats_wilcoxon_signed_rank",  # new r6: paired pre/post rank test
+    "agg_mcnemar_paired",  # new r6: discordant-pair flip chi-square
+    "agg_capture_recapture",  # new r6: Chapman two-sample size estimate
+    "stats_cochran_q",  # new r6: k=3 repeated-measures binary test
+    "etl_calendar_coverage_audit",  # new r6: ingestion-gap day ledger
+    "join_asof_latest_order",  # merge-form rewrite (r2); r1 row stale
 )
 
 

@@ -105,6 +105,21 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b and len(a) > 0
 
 
+def test_salted_join_dataframe_hot_set(spark):
+    """The distributed form: hot keys passed as a DataFrame (the 100 TB
+    shape — no driver collect) must give the same rows as the list
+    form and still reach the join keys through the salt column."""
+    e = load_table(spark, SF_SMALL, "events")
+    c = load_table(spark, SF_SMALL, "customer")
+    hot_df = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    salted = salted_join(e, c, "user_id", "c_custkey", hot_df, n_salts=4)
+    plain = e.join(c, e.user_id == c.c_custkey)
+    cols = ["event_id", "c_custkey", "c_mktsegment"]
+    a = sorted(tuple(r) for r in salted.select(*cols).collect())
+    b = sorted(tuple(r) for r in plain.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The hot key's rows really land in multiple salt partitions."""
     e = load_table(spark, SF_SMALL, "events")
