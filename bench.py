@@ -244,21 +244,34 @@ HEADLINE = [
 N_REPS = 3
 
 
-#: per-table restage file counts: many rows (lineitem) or heavy
-#: per-row CPU (documents: codecs, shingling) get wide layouts;
-#: mid-size fact tables (events/orders) get a moderate split —
-#: measured: 32 files on the 100k-row events table regressed the many
-#: small funnel/attribution queries ~2× (32-task scheduling per tiny
-#: stage), while 8 keeps their stage-1 parallel without the overhead.
+#: per-table restage file counts, re-tuned round 8 by three A/B
+#: sweeps at sf0.1 (min-of-3 interleaved probes; every entry was also
+#: tested against the single-file layout per the r7 verdict):
+#:   documents 32→8: the r7 layout's main regression — 32 files of
+#:     ~18 KB over a 5k-row table meant 32 tasks per sub-second text/
+#:     dedup stage; 8 halves text_entropy_kl (1.52→0.96 s), text_pmi_
+#:     bigrams (1.46→0.99), multimodal_phash_neardup (2.55→1.66),
+#:     text_token_stats (1.32→0.80) while KEEPING the original
+#:     restage wins (text_ngram_novelty 2.05 s vs 4.14 unrestaged;
+#:     gif codec ~1.0 vs 4.97). doc4 measured a wash vs doc8.
+#:   lineitem 32→8: heavy-probe totals 35.6 (16 files) / 33.1 (8) /
+#:     39.9 (single-file) — 8 tasks still parallelize the graph/join
+#:     stage-1 scans (graph_label_propagation 6.6→5.9, triangle
+#:     4.2→3.8) while the sub-second lineitem aggregates stop paying
+#:     16-task scheduling (agg_rollup 0.56→0.46, zorder 1.05→0.81).
+#:   orders/events 8→4: tiny-query probe 23.6 (8) / 21.6 (4) / 26.9
+#:     (single-file — heavy orders queries collapse: bootstrap_ci
+#:     2.6→3.8, permutation_test 2.3→4.3). 4 keeps those parallel and
+#:     trims funnel/attribution/sessionization ~15%.
 #: Unlisted tables stay single-file on purpose — splitting the 2k-row
 #: embeddings table regressed the multi-job ANN sweeps (ivf/k-means/
 #: semantic-dedup, +1-3 s each). Same lesson as production file
 #: sizing: target partition ROW counts, don't split indiscriminately.
 _RESTAGE_FILES = {
-    "lineitem": 32,
-    "documents": 32,
-    "orders": 8,
-    "events": 8,
+    "lineitem": 8,
+    "documents": 8,
+    "orders": 4,
+    "events": 4,
 }
 
 
