@@ -303,8 +303,16 @@ def restage_fixtures(spark, sf_dir: str) -> str:
     # repeated bench runs don't accumulate dataset copies under /tmp
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     for t in TABLES:
-        df = load_table(spark, sf_dir, t, validate=False)
         n = _RESTAGE_FILES.get(t, 1)
+        if n <= 1:
+            # deliberately-unsplit tables need no Spark rewrite — a
+            # byte copy is the identical single-file layout (queries
+            # re-read through load_table either way, so any read-side
+            # normalization applies identically); this keeps restage_s
+            # to the tables whose layout actually changes
+            shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+            continue
+        df = load_table(spark, sf_dir, t, validate=False)
         df.repartition(n).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
