@@ -120,6 +120,51 @@ def test_salted_join_dataframe_hot_set(spark):
     assert a == b and len(a) > 0
 
 
+def test_salted_join_nonequi_modes_match_plain(spark):
+    """salted_join advertises every fact-preserving mode, not just
+    inner: left (null-extended exactly once per unmatched fact row —
+    the fact side is salted, never replicated), left_semi and
+    left_anti (existence is salt-local because hot dim rows replicate
+    to every salt). Prove each mode row-identical to the plain join
+    for BOTH hot-set forms, and that the rejected outer modes raise."""
+    import pytest
+
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    # drop some customers so left/anti actually exercise unmatched rows
+    c = (
+        load_table(spark, SF_SMALL, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") % 3 != 0)
+    )
+    hot_list = [1, 2, 3]
+    hot_df = spark.createDataFrame([(k,) for k in hot_list], ["user_id"])
+    for how, cols in (
+        ("left", ["event_id", "c_custkey", "c_mktsegment"]),
+        ("left_semi", ["event_id", "user_id"]),
+        ("left_anti", ["event_id", "user_id"]),
+    ):
+        plain = sorted(
+            tuple(r)
+            for r in e.join(c, e.user_id == c.c_custkey, how)
+            .select(*cols)
+            .collect()
+        )
+        assert plain, how  # the mode must be exercised by real rows
+        for hot in (hot_list, hot_df):
+            got = sorted(
+                tuple(r)
+                for r in salted_join(
+                    e, c, "user_id", "c_custkey", hot, n_salts=4, how=how
+                )
+                .select(*cols)
+                .collect()
+            )
+            assert got == plain, f"{how} diverged for hot={type(hot).__name__}"
+    for bad in ("right", "full_outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            salted_join(e, c, "user_id", "c_custkey", hot_list, how=bad)
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The hot key's rows really land in multiple salt partitions."""
     e = load_table(spark, SF_SMALL, "events")
