@@ -309,8 +309,18 @@ def restage_fixtures(spark, sf_dir: str) -> str:
             # byte copy is the identical single-file layout (queries
             # re-read through load_table either way, so any read-side
             # normalization applies identically); this keeps restage_s
-            # to the tables whose layout actually changes
-            shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+            # to the tables whose layout actually changes. Provenance
+            # note: rounds ≤7 restaged these tables through a Spark
+            # rewrite (repartition(1)), whose writer/compression can
+            # differ from the fixture's — so unsplit-table timings
+            # before/after round 8 carry a small layout delta.
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(src):
+                # Spark-written (directory-style) fixture: copy the
+                # whole directory byte-for-byte instead
+                shutil.copytree(src, f"{out}/{t}.parquet")
+            else:
+                shutil.copyfile(src, f"{out}/{t}.parquet")
             continue
         df = load_table(spark, sf_dir, t, validate=False)
         df.repartition(n).write.mode("overwrite").parquet(

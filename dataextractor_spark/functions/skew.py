@@ -27,6 +27,13 @@ def _with_hot_flag(df: DataFrame, key: str, hot_df: DataFrame) -> DataFrame:
     hot set was derived (typically a frequency-histogram aggregate).
     The hot frame is deduped defensively: a duplicate hot key in a
     left marker join would duplicate data rows."""
+    if len(hot_df.columns) != 1:
+        raise ValueError(
+            "hot_keys DataFrame must have exactly one column (the key "
+            f"values); got {len(hot_df.columns)}: {hot_df.columns} — "
+            "silently using the first column would mis-flag rows if it "
+            "is not the key (e.g. an un-projected frequency histogram)"
+        )
     hk = F.broadcast(
         hot_df.select(F.col(hot_df.columns[0]).alias("_hot_key"))
         .dropDuplicates()
@@ -75,6 +82,15 @@ def salted_join(
             f"salted_join supports fact-preserving joins {sorted(allowed)}; "
             f"got how={how!r} — dim replication across salts would emit one "
             "null-extended row per unmatched salt under right/full outer"
+        )
+    reserved = {"_salt", "_salts", "_is_hot", "_hot_key"}
+    clash = reserved & (set(fact.columns) | set(dim.columns))
+    if clash:
+        raise ValueError(
+            f"salted_join reserves column names {sorted(reserved)} for its "
+            f"salt/hot-flag plumbing; input already has {sorted(clash)} — "
+            "rename or drop them first (an ambiguous-reference error or a "
+            "silently dropped caller column would follow otherwise)"
         )
     fact_cols = list(fact.columns)
     if isinstance(hot_keys, DataFrame):

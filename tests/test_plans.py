@@ -165,6 +165,29 @@ def test_salted_join_nonequi_modes_match_plain(spark):
             salted_join(e, c, "user_id", "c_custkey", hot_list, how=bad)
 
 
+def test_salted_join_input_contract_guards(spark):
+    """Contract guards fail loudly instead of mis-flagging rows: a
+    multi-column hot frame (e.g. an un-projected frequency histogram
+    where column 0 might not be the key) and inputs that already carry
+    the reserved salt/hot-flag plumbing names both raise."""
+    import pytest
+
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    c = load_table(spark, SF_SMALL, "customer").select("c_custkey")
+    hot_hist = e.groupBy("user_id").count()  # 2 columns — ambiguous
+    with pytest.raises(ValueError, match="exactly one column"):
+        salted_join(e, c, "user_id", "c_custkey", hot_hist)
+    for name in ("_salt", "_is_hot"):
+        with pytest.raises(ValueError, match="reserves column names"):
+            salted_join(
+                e.withColumn(name, F.lit(0)), c, "user_id", "c_custkey", [1]
+            )
+    with pytest.raises(ValueError, match="reserves column names"):
+        salted_join(
+            e, c.withColumn("_hot_key", F.lit(0)), "user_id", "c_custkey", [1]
+        )
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The hot key's rows really land in multiple salt partitions."""
     e = load_table(spark, SF_SMALL, "events")
