@@ -70,19 +70,63 @@ def salted_join(
     join (tests/test_plans.py proves it), but the hot key's work is
     spread over n tasks instead of one straggler.
 
-    Only fact-preserving joins are supported: with right/full outer,
-    a replicated hot-key dim row that matches no fact row in SOME salt
-    would emit one null-extended row PER UNMATCHED SALT — inflating
-    the result relative to the plain join. Rather than silently return
-    wrong rows, reject those modes.
+    Fact-preserving modes run as a single salted join. Right/full
+    outer need one extra step: a replicated hot-key dim row that
+    matches no fact row in SOME salt would emit one null-extended row
+    PER UNMATCHED SALT — and filtering the null-extended rows to a
+    designated salt is NOT a fix, because a matched hot key whose
+    fact rows happen to miss that salt would still emit a spurious
+    null row. The correct decomposition separates "dim key absent
+    from fact" (an un-salted property of the key) from the salted
+    match itself:
+
+        right outer = salted INNER  ∪  null-extend(dim ⟕̸ fact-keys)
+        full  outer = salted LEFT   ∪  null-extend(dim ⟕̸ fact-keys)
+
+    where ``fact-keys`` is ``fact.select(key).distinct()`` — the
+    dedup's map-side partial aggregation collapses each hot key
+    within every input partition BEFORE the shuffle, so deriving it
+    is skew-free by construction, and the anti-join that finds
+    never-matched dim rows (including NULL-key dim rows, which never
+    equi-match) runs on keyspace-sized inputs. The price is one extra
+    scan of the fact table for the key set; the single-pass
+    alternative (post-join per-dim-row matched-anywhere aggregation)
+    would shuffle the full join output instead.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
-    if how not in allowed:
+    fact_preserving = {
+        "inner",
+        "left",
+        "left_outer",
+        "left_semi",
+        "left_anti",
+        "cross",
+    }
+    dim_extending = {"right", "right_outer", "full", "full_outer", "outer"}
+    if how not in fact_preserving | dim_extending:
         raise ValueError(
-            f"salted_join supports fact-preserving joins {sorted(allowed)}; "
-            f"got how={how!r} — dim replication across salts would emit one "
-            "null-extended row per unmatched salt under right/full outer"
+            f"salted_join supports {sorted(fact_preserving | dim_extending)}; "
+            f"got how={how!r}"
         )
+    if how in dim_extending:
+        base = "inner" if how in ("right", "right_outer") else "left"
+        matched = salted_join(
+            fact, dim, fact_key, dim_key, hot_keys, n_salts=n_salts, how=base
+        )
+        fact_keys = fact.select(fact_key).distinct()
+        unmatched_dim = dim.join(
+            fact_keys, dim[dim_key] == fact_keys[fact_key], "left_anti"
+        )
+        null_extended = unmatched_dim.select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fact.schema.fields
+            ],
+            *dim.columns,
+        )
+        # positional union: both branches emit fact.columns + dim.columns
+        # in order (duplicate names between fact and dim stay positional,
+        # matching the plain outer join's column layout)
+        return matched.union(null_extended)
     reserved = {"_salt", "_salts", "_is_hot", "_hot_key"}
     clash = reserved & (set(fact.columns) | set(dim.columns))
     if clash:

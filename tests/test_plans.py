@@ -126,8 +126,7 @@ def test_salted_join_nonequi_modes_match_plain(spark):
     the fact side is salted, never replicated), left_semi and
     left_anti (existence is salt-local because hot dim rows replicate
     to every salt). Prove each mode row-identical to the plain join
-    for BOTH hot-set forms, and that the rejected outer modes raise."""
-    import pytest
+    for BOTH hot-set forms."""
 
     e = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
     # drop some customers so left/anti actually exercise unmatched rows
@@ -160,9 +159,72 @@ def test_salted_join_nonequi_modes_match_plain(spark):
                 .collect()
             )
             assert got == plain, f"{how} diverged for hot={type(hot).__name__}"
-    for bad in ("right", "full_outer"):
-        with pytest.raises(ValueError, match="fact-preserving"):
-            salted_join(e, c, "user_id", "c_custkey", hot_list, how=bad)
+
+def _nsort(rows):
+    # None-safe multiset ordering for outer-join row comparison
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+def test_salted_join_dim_extending_modes_match_plain(spark):
+    """right/full outer via the union decomposition must be
+    row-identical (as multisets) to the plain outer join, for both
+    hot-set forms. The dim side is filtered so genuinely unmatched
+    dim keys exist (null-extension exercised), and the fact side
+    keeps keys absent from dim so full-outer's fact-side null
+    extension is exercised too."""
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    c = (
+        load_table(spark, SF_SMALL, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") % 3 != 0)
+    )
+    hot_list = [1, 2, 3]
+    hot_df = spark.createDataFrame([(k,) for k in hot_list], ["user_id"])
+    cols = ["event_id", "user_id", "c_custkey", "c_mktsegment"]
+    for how in ("right", "full_outer"):
+        plain = _nsort(
+            tuple(r)
+            for r in e.join(c, e.user_id == c.c_custkey, how)
+            .select(*cols)
+            .collect()
+        )
+        # the mode must be exercised: null-extended dim rows present
+        assert any(r[0] is None for r in plain), how
+        if how == "full_outer":
+            assert any(r[2] is None for r in plain)
+        for hot in (hot_list, hot_df):
+            got = _nsort(
+                tuple(r)
+                for r in salted_join(
+                    e, c, "user_id", "c_custkey", hot, n_salts=4, how=how
+                )
+                .select(*cols)
+                .collect()
+            )
+            assert got == plain, f"{how} diverged for hot={type(hot).__name__}"
+
+
+def test_salted_join_outer_no_spurious_null_rows(spark):
+    """The trap that makes the naive 'filter null-extended rows to
+    salt 0' rewrite wrong: a MATCHED hot key with a single fact row
+    lands on exactly one salt, so 3 of its 4 dim replicas are
+    unmatched — a salt-designation filter would emit a spurious
+    null-extended row whenever the real row's salt != 0. The union
+    decomposition must emit NO null-extended row for that key."""
+    f = spark.createDataFrame([(10, "x"), (20, "y")], ["k", "payload"])
+    d = spark.createDataFrame([(10, "dim10"), (30, "dim30")], ["dk", "name"])
+    # k=10 declared hot with ONE fact row: 3 of 4 replicas unmatched
+    for hot in ([10], spark.createDataFrame([(10,)], ["k"])):
+        rows = _nsort(
+            tuple(r)
+            for r in salted_join(
+                f, d, "k", "dk", hot, n_salts=4, how="full_outer"
+            ).collect()
+        )
+        assert rows == [
+            (10, "x", 10, "dim10"),  # matched hot key: exactly once
+            (20, "y", None, None),  # fact key absent from dim
+            (None, None, 30, "dim30"),  # truly unmatched dim key
+        ]
 
 
 def test_salted_join_input_contract_guards(spark):
