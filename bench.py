@@ -275,6 +275,18 @@ _RESTAGE_FILES = {
 }
 
 
+def _copy_fixture(src: str, dst: str) -> None:
+    """Byte-copy one fixture table, handling both layouts: a plain
+    single-file parquet (the driver's fixtures) and a directory-style
+    Spark-written table (part files + _SUCCESS)."""
+    import shutil
+
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
+
+
 def restage_fixtures(spark, sf_dir: str) -> str:
     """Rewrite the fixture tables into an n-file-per-table layout.
 
@@ -314,13 +326,7 @@ def restage_fixtures(spark, sf_dir: str) -> str:
             # rewrite (repartition(1)), whose writer/compression can
             # differ from the fixture's — so unsplit-table timings
             # before/after round 8 carry a small layout delta.
-            src = f"{sf_dir}/{t}.parquet"
-            if os.path.isdir(src):
-                # Spark-written (directory-style) fixture: copy the
-                # whole directory byte-for-byte instead
-                shutil.copytree(src, f"{out}/{t}.parquet")
-            else:
-                shutil.copyfile(src, f"{out}/{t}.parquet")
+            _copy_fixture(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
             continue
         df = load_table(spark, sf_dir, t, validate=False)
         df.repartition(n).write.mode("overwrite").parquet(
