@@ -37,6 +37,25 @@ def asof_join(
     BEFORE left rows at equal timestamps so an exactly-simultaneous
     right row is visible to the left row.
     """
+    reserved = {"_key", "_ts", "_side", "_rrow", "_asof"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)} for its "
+            f"merge plumbing; input already has {sorted(clash)} — rename "
+            "or drop them first"
+        )
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(
+            f"value_cols {missing} not in right columns {right.columns}"
+        )
+    out_clash = {f"asof_{c}" for c in value_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"output columns {sorted(out_clash)} already exist on the left "
+            "side — the carried values would be ambiguous"
+        )
     # the right side travels as ONE struct so every asof_ column comes
     # from the SAME right row — per-column last(ignorenulls) could mix
     # rows when a right column is NULL.

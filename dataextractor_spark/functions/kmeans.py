@@ -106,6 +106,13 @@ def assign_cells(
       the codebook gets, and the per-batch matmul replaces k·d
       interpreted higher-order-function evaluations per row.
     """
+    clash = {"cell", "_d2"} & set(vectors.columns)
+    if clash:
+        raise ValueError(
+            f"assign_cells appends a 'cell' column (via a '_d2' temp); "
+            f"input already has {sorted(clash)}, which withColumn would "
+            "silently replace — rename or drop first"
+        )
     if method == "auto":
         kd = len(centroids) * (len(centroids[0]) if centroids else 0)
         method = "pandas" if kd > ASSIGN_LITERAL_MAX_KD else "literal"

@@ -50,3 +50,25 @@ def test_asof_handles_no_match_and_simultaneity(spark):
     assert out["e1"] == 7.0  # simultaneous right row IS visible
     assert out["e0"] == 3.0  # latest earlier row
     assert out["lonely"] is None  # key with no right rows → NULL
+
+
+def test_asof_input_contract_guards(spark):
+    """Fail loudly instead of producing ambiguous/wrong columns: inputs
+    carrying the reserved merge-plumbing names, value_cols absent from
+    the right side, and asof_-prefixed output collisions all raise."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 5, 2.0)], "k long, t long, v double")
+    kw = dict(left_key="k", right_key="k", left_ts="t", right_ts="t")
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left.withColumn("_side", F.lit(0)), right,
+                  value_cols=["v"], **kw)
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(left, right.withColumn("_rrow", F.lit(0)),
+                  value_cols=["v"], **kw)
+    with pytest.raises(ValueError, match="not in right columns"):
+        asof_join(left, right, value_cols=["nope"], **kw)
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(left.withColumn("asof_v", F.lit(0)), right,
+                  value_cols=["v"], **kw)

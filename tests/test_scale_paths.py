@@ -2593,3 +2593,19 @@ def test_calendar_coverage_bounds(spark):
         assert 1 <= r.observed_days <= r.span_days
         assert r.missing_days == r.span_days - r.observed_days
         assert str(r.first_day_s)[:4] == str(r.yr)
+
+
+def test_assign_cells_rejects_cell_collision(spark):
+    """assign_cells appends 'cell' (via a '_d2' temp): an input already
+    carrying either name would be silently replaced by withColumn, so
+    the helper must refuse it."""
+    import pytest
+
+    from dataextractor_spark.functions.kmeans import assign_cells
+
+    e = spark.createDataFrame([(1, [0.0, 1.0], 0)], "vec_id long, embedding array<double>, cell int")
+    with pytest.raises(ValueError, match="already has"):
+        assign_cells(e, [[0.0, 0.0]])
+    e2 = spark.createDataFrame([(1, [0.0, 1.0], 0.5)], "vec_id long, embedding array<double>, _d2 double")
+    with pytest.raises(ValueError, match="already has"):
+        assign_cells(e2, [[0.0, 0.0]])
