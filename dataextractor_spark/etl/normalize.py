@@ -43,6 +43,13 @@ def flatten_array_column(
     declarative analogue of the reference's presence guard
     (opendotaapi.py:106). Narrow transform: no shuffle at any scale.
     """
+    clash = {f"{prefix}_{i}" for i in range(1, n + 1)} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"flatten output columns {sorted(clash)} already exist on the "
+            "input — pick another prefix (duplicate names would poison "
+            "every downstream reference)"
+        )
     cols = []
     for i in range(1, n + 1):
         # try_element_at: NULL on short/absent arrays (ANSI-safe)
@@ -70,6 +77,8 @@ def unpivot_dict(
     whole construction stays in Catalyst (no Python rows), and the
     result is trivially broadcast-able.
     """
+    if key_col == value_col:
+        raise ValueError(f"key_col and value_col must differ; both {key_col!r}")
     entries = [x for kv in d.items() for x in kv]
     m = F.create_map(*[F.lit(x) for x in entries])
     return (
@@ -143,6 +152,13 @@ def with_local_date(
     """UTC timestamp column → local wall-clock time + derived date
     partition key (A7/A8 parity: opendotaapi.py:114-116) — but as a
     real partition column for write.partitionBy, not a filename."""
+    clash = {local_col, date_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output columns {sorted(clash)} already exist on the input — "
+            "withColumn would silently replace them; pass different "
+            "local_col/date_col names"
+        )
     local = F.from_utc_timestamp(F.col(ts_col), tz)
     return df.withColumn(local_col, local).withColumn(
         date_col, F.date_format(local, "yyyy-MM-dd")

@@ -88,3 +88,27 @@ def test_with_local_date_derives_partition_key(spark):
     # 2025-06-15 15:06:40 UTC → 12:06:40 São Paulo (UTC-3)
     assert r.dt == "2025-06-15"
     assert r.ts_local.hour == 12
+
+
+def test_normalize_helpers_reject_output_collisions(spark):
+    """Same contract class as the salted_join/asof guards: helpers that
+    append named columns must refuse inputs already carrying those
+    names instead of silently duplicating or replacing them."""
+    import pytest
+
+    from dataextractor_spark.etl.normalize import (
+        flatten_array_column,
+        unpivot_dict,
+        with_local_date,
+    )
+
+    df = spark.createDataFrame([(1, [1, 2], "x")], "id long, arr array<int>, x_1 string")
+    with pytest.raises(ValueError, match="already exist"):
+        flatten_array_column(df, "arr", "x", 2)
+    with pytest.raises(ValueError, match="must differ"):
+        unpivot_dict(spark, {"a": "b"}, key_col="k", value_col="k")
+    ts = spark.createDataFrame([(1,)], "id long").select(
+        "id", F.current_timestamp().alias("ts"), F.lit("d").alias("dt")
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        with_local_date(ts, "ts")
