@@ -27,6 +27,15 @@ def write_bucketed(
     """Persist as a bucketed (+ optionally sorted) managed table.
     Sorting within buckets additionally lets sort-merge joins skip
     their sort step."""
+    import re
+
+    # the name is spliced into SQL AND into a filesystem path that is
+    # rmtree'd — restrict to a plain identifier so a hostile/typo'd
+    # name (backticks, '../..') can't escape either context
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"table must be a plain SQL identifier, got {table!r}"
+        )
     spark = df.sparkSession
     # overwrite of a managed table can't adopt an orphaned location
     # (e.g. a warehouse dir left by a previous session) — clear both

@@ -762,3 +762,16 @@ def test_funnel_steps_are_pinned_and_keyed(spark):
         "BroadcastHashJoin" in gp
     ), gp
     assert "BroadcastNestedLoopJoin" not in gp, gp
+
+
+def test_write_bucketed_rejects_non_identifier_names(spark):
+    """The table name reaches both a SQL statement and an rmtree'd
+    filesystem path — anything beyond a plain identifier must raise
+    before either is touched (e.g. '../..' would escape the
+    warehouse directory)."""
+    import pytest
+
+    df = spark.range(1)
+    for bad in ("../../escape", "t`; DROP TABLE x; --", "a table", ""):
+        with pytest.raises(ValueError, match="plain SQL identifier"):
+            write_bucketed(df, bad, "id", 2)
