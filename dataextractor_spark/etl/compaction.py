@@ -65,8 +65,22 @@ def compact(
     """Rewrite the partitioned Parquet dataset at ``path`` so each
     partition directory holds at most ``files_per_partition`` data
     files. Pure rewrite: the row multiset is unchanged."""
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition}"
+        )
     before = len(data_files(path))
     df = spark.read.parquet(path)
+    if _SALT in df.columns:
+        raise ValueError(
+            f"input dataset already has a {_SALT!r} column — the salting "
+            "withColumn would silently replace it"
+        )
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition_cols {missing} not in dataset columns {df.columns}"
+        )
     rows = df.count()
 
     # Bounded salt: fans each partition's rows across at most

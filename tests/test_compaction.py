@@ -67,3 +67,30 @@ def test_compact_idempotent(spark, tmp_path):
     r2 = compact(spark, path, ["month"])
     assert r2.files_before == r2.files_after
     assert _content_hash(spark.read.parquet(path)) == h1
+
+
+def test_compact_input_contract_guards(spark, tmp_path):
+    """compact() validates up front: a non-positive file cap, a
+    pre-existing salt column (withColumn would silently replace it),
+    and partition_cols absent from the dataset all raise before any
+    directory is touched."""
+    import pytest
+
+    from dataextractor_spark.etl.compaction import _SALT, compact
+
+    p = str(tmp_path / "ds")
+    spark.range(10).selectExpr("id", "id % 2 as part").write.partitionBy(
+        "part"
+    ).parquet(p)
+    with pytest.raises(ValueError, match="files_per_partition"):
+        compact(spark, p, ["part"], files_per_partition=0)
+    with pytest.raises(ValueError, match="not in dataset columns"):
+        compact(spark, p, ["nope"])
+    p2 = str(tmp_path / "ds2")
+    spark.range(4).selectExpr("id", f"id as {_SALT}", "id % 2 as part").write.partitionBy(
+        "part"
+    ).parquet(p2)
+    with pytest.raises(ValueError, match="silently replace"):
+        compact(spark, p2, ["part"])
+    # the guarded failures must not have moved/removed the dataset
+    assert spark.read.parquet(p).count() == 10
