@@ -547,3 +547,51 @@ def test_gif_lzw_roundtrips_past_table_freeze(data):
     )
 
     assert _lzw_decode_gif(_lzw_encode_gif(data, 8), 8) == data
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-5, 5)), min_size=0, max_size=25
+    ),
+    dims=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(100, 105)),
+        min_size=0,
+        max_size=10,
+    ),
+    hot=st.lists(st.integers(0, 6), min_size=0, max_size=4),
+    how=st.sampled_from(
+        ["inner", "left", "left_semi", "left_anti", "right", "full_outer"]
+    ),
+    n_salts=st.sampled_from([1, 2, 4]),
+)
+def test_salted_join_always_matches_plain_join(
+    spark, facts, dims, hot, how, n_salts
+):
+    """Property: for ANY fact/dim multiset, ANY declared hot set (even
+    keys that are cold or absent), ANY supported mode and salt count,
+    salted_join is row-identical (as a multiset) to the plain join —
+    salting is a pure physical rewrite."""
+    from dataextractor_spark.functions.skew import salted_join
+
+    f = spark.createDataFrame(facts or [(None, None)], "k int, v int")
+    d = spark.createDataFrame(dims or [(None, None)], "dk int, name int")
+    if not facts:
+        f = f.filter(F.lit(False))
+    if not dims:
+        d = d.filter(F.lit(False))
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    plain = sorted(
+        (tuple(r) for r in f.join(d, f.k == d.dk, how).collect()), key=key
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in salted_join(
+                f, d, "k", "dk", hot, n_salts=n_salts, how=how
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == plain
