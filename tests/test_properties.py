@@ -595,3 +595,73 @@ def test_salted_join_always_matches_plain_join(
         key=key,
     )
     assert got == plain
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),
+        min_size=0,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 5),
+            st.integers(0, 3),
+            st.integers(0, 3),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """Property: for ANY left/right multiset over a tie-rich domain
+    (3 keys × 6 timestamps × 4×4 values, so equal-timestamp and
+    equal-value collisions are the COMMON case, not the edge case),
+    asof_join equals the spec evaluated row-at-a-time in Python: the
+    latest right row with the same key and right_ts <= left_ts, ties
+    on timestamp resolved to the greatest value tuple. Pins the
+    (_ts, _side, _rrow) window ordering — dropping _rrow from the
+    sort, or letting left rows sort before simultaneous right rows,
+    fails within a handful of examples."""
+    from dataextractor_spark.functions.asof import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "k int, t int, lid int"
+    )
+    right = spark.createDataFrame(
+        rights or [(None, None, None, None)], "rk int, rt int, v1 int, v2 int"
+    )
+    if not lrows:
+        left = left.filter(F.lit(False))
+    if not rights:
+        right = right.filter(F.lit(False))
+
+    def expected(k, t):
+        cands = [(v1, v2, rt) for rk, rt, v1, v2 in rights
+                 if rk == k and rt <= t]
+        if not cands:
+            return (None, None)
+        mx = max(rt for _, _, rt in cands)
+        v1, v2 = max((v1, v2) for v1, v2, rt in cands if rt == mx)
+        return (v1, v2)
+
+    want = sorted((k, t, i) + expected(k, t) for k, t, i in lrows)
+    got = sorted(
+        tuple(r)
+        for r in asof_join(
+            left,
+            right,
+            left_key="k",
+            right_key="rk",
+            left_ts="t",
+            right_ts="rt",
+            value_cols=["v1", "v2"],
+        )
+        .select("k", "t", "lid", "asof_v1", "asof_v2")
+        .collect()
+    )
+    assert got == want
