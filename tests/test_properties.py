@@ -665,3 +665,51 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         .collect()
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Property: large-star/small-star labels equal a driver-side
+    union-find on ANY small graph — self-loops, duplicate edges, both
+    orientations of the same edge, multi-component shapes, and the
+    empty graph all land in the strategy. The fixture-based CC test
+    exercises one realistic pair set; this pins the algorithm itself
+    (canonicalization, both star phases, the fixed-point certificate,
+    root self-labeling) across the whole small-graph space."""
+    from dataextractor_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(None, None)], "src int, dst int")
+    if not edges:
+        df = df.filter(F.lit(False))
+    labels, rounds = connected_components(df)
+    got = {(r.node, r.component) for r in labels.collect()}
+
+    real = [(a, b) for a, b in edges if a != b]
+    nodes = {x for e in real for x in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in nodes}
+    assert got == want
+    assert rounds <= 10  # O(log^2 n) on <=10 nodes: single digits
