@@ -713,3 +713,50 @@ def test_connected_components_match_union_find(spark, edges):
     want = {(n, comp_min[find(n)]) for n in nodes}
     assert got == want
     assert rounds <= 10  # O(log^2 n) on <=10 nodes: single digits
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    iterations=st.integers(1, 4),
+)
+def test_pagerank_matches_power_iteration(spark, pairs, iterations):
+    """Property: on ANY symmetric edge multiset (the documented
+    no-dangling-nodes contract — each drawn pair contributes both
+    directions, duplicates kept), pagerank equals a driver-side
+    synchronous power iteration from the uniform start, and total
+    mass stays 1. Pins the weight-join/contribution-agg/damping
+    algebra across random graphs and sweep counts, where the fixture
+    tests check one graph."""
+    from dataextractor_spark.functions.pagerank import pagerank
+
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=iterations).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        contrib = {u: 0.0 for u in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] / deg[u]
+        r = {u: 0.15 / n + 0.85 * contrib[u] for u in nodes}
+
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
