@@ -760,3 +760,98 @@ def test_pagerank_matches_power_iteration(spark, pairs, iterations):
     for u in nodes:
         assert abs(got[u] - r[u]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _lloyd_oracle(vecs, seeds, max_iter):
+    """Driver-side Lloyd replica with kmeans_fit's exact contracts:
+    first-min assignment, empty cells keep their previous centroid,
+    means over the ORIGINAL vectors. Integer inputs keep every sum
+    exact, so the replica is bit-identical, not approximately equal."""
+    cents = [list(c) for c in seeds]
+    for _ in range(max_iter):
+        members: dict[int, list] = {}
+        for v in vecs:
+            best, bd = 0, None
+            for i, c in enumerate(cents):
+                d = 0.0
+                for x, y in zip(v, c):
+                    d += (x - y) * (x - y)
+                if bd is None or d < bd:
+                    best, bd = i, d
+            members.setdefault(best, []).append(v)
+        for i, mem in members.items():
+            cents[i] = [sum(col) / len(mem) for col in zip(*mem)]
+    return cents
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=4,
+        max_size=15,
+    ),
+    k=st.integers(2, 4),
+    sweeps=st.integers(1, 3),
+    wide_max=st.sampled_from([128, 0]),
+)
+def test_kmeans_fit_matches_lloyd_oracle(spark, vecs, k, sweeps, wide_max):
+    """Property: kmeans_fit on ANY small integer corpus is bit-equal
+    to a driver-side Lloyd replica started from the same seeds (taken
+    from the deterministic max_iter=0 fit), for BOTH mean-update
+    paths (wide-agg and posexplode; wide_agg_max_dim=0 forces the
+    latter). Integer coordinates make every cluster mean an exact
+    double, so Spark's partial-sum order cannot hide a real defect
+    behind float noise — any assignment, empty-cell, or mean bug
+    shows as an exact mismatch."""
+    from dataextractor_spark.functions.kmeans import kmeans_fit
+
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    seeds = kmeans_fit(df, k, max_iter=0, wide_agg_max_dim=wide_max)
+    got = kmeans_fit(df, k, max_iter=sweeps, wide_agg_max_dim=wide_max)
+    want = _lloyd_oracle([list(map(float, v)) for v in vecs], seeds, sweeps)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(*([st.integers(0, 7)] * 4)),
+        min_size=4,
+        max_size=12,
+    ),
+)
+def test_pq_encode_matches_bruteforce(spark, vecs):
+    """Property: for codebooks learned on ANY small integer corpus,
+    pq_encode's code picks the first-min sub-centroid per subspace
+    and recon_err is EXACTLY the summed per-subspace minima (= the
+    squared L2 to the decoded reconstruction), recomputed row-by-row
+    in Python with the same operation order. Pins the SQL literal
+    round-trip (repr-exact doubles), the argmin tiebreak, and the
+    fused-fit/encode agreement on codebook indexing."""
+    from dataextractor_spark.functions.pq import pq_encode, pq_fit
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_fit(df, m=2, ksub=4, dim=4, max_iter=2)
+    got = {
+        r.vec_id: (list(r.code), r.recon_err)
+        for r in pq_encode(df, books).collect()
+    }
+    for i, v in rows:
+        code, err = [], 0.0
+        for j, book in enumerate(books):
+            sub = v[2 * j : 2 * j + 2]
+            best, bd = 0, None
+            for ci, c in enumerate(book):
+                d = 0.0
+                for x, y in zip(sub, c):
+                    d += (x - y) * (x - y)
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            code.append(best)
+            err += bd
+        assert got[i] == (code, err)
