@@ -549,8 +549,19 @@ UNPARTITIONED_WINDOW_OK = {
 }
 
 
+#: Queries allowed to carry a row-at-a-time Python node
+#: (BatchEvalPython / BatchEvalPythonUDTF). Each entry must be an API-
+#: surface demonstration whose Python input is BOUNDED by construction
+#: — never a corpus-sized hot path.
+PYTHON_ROW_UDF_OK = {
+    "udtf_bigram_explode",  # Spark 4 UDTF surface demo; its own
+                            # docstring names the built-in explode as
+                            # the fast path, input capped at 10 docs
+}
+
+
 def test_registry_has_no_cartesian_products(spark):
-    """Whole-registry plan audit, one pass, two gates:
+    """Whole-registry plan audit, one pass, three gates:
 
     1. a CartesianProduct node (non-broadcast cross join —
        |left|×|right| work AND memory) must never appear in any
@@ -561,12 +572,20 @@ def test_registry_has_no_cartesian_products(spark):
        bounded by construction. The physical marker is Spark's own
        runtime warning condition: a Window/WindowGroupLimit node whose
        partition spec is empty (shown as ordering-only specs in the
-       formatted plan)."""
-    cartesian, rogue_windows = [], []
+       formatted plan);
+    3. a BatchEvalPython* node (row-at-a-time Python — one
+       serialize/deserialize round-trip PER ROW through the Python
+       bridge) must never appear outside PYTHON_ROW_UDF_OK: any
+       Python that survives in a plan must be Arrow-batched
+       (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas),
+       which the gate deliberately allows."""
+    cartesian, rogue_windows, py_rows = [], [], []
     for name, spec in load_all().items():
         plan = physical_plan(spec.fn(spark, SF_SMALL))
         if plan.count("CartesianProduct"):
             cartesian.append(name)
+        if "BatchEvalPython" in plan and name not in PYTHON_ROW_UDF_OK:
+            py_rows.append(name)
         if name not in UNPARTITIONED_WINDOW_OK:
             for line in plan.splitlines():
                 stripped = line.strip()
@@ -582,6 +601,7 @@ def test_registry_has_no_cartesian_products(spark):
                         break
     assert not cartesian, cartesian
     assert not rogue_windows, rogue_windows
+    assert not py_rows, py_rows
 
 
 def test_docstring_test_references_exist():
