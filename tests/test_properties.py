@@ -855,3 +855,50 @@ def test_pq_encode_matches_bruteforce(spark, vecs):
             code.append(best)
             err += bd
         assert got[i] == (code, err)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pool=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    picks=st.lists(st.integers(0, 2), min_size=2, max_size=12),
+)
+def test_minhash_lsh_candidates_include_all_exact_duplicates(
+    spark, pool, picks
+):
+    """Property: MinHash banding is probabilistic for NEAR duplicates
+    but must be DETERMINISTIC for exact ones — identical token sets
+    hash to identical signatures, hence identical band buckets, so
+    every same-text pair (same lang, any text including empty) must
+    appear among the candidates, for ANY corpus shape. Also pins the
+    candidate surface: ordered pairs, no self-pairs, no pairs across
+    langs, and the out-of-band audit sentinel stays null-keyed."""
+    from dataextractor_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [" ".join(pool[i % len(pool)]) for i in picks]
+    rows = [(i, "en" if i % 2 else "de", t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = minhash_lsh_pairs(d).collect()
+    cands = {
+        (r.doc_a, r.doc_b) for r in out if r.doc_a is not None
+    }
+    want = {
+        (a, b)
+        for a, (la, ta) in enumerate((r[1], r[2]) for r in rows)
+        for b, (lb, tb) in enumerate((r[1], r[2]) for r in rows)
+        if a < b and la == lb and sorted(set(ta.split(" ")))
+        == sorted(set(tb.split(" ")))
+    }
+    assert want <= cands, (sorted(want - cands), sorted(cands))
+    langs = {i: r[1] for i, r in enumerate(rows)}
+    for a, b in cands:
+        assert a < b
+        assert langs[a] == langs[b]
