@@ -565,15 +565,26 @@ def test_gif_lzw_roundtrips_past_table_freeze(data):
         ["inner", "left", "left_semi", "left_anti", "right", "full_outer"]
     ),
     n_salts=st.sampled_from([1, 2, 4]),
+    hot_as_df=st.booleans(),
 )
 def test_salted_join_always_matches_plain_join(
-    spark, facts, dims, hot, how, n_salts
+    spark, facts, dims, hot, how, n_salts, hot_as_df
 ):
     """Property: for ANY fact/dim multiset, ANY declared hot set (even
     keys that are cold or absent), ANY supported mode and salt count,
-    salted_join is row-identical (as a multiset) to the plain join —
-    salting is a pure physical rewrite."""
+    and BOTH hot-set forms (plain list and the scale path's
+    single-column DataFrame, including an empty one), salted_join is
+    row-identical (as a multiset) to the plain join — salting is a
+    pure physical rewrite."""
     from dataextractor_spark.functions.skew import salted_join
+
+    if hot_as_df:
+        hot_df = spark.createDataFrame(
+            [(h,) for h in hot] or [(None,)], "hk int"
+        )
+        if not hot:
+            hot_df = hot_df.filter(F.lit(False))
+        hot = hot_df
 
     f = spark.createDataFrame(facts or [(None, None)], "k int, v int")
     d = spark.createDataFrame(dims or [(None, None)], "dk int, name int")
