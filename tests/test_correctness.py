@@ -48,6 +48,33 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_comparator_rejects_each_divergence_class(spark):
+    """Meta-test of the gate itself: every green row in the ledger is
+    only as strong as compare_to_oracle's willingness to fail. Each
+    divergence class the driver hashes — value, column name, row
+    count, and int-vs-float type class (the round-3
+    pretrain_corpus_recipe artifact) — must raise, and the matching
+    result must pass."""
+    df = spark.createDataFrame([(1, 1.5, "x")], "a int, b double, c string")
+    compare_to_oracle(
+        df, "SELECT 1 AS a, 1.5 AS b, 'x' AS c", SF_ORACLE
+    )  # sanity: identical result is green
+    for bad_sql, cls in [
+        ("SELECT 2 AS a, 1.5 AS b, 'x' AS c", "value"),
+        ("SELECT 1 AS wrong, 1.5 AS b, 'x' AS c", "column name"),
+        (
+            "SELECT 1 AS a, 1.5 AS b, 'x' AS c "
+            "UNION ALL SELECT 1, 1.5, 'x'",
+            "row count",
+        ),
+        ("SELECT CAST(1 AS DOUBLE) AS a, 1.5 AS b, 'x' AS c", "type class"),
+        ("SELECT 1 AS a, 1.5000013 AS b, 'x' AS c", "above-tolerance float"),
+        ("SELECT 1 AS a, 1.5 AS b, 'X' AS c", "string case"),
+    ]:
+        with pytest.raises(AssertionError):
+            compare_to_oracle(df, bad_sql, SF_ORACLE)
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_output_is_canonicalizer_safe(spark, name):
     """Round-2 regression guard: the external harness canonicalizes
