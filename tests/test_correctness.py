@@ -73,6 +73,49 @@ def test_comparator_rejects_each_divergence_class(spark):
     ]:
         with pytest.raises(AssertionError):
             compare_to_oracle(df, bad_sql, SF_ORACLE)
+    # Conservative by design: the strict pass distinguishes -0.0 from
+    # 0.0 (repr-level), because the driver's value hash MIGHT — Spark
+    # preserves the sign of a rounded negative underflow where DuckDB
+    # normalizes it, so a query emitting -0.0 must be flagged locally
+    # rather than risk a red driver row. Keep signs out of rounded
+    # outputs (e.g. round(x, 2) + 0.0 collapses -0.0) if this fires.
+    df_negzero = spark.createDataFrame([(-0.0,)], "a double")
+    with pytest.raises(AssertionError):
+        # DuckDB normalizes the literal -0.0 to 0.0, so this IS a
+        # repr-level divergence and must be flagged
+        compare_to_oracle(df_negzero, "SELECT -0.0 AS a", SF_ORACLE)
+    # ...while a sign-preserving oracle spelling compares green
+    compare_to_oracle(
+        df_negzero, "SELECT CAST('-0.0' AS DOUBLE) AS a", SF_ORACLE
+    )
+
+
+def test_comparator_is_order_insensitive(spark):
+    """The other way the gate can fail us: a FALSE red. Identical
+    multisets presented in different row and column orders — with
+    duplicate rows, shared sort-key prefixes, and string NULLs in the
+    mix — must compare green, both in the tolerant and the strict
+    driver-mode pass."""
+    rows = [
+        (1, 2.5, "x"),
+        (1, 2.5, "x"),  # exact duplicate row
+        (1, 2.5, None),  # NULL in an object-dtype column
+        (2, 2.5, "x"),  # shares float with row 1
+        (1, 3.25, "y"),
+    ]
+    df = spark.createDataFrame(
+        list(reversed(rows)), "a int, b double, c string"
+    )
+    values = ", ".join(
+        f"({a}, {b!r}, {'NULL' if c is None else repr(c)})"
+        for a, b, c in rows
+    )
+    # column order deliberately differs (c, b, a vs a, b, c)
+    compare_to_oracle(
+        df,
+        f"SELECT c, b, a FROM (VALUES {values}) t(a, b, c)",
+        SF_ORACLE,
+    )
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
