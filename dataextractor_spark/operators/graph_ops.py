@@ -142,55 +142,18 @@ FROM stats CROSS JOIN ec CROSS JOIN tri
 """
 
 
-@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle counting + global clustering coefficient on the
-    within-order part co-purchase graph (parts are adjacent when some
-    order contains both — the item-item graph a recommender derives
-    from baskets).
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Exact triangle/wedge census of an undirected graph given its
+    canonical edge list: ``pairs`` must be (u, v) with u < v, distinct
+    (one row per undirected edge), ideally checkpointed by the caller
+    since it is consumed three times. Returns one row: n_nodes,
+    n_edges, n_wedges, n_triangles, clustering_coeff.
 
-    The Spark plan uses DEGREE-ORDERED ORIENTATION (Suri &
-    Vassilvitskii, WWW'11 MapReduce triangle counting): every
-    undirected edge is directed toward the endpoint with the higher
-    (degree, id) rank, so each triangle {a,b,c} with rank a<b<c is
-    found exactly once as wedge a→b, a→c closed by edge b→c — and the
-    out-degree of every node is bounded by O(√m), which caps the
-    wedge-join blowup at Σ outdeg² = O(m^1.5) instead of the Σ deg²
-    a hub would cost under arbitrary orientation. The wedge join and
-    the closing semi-join are both edge-keyed hash shuffles; degrees
-    come from one node-keyed aggregate; nothing is ever collected.
-
-    The oracle counts the same triangles directly off the canonical
-    u<v edge list (a<b,b<c,a<c 3-way join) — orientation-invariance
-    of the count is exactly what the hash match proves. Integer
-    counts end-to-end; the clustering coefficient is the only float.
-
-    Resource envelope: this co-purchase graph is DENSE (avg degree
-    ~100), so the oriented wedge set is ~20M rows at sf0.1. The
-    closing check is a SHUFFLE_HASH left-semi join (see inline note):
-    edges build, wedges stream, no wedge-side sort — which is what
-    lets the same plan finish at sf0.1 in under 20 s even on a
-    vanilla default-1-GiB-heap session. The wedge volume itself is
-    the Θ(m^1.5) lower bound any exact counter pays.
-    """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        # lazy checkpoint: the edge set feeds deg, the orientation
-        # join, and the edge count — without it the per-order
-        # self-join + distinct re-executes for every consumer (the
-        # pagerank/dedup pattern; see those modules)
-        .localCheckpoint(eager=False)
-    )
+    This is the degree-ordered-orientation kernel documented on
+    graph_triangle_count (which supplies the co-purchase edge list);
+    factored out so the randomized oracle in tests/test_properties.py
+    can drive it with arbitrary small graphs against brute-force
+    enumeration."""
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -264,6 +227,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + global clustering coefficient on the
+    within-order part co-purchase graph (parts are adjacent when some
+    order contains both — the item-item graph a recommender derives
+    from baskets).
+
+    The Spark plan uses DEGREE-ORDERED ORIENTATION (Suri &
+    Vassilvitskii, WWW'11 MapReduce triangle counting): every
+    undirected edge is directed toward the endpoint with the higher
+    (degree, id) rank, so each triangle {a,b,c} with rank a<b<c is
+    found exactly once as wedge a→b, a→c closed by edge b→c — and the
+    out-degree of every node is bounded by O(√m), which caps the
+    wedge-join blowup at Σ outdeg² = O(m^1.5) instead of the Σ deg²
+    a hub would cost under arbitrary orientation. The wedge join and
+    the closing semi-join are both edge-keyed hash shuffles; degrees
+    come from one node-keyed aggregate; nothing is ever collected.
+
+    The oracle counts the same triangles directly off the canonical
+    u<v edge list (a<b,b<c,a<c 3-way join) — orientation-invariance
+    of the count is exactly what the hash match proves. Integer
+    counts end-to-end; the clustering coefficient is the only float.
+
+    Resource envelope: this co-purchase graph is DENSE (avg degree
+    ~100), so the oriented wedge set is ~20M rows at sf0.1. The
+    closing check is a SHUFFLE_HASH left-semi join (note in
+    triangle_stats, which implements the census over the edge list):
+    edges build, wedges stream, no wedge-side sort — which is what
+    lets the same plan finish at sf0.1 in under 20 s even on a
+    vanilla default-1-GiB-heap session. The wedge volume itself is
+    the Θ(m^1.5) lower bound any exact counter pays.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        # lazy checkpoint: the edge set feeds deg, the orientation
+        # join, and the edge count — without it the per-order
+        # self-join + distinct re-executes for every consumer (the
+        # pagerank/dedup pattern; see those modules)
+        .localCheckpoint(eager=False)
+    )
+    return triangle_stats(pairs)
 
 
 @query(

@@ -2543,43 +2543,19 @@ def _theil_sen_sql() -> str:
     """
 
 
-@query("agg_theil_sen_trend", oracle=_theil_sen_sql())
-def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen ROBUST trend of daily revenue — the median of all
-    pairwise day-slopes, the estimator that shrugs off the outlier
-    days that drag an OLS slope around (both are reported so the gap
-    itself is the robustness diagnostic).
+def theil_sen_trend_from_daily(daily: DataFrame) -> DataFrame:
+    """Theil-Sen + OLS slopes of an integer series: ``daily`` must be
+    (d long/int, cents long) with DISTINCT d values (it is the output
+    of a day-keyed aggregate in the registry query), ideally
+    checkpointed by the caller since it feeds both estimators.
+    Returns one row: n_days, n_pairs, theil_sen_slope, ols_slope
+    (both rounded to 6 dp).
 
-    The scale argument is the design: slopes are taken over the DAILY
-    AGGREGATE, so the pair count is calendar-bounded (~2.9M for ~2400
-    days) and INDEPENDENT of fact-table size — at 100 TB the only
-    thing that grows is the one day-keyed pre-aggregate. The median is
-    an exact order statistic computed with the window_deciles two-pass
-    distributed ranking (repartitionByRange on slope, per-partition
-    row_number, broadcast prefix offsets, global rank = offset +
-    local rank) — NO single-task global sort anywhere in the plan:
-    the heaviest task sorts ~pairs/32 rows, and the range-partition
-    count scales if the calendar ever widens. Slope DOUBLES are
-    identical on both engines (exact integer cents / exact integer
-    day gaps, one division); the range partitioner sends equal keys
-    to one partition, so tie ranks stay contiguous and the VALUE at
-    the median rank (average of the two middle values when the pair
-    count is even) is well-defined and engine-independent."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(
-            F.datediff(
-                F.col("o_orderdate").cast("date"),
-                F.lit("1995-01-01").cast("date"),
-            ).alias("d")
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents")
-        )
-        .localCheckpoint(eager=False)
-    )
+    This is the distributed-ranking median-of-pairwise-slopes kernel
+    documented on agg_theil_sen_trend (which supplies the daily
+    revenue series); factored out so the randomized oracle in
+    tests/test_properties.py can drive it with arbitrary small series
+    against a brute-force pairwise-slope replica."""
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
         (
@@ -2641,6 +2617,46 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ols_slope"),
     )
+
+
+@query("agg_theil_sen_trend", oracle=_theil_sen_sql())
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend of daily revenue — the median of all
+    pairwise day-slopes, the estimator that shrugs off the outlier
+    days that drag an OLS slope around (both are reported so the gap
+    itself is the robustness diagnostic).
+
+    The scale argument is the design: slopes are taken over the DAILY
+    AGGREGATE, so the pair count is calendar-bounded (~2.9M for ~2400
+    days) and INDEPENDENT of fact-table size — at 100 TB the only
+    thing that grows is the one day-keyed pre-aggregate. The median is
+    an exact order statistic computed with the window_deciles two-pass
+    distributed ranking (repartitionByRange on slope, per-partition
+    row_number, broadcast prefix offsets, global rank = offset +
+    local rank) — NO single-task global sort anywhere in the plan:
+    the heaviest task sorts ~pairs/32 rows, and the range-partition
+    count scales if the calendar ever widens. Slope DOUBLES are
+    identical on both engines (exact integer cents / exact integer
+    day gaps, one division); the range partitioner sends equal keys
+    to one partition, so tie ranks stay contiguous and the VALUE at
+    the median rank (average of the two middle values when the pair
+    count is even) is well-defined and engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    return theil_sen_trend_from_daily(daily)
 
 
 # --- delta-method ratio-metric test ------------------------------------

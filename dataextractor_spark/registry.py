@@ -57,72 +57,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ================= round-9 prefix (50 slots) =================
+    # ================= round-10 prefix (50 slots) =================
     # Evidence-freshening schedule (operator freeze — no new queries).
-    # The external runner evaluates a ~50-slot PREFIX per round, so
-    # slots 1-50 are the oldest latest-driver-rows in the ledger:
-    # 16 r3-era rows (several over code touched by the strict-mode
-    # comparison rework), then 29 r1-era rows, then the head of the
-    # r2 block. After this window the oldest remaining evidence is
-    # the 43-row r2 block queued immediately below for round 10.
-    "union_except_intersect",  # last driver row r3
-    "sample_stratified",  # last driver row r3
-    "profile_table",  # last driver row r3
-    "agg_bitmap_distinct",  # last driver row r3
-    "profile_drift_psi",  # last driver row r3
-    "time_downsample_ohlc",  # last driver row r3
-    "dedup_fuzzy_names",  # last driver row r3
-    "agg_ks_drift",  # last driver row r3
-    "text_source_vocab_overlap",  # last driver row r3
-    "join_asof_next_purchase",  # last driver row r3
-    "agg_weighted_median",  # last driver row r3
-    "text_bm25_search",  # last driver row r3
-    "scalar_bitwise_funcs",  # last driver row r3
-    "window_value_range_frame",  # last driver row r3
-    "multimodal_audio_features",  # last driver row r3
-    "etl_incremental_agg_merge",  # last driver row r3
-    "etl_flatten_array",  # last driver row r1
-    "etl_dict_unpivot",  # last driver row r1
-    "etl_epoch_tz",  # last driver row r1
-    "etl_json_normalize",  # last driver row r1
-    "agg_stats",  # last driver row r1
-    "agg_percentiles",  # last driver row r1
-    "agg_count_distinct",  # last driver row r1
-    "agg_approx_distinct",  # last driver row r1
-    "agg_rollup",  # last driver row r1
-    "agg_cube",  # last driver row r1
-    "agg_grouping_sets",  # last driver row r1
-    "agg_heatmap_bins",  # last driver row r1
-    "agg_having",  # last driver row r1
-    "agg_histogram",  # last driver row r1
-    "agg_mode_median",  # last driver row r1
-    "funnel_view_click_purchase",  # last driver row r1
-    "agg_conditional_filter",  # last driver row r1
-    "agg_string_listagg",  # last driver row r1
-    "agg_corr_covar",  # last driver row r1
-    "etl_partitioned_sink",  # last driver row r1
-    "source_json_roundtrip",  # last driver row r1
-    "etl_epoch_roundtrip",  # last driver row r1
-    "source_csv_roundtrip",  # last driver row r1
-    "etl_schema_evolution",  # last driver row r1
-    "scalar_map_funcs",  # last driver row r1
-    "point_lookup_by_key",  # last driver row r1
-    "join_stream_dim_enrich",  # last driver row r1
-    "embedding_normalize",  # last driver row r1
-    "curation_pipeline",  # last driver row r1
-    "flagship_pricing_summary",  # last driver row r2
-    "filter_predicates",  # last driver row r2
-    "sim_topk_cosine",  # last driver row r2
-    "sim_knn_batch",  # last driver row r2
-    "sim_neardup_pairs",  # last driver row r2
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # ============ round-10 queue: the last 43 stale rows ============
-    # Ordered by REWRITE RISK, not age alone: the first 9 rows are
-    # queries whose implementation changed in round 3 AFTER their r2
-    # driver row (git-blame of each function body), so their evidence
-    # predates the code; the rest are r2 rows whose bodies are
-    # unchanged since they were checked (covered meanwhile by the
-    # builder's HEAD-state DRIVER_SIM oracle runs).
+    # The external runner evaluates a ~50-slot PREFIX per run, so this
+    # window drains the LAST of the r1/r2/r3-era evidence backlog: the
+    # 43 remaining r2-era rows (ordered by REWRITE RISK — the first 9
+    # are queries whose implementation changed in round 3 AFTER their
+    # r2 driver row, per the git-blame audit in COVERAGE.md; the other
+    # 34 bodies are unchanged since they were checked), then the 7
+    # oldest r5-era rows to fill the window. After this harvest every
+    # query's latest driver row is ≤5 rounds old and the steady-state
+    # rotation policy (COVERAGE.md "Rotation policy") takes over.
     "sim_ann_lsh",  # r2 row, body rewritten r3
     "sim_label_centroids",  # r2 row, body rewritten r3
     "text_zipf_slope",  # r2 row, body rewritten r3
@@ -167,14 +112,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scalar_array_funcs",
     "multimodal_features",
     "multimodal_framesample",
-    # ============ fresh evidence (r5-r7 rows, newest last) ============
-    "agg_chi_square_independence",
-    "agg_gini_concentration",
-    "agg_survival_km",
-    "agg_rfm_segments",
-    "agg_benford_digit_audit",
-    "window_pctrank_cumedist",
-    "funnel_conversion",
+    # -- 7 spare slots: the oldest r5-era rows, re-checked early --
+    "agg_chi_square_independence",  # last driver row r5
+    "agg_gini_concentration",  # last driver row r5
+    "agg_survival_km",  # last driver row r5
+    "agg_rfm_segments",  # last driver row r5
+    "agg_benford_digit_audit",  # last driver row r5
+    "window_pctrank_cumedist",  # last driver row r5
+    "funnel_conversion",  # last driver row r5
+    # ---- 50-entry prefix boundary (typical per-run budget) ----
+    # ========= steady-state queue (r5-r9 rows, newest last) =========
+    # Per the rotation policy (COVERAGE.md): queries whose bodies
+    # changed since their last driver row would lead here (there are
+    # none under the freeze), then oldest-first. The r11 prefix is the
+    # head of this block: the remaining r5 rows, then r6 and onward.
     "join_cdc_apply",
     "time_changepoint_cusum",
     "time_markov_transitions",
@@ -369,6 +320,58 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_bucketed",
     "sim_ivfpq_search",
     "sort_limit_topk",
+    # -- the round-9 window (50/50 green in CORRECTNESS_r09, the
+    #    most recently verified of all) goes LAST --
+    "union_except_intersect",
+    "sample_stratified",
+    "profile_table",
+    "agg_bitmap_distinct",
+    "profile_drift_psi",
+    "time_downsample_ohlc",
+    "dedup_fuzzy_names",
+    "agg_ks_drift",
+    "text_source_vocab_overlap",
+    "join_asof_next_purchase",
+    "agg_weighted_median",
+    "text_bm25_search",
+    "scalar_bitwise_funcs",
+    "window_value_range_frame",
+    "multimodal_audio_features",
+    "etl_incremental_agg_merge",
+    "etl_flatten_array",
+    "etl_dict_unpivot",
+    "etl_epoch_tz",
+    "etl_json_normalize",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_heatmap_bins",
+    "agg_having",
+    "agg_histogram",
+    "agg_mode_median",
+    "funnel_view_click_purchase",
+    "agg_conditional_filter",
+    "agg_string_listagg",
+    "agg_corr_covar",
+    "etl_partitioned_sink",
+    "source_json_roundtrip",
+    "etl_epoch_roundtrip",
+    "source_csv_roundtrip",
+    "etl_schema_evolution",
+    "scalar_map_funcs",
+    "point_lookup_by_key",
+    "join_stream_dim_enrich",
+    "embedding_normalize",
+    "curation_pipeline",
+    "flagship_pricing_summary",
+    "filter_predicates",
+    "sim_topk_cosine",
+    "sim_knn_batch",
+    "sim_neardup_pairs",
 )
 
 

@@ -501,19 +501,21 @@ def test_partitioned_sink_prunes_partitions(spark):
 #: tables, so the single-partition sort cannot grow with the corpus.
 #: Any query outside this list sorting a whole table into one window
 #: partition is the round-2 window_deciles scale bug reappearing.
+#: Enforced in BOTH directions: the plan audit also fails any entry
+#: whose plan NO LONGER contains an unpartitioned window, so rewrites
+#: prune their exemption instead of leaving it open (r10: five dead
+#: entries removed this way — window_deciles, etl_zorder_layout,
+#: text_pmi_bigrams, sql_recursive_months, streaming_session_state_
+#: audit — all rewritten to partitioned/window-free plans after they
+#: were whitelisted).
 UNPARTITIONED_WINDOW_OK = {
     "text_zipf_slope",          # rank-frequency regression: vocabulary-sized
     "time_gapfill_locf",        # calendar spine: days in range
     "time_interpolate_linear",  # same calendar spine, fwd+bwd carry
     "time_trailing_week_revenue",  # RANGE frame over the daily rollup:
                                    # calendar-sized input
-    "sql_recursive_months",     # month spine: calendar-sized
     "agg_ks_drift",             # binned ECDF: <=122 grid rows
     "agg_histogram_quantile_sketch",  # cumulative window: <=128 bins
-    "window_deciles",           # two-pass ranked ntile: the WINDOW input is
-                                # the 32-row per-range-partition offset table
-    "etl_zorder_layout",        # z-bucket audit: fixed bucket grid
-    "text_pmi_bigrams",         # top-20 selection over min-count bigrams
     "etl_compaction_binpack",   # cumulative window over the FILE LISTING
                                 # (one row per partition-file) — metadata-
                                 # bounded, never data rows
@@ -527,8 +529,6 @@ UNPARTITIONED_WINDOW_OK = {
     "streaming_watermark_frontier",  # same bounded per-batch table
     "streaming_dedup_replay_audit",  # same bounded per-batch table
     "streaming_join_state_audit",    # same bounded per-batch table
-    "streaming_session_state_audit",  # same bounded per-batch table (the
-                                      # islands window IS user-partitioned)
     "time_concurrency_peak",         # running sum over the bounded DAILY
                                      # delta table (calendar-sized), never
                                      # lineitem rows
@@ -578,30 +578,50 @@ def test_registry_has_no_cartesian_products(spark):
        bridge) must never appear outside PYTHON_ROW_UDF_OK: any
        Python that survives in a plan must be Arrow-batched
        (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas),
-       which the gate deliberately allows."""
-    cartesian, rogue_windows, py_rows = [], [], []
+       which the gate deliberately allows.
+
+    Both whitelists are checked in BOTH directions (r9 advice): a
+    whitelisted query whose plan no longer contains the exempted node
+    is a DEAD entry that would silently widen the exemption for a
+    future rewrite, so it fails here until pruned."""
+    cartesian = []
+    has_py_rows: set[str] = set()
+    has_unpart_window: set[str] = set()
     for name, spec in load_all().items():
         plan = physical_plan(spec.fn(spark, SF_SMALL))
         if plan.count("CartesianProduct"):
             cartesian.append(name)
-        if "BatchEvalPython" in plan and name not in PYTHON_ROW_UDF_OK:
-            py_rows.append(name)
-        if name not in UNPARTITIONED_WINDOW_OK:
-            for line in plan.splitlines():
-                stripped = line.strip()
-                if stripped.startswith("Arguments:") and (
-                    "windowspecdefinition(" in stripped
-                ):
-                    # partition columns precede the ordering spec in
-                    # windowspecdefinition(part..., order ASC/DESC, frame)
-                    inner = stripped.split("windowspecdefinition(", 1)[1]
-                    first_arg = inner.split(",", 1)[0]
-                    if " ASC" in first_arg or " DESC" in first_arg:
-                        rogue_windows.append(name)
-                        break
+        if "BatchEvalPython" in plan:
+            has_py_rows.add(name)
+        for line in plan.splitlines():
+            stripped = line.strip()
+            if stripped.startswith("Arguments:") and (
+                "windowspecdefinition(" in stripped
+            ):
+                # partition columns precede the ordering spec in
+                # windowspecdefinition(part..., order ASC/DESC, frame)
+                inner = stripped.split("windowspecdefinition(", 1)[1]
+                first_arg = inner.split(",", 1)[0]
+                if " ASC" in first_arg or " DESC" in first_arg:
+                    has_unpart_window.add(name)
+                    break
     assert not cartesian, cartesian
-    assert not rogue_windows, rogue_windows
-    assert not py_rows, py_rows
+    assert not has_py_rows - PYTHON_ROW_UDF_OK, sorted(
+        has_py_rows - PYTHON_ROW_UDF_OK
+    )
+    assert not has_unpart_window - UNPARTITIONED_WINDOW_OK, sorted(
+        has_unpart_window - UNPARTITIONED_WINDOW_OK
+    )
+    # inverse direction: every exemption must still be earned
+    assert not PYTHON_ROW_UDF_OK - has_py_rows, (
+        "dead PYTHON_ROW_UDF_OK entries (plan no longer has "
+        f"BatchEvalPython*): {sorted(PYTHON_ROW_UDF_OK - has_py_rows)}"
+    )
+    assert not UNPARTITIONED_WINDOW_OK - has_unpart_window, (
+        "dead UNPARTITIONED_WINDOW_OK entries (plan no longer has an "
+        "unpartitioned window): "
+        f"{sorted(UNPARTITIONED_WINDOW_OK - has_unpart_window)}"
+    )
 
 
 #: Every driver-side pull in the package, as file → expected count.
@@ -614,6 +634,10 @@ DRIVER_PULL_SITES = {
     "streaming/windows.py": 1,   # scalar max(ts) watermark anchor
     "operators/dedup.py": 1,     # scalar max(n_toks)
     "operators/streaming_audit.py": 1,  # bounded batch-id list
+    "operators/joins.py": 1,     # toLocalIterator over the 5-row region
+                                 # dim → literal-map build (the operator's
+                                 # documented point; anything larger
+                                 # graduates to join_broadcast_dim)
     "etl/pipeline.py": 1,        # head(3) error sample for the report
     "functions/kmeans.py": 4,    # seeds + 2 mean-update codebook pulls
                                  # (k×d) + scalar inertia
@@ -621,24 +645,67 @@ DRIVER_PULL_SITES = {
     "functions/graph.py": 1,     # 1-row convergence certificate
 }
 
+#: Every method that materializes DataFrame rows on the driver. The
+#: r9-advice gap: the old regex missed take/toLocalIterator/show and
+#: argument-carrying calls, and counted mentions inside docstrings.
+_PULL_METHODS = frozenset(
+    {"collect", "first", "toPandas", "take", "toLocalIterator", "show",
+     "head"}
+)
 
-def test_driver_pulls_are_exactly_the_bounded_whitelist():
-    """Static gate: the package's .collect()/.first()/.head(/.toPandas()
-    call sites must be EXACTLY the bounded whitelist above — a new
-    collect in operator code (the classic way a distributed operator
-    quietly becomes a driver loop) fails here before any benchmark
-    would catch it."""
-    import pathlib
-    import re
 
-    root = pathlib.Path(__file__).resolve().parent.parent
-    pkg = root / "dataextractor_spark"
-    pull = re.compile(r"\.(collect|first|toPandas)\(\)|\.head\(")
+def _driver_pull_census(pkg):
+    """Count `<receiver>.<pull>(` call sites per file via the token
+    stream — comments and strings are dropped (a docstring mentioning
+    '.collect()' no longer shifts a file's count), whitespace and call
+    arguments don't matter, and the package-wide `F` alias for
+    pyspark.sql.functions is excluded as a receiver so JVM-side
+    aggregate/window expressions like F.first(...)/F.last(...) are not
+    mistaken for DataFrame.first() driver pulls."""
+    import io
+    import token as T
+    import tokenize
+
     got: dict[str, int] = {}
-    for py in pkg.rglob("*.py"):
-        n = len(pull.findall(py.read_text()))
+    for py in sorted(pkg.rglob("*.py")):
+        toks = [
+            t
+            for t in tokenize.generate_tokens(
+                io.StringIO(py.read_text()).readline
+            )
+            if t.type not in (T.COMMENT, T.STRING, T.NL, T.NEWLINE,
+                              T.INDENT, T.DEDENT)
+        ]
+        n = 0
+        for i in range(1, len(toks) - 2):
+            if (
+                toks[i].type == T.OP
+                and toks[i].string == "."
+                and toks[i + 1].type == T.NAME
+                and toks[i + 1].string in _PULL_METHODS
+                and toks[i + 2].type == T.OP
+                and toks[i + 2].string == "("
+                and not (
+                    toks[i - 1].type == T.NAME and toks[i - 1].string == "F"
+                )
+            ):
+                n += 1
         if n:
             got[str(py.relative_to(pkg))] = n
+    return got
+
+
+def test_driver_pulls_are_exactly_the_bounded_whitelist():
+    """Static gate: the package's driver-materialization call sites
+    (collect/first/toPandas/take/toLocalIterator/show/head, any
+    argument list, any whitespace) must be EXACTLY the bounded
+    whitelist above — a new pull in operator code (the classic way a
+    distributed operator quietly becomes a driver loop) fails here
+    before any benchmark would catch it."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    got = _driver_pull_census(root / "dataextractor_spark")
     assert got == DRIVER_PULL_SITES, got
 
 

@@ -8,6 +8,14 @@ import json
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
+# Every @settings(...) below inherits unset fields from the loaded
+# profile, so print_blob=True applies file-wide: a red run on ANY
+# machine prints a @reproduce_failure blob that replays anywhere,
+# instead of leaving the reproducer only in that machine's local
+# .hypothesis example database (r9 advice).
+settings.register_profile("spark_graft", print_blob=True)
+settings.load_profile("spark_graft")
+
 from dataextractor_spark.etl.normalize import (
     flatten_array_column,
     normalize_json_records,
@@ -812,10 +820,13 @@ def test_kmeans_fit_matches_lloyd_oracle(spark, vecs, k, sweeps, wide_max):
     to a driver-side Lloyd replica started from the same seeds (taken
     from the deterministic max_iter=0 fit), for BOTH mean-update
     paths (wide-agg and posexplode; wide_agg_max_dim=0 forces the
-    latter). Integer coordinates make every cluster mean an exact
-    double, so Spark's partial-sum order cannot hide a real defect
-    behind float noise — any assignment, empty-cell, or mean bug
-    shows as an exact mismatch."""
+    latter). The bit-equality invariant: integer coordinates make
+    every cluster SUM exact (so Spark's partial-sum order cannot
+    introduce float noise), and both paths then produce the mean via
+    ONE identical IEEE division of that exact sum by the exact count
+    — the quotient itself (e.g. 1/3) need not be representable; it
+    just rounds identically on both sides. Any assignment,
+    empty-cell, or mean bug therefore shows as an exact mismatch."""
     from dataextractor_spark.functions.kmeans import kmeans_fit
 
     rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
@@ -913,3 +924,150 @@ def test_minhash_lsh_candidates_include_all_exact_duplicates(
     for a, b in cands:
         assert a < b
         assert langs[a] == langs[b]
+
+
+# --- randomized oracles for the two fixture-weakest operator kernels
+#     (r9 verdict item 5): median-of-pairwise-slopes and the degree-
+#     ordered triangle census ------------------------------------------
+
+
+def _round6_half_up(x: float) -> float:
+    """Replicate Spark's round(col, 6) on doubles: BigDecimal.valueOf
+    goes through Double.toString (shortest round-trip decimal — same
+    as Python repr), then HALF_UP (ties away from zero) at scale 6."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _theil_sen_bruteforce(series):
+    """Driver-side replica of theil_sen_trend_from_daily on a list of
+    (d, cents) integer pairs with distinct d, mirroring the kernel's
+    IEEE operation order exactly: slope = double(Δcents) / int(Δd);
+    median = avg of the value(s) at 1-indexed ranks ⌊(k+1)/2⌋ and
+    ⌈(k+1)/2⌉ of the sorted slopes; OLS from exact integer sums with
+    the same cast/associativity as the Spark expression."""
+    # the kernel's join orients every unordered pair by a.d < b.d
+    slopes = sorted(
+        float(cb - ca) / (db - da) if da < db else float(ca - cb) / (da - db)
+        for i, (da, ca) in enumerate(series)
+        for db, cb in series[i + 1 :]
+    )
+    k = len(slopes)
+    lo = (k + 1) // 2  # floor((k+1)/2), 1-indexed
+    hi = -(-(k + 1) // 2)  # ceil((k+1)/2)
+    ts = (
+        slopes[lo - 1]
+        if lo == hi
+        else (slopes[lo - 1] + slopes[hi - 1]) / 2.0
+    )
+    n = len(series)
+    sx = sum(d for d, _ in series)
+    sy = sum(c for _, c in series)
+    sxx = sum(d * d for d, _ in series)
+    sxy = sum(d * c for d, c in series)
+    num = float(sxy) - float(sx) * float(sy) / float(n)
+    den = float(sxx) - float(sx) * float(sx) / float(n)
+    return {
+        "n_days": n,
+        "n_pairs": k,
+        "theil_sen_slope": _round6_half_up(ts),
+        "ols_slope": _round6_half_up(num / den),
+    }
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cents=st.lists(st.integers(-1000, 1000), min_size=2, max_size=12),
+    gaps=st.lists(st.integers(1, 4), min_size=11, max_size=11),
+)
+def test_theil_sen_matches_pairwise_bruteforce(spark, cents, gaps):
+    """Property: theil_sen_trend_from_daily on ANY small integer
+    series equals the brute-force pairwise-slope replica bit-for-bit
+    — slopes are one IEEE division of exact integers, the median is a
+    rank-selected VALUE (avg of the two middle values for even pair
+    counts), and the OLS slope reuses exact integer sums, so there is
+    no float-noise tolerance to hide behind. Irregular day gaps make
+    the slope denominators vary (the d-distinct contract the kernel
+    documents); duplicate cents values make slope TIES common, so the
+    range-partitioned two-pass ranking must keep equal keys'
+    contiguous ranks for the median value to come out right."""
+    from dataextractor_spark.operators.statistics import (
+        theil_sen_trend_from_daily,
+    )
+
+    ds = [0]
+    for g in gaps[: len(cents) - 1]:
+        ds.append(ds[-1] + g)
+    series = list(zip(ds, cents))
+    df = spark.createDataFrame(series, "d int, cents long")
+    got = theil_sen_trend_from_daily(df).collect()
+    assert len(got) == 1
+    assert got[0].asDict() == _theil_sen_bruteforce(series)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_triangle_stats_matches_bruteforce_enumeration(spark, raw):
+    """Property: triangle_stats on ANY small undirected graph equals
+    brute-force triple enumeration — the degree-ordered orientation
+    (Suri-Vassilvitskii) must count each triangle EXACTLY once for
+    every graph shape, including the tie-heavy ones (many equal
+    degrees): dropping the degree-tie clause from the wedge filter
+    loses every wedge between equal-degree endpoints (mutation-
+    checked: an all-equal-degree triangle counts 0). Note the
+    orientation makes over-count structurally impossible — the
+    closing semi-join only matches the one oriented direction — so
+    under-count is the live failure mode. Node/edge/wedge counts are
+    exact integers; the clustering coefficient replica mirrors the
+    kernel's 3.0*tri/(wedges2/2) float expression and HALF_UP
+    rounding."""
+    from hypothesis import assume
+
+    from dataextractor_spark.operators.graph_ops import triangle_stats
+
+    edges = sorted(
+        {(min(u, v), max(u, v)) for u, v in raw if u != v}
+    )
+    assume(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    wedges2 = sum(d * (d - 1) for d in deg.values())
+    assume(wedges2 > 0)  # kernel divides by the wedge count
+    eset = set(edges)
+    nodes = sorted(deg)
+    tri = sum(
+        1
+        for i, a in enumerate(nodes)
+        for j in range(i + 1, len(nodes))
+        for m in range(j + 1, len(nodes))
+        if (a, nodes[j]) in eset
+        and (nodes[j], nodes[m]) in eset
+        and (a, nodes[m]) in eset
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = triangle_stats(df.localCheckpoint(eager=False)).collect()
+    assert len(got) == 1
+    assert got[0].asDict() == {
+        "n_nodes": len(nodes),
+        "n_edges": len(edges),
+        "n_wedges": wedges2 // 2,
+        "n_triangles": tri,
+        "clustering_coeff": _round6_half_up(
+            3.0 * tri / (wedges2 / 2)
+        ),
+    }
