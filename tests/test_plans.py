@@ -709,6 +709,71 @@ def test_driver_pulls_are_exactly_the_bounded_whitelist():
     assert got == DRIVER_PULL_SITES, got
 
 
+#: The evidence epoch the current PRIORITY_ORDER rotation was derived
+#: from: CORRECTNESS_r{N}.json files with N > this are ignored by the
+#: rotation gate (they land AFTER the order was staged — typically the
+#: driver's harvest of the very window being checked). Bumping this is
+#: part of each round's rotation edit, together with re-sorting the
+#: list; forgetting either fails the gate.
+EVIDENCE_EPOCH = 9
+
+#: Queries allowed ahead of strict oldest-first order because their
+#: implementing code changed since their last driver row (rotation
+#: policy rule 1, COVERAGE.md "Rotation policy"). Empty under the
+#: operator freeze; entries need a git-blame justification.
+CHANGED_FIRST_OK: set[str] = set()
+
+
+def test_priority_order_follows_rotation_policy():
+    """Standing gate for the steady-state rotation policy (COVERAGE.md
+    round 10): the 50-slot verification prefix must be exactly the
+    queries with the OLDEST latest-driver-row evidence (set-wise, with
+    ties at the boundary round free to go either side), and the whole
+    tail must be sorted oldest-evidence-first, so every FUTURE window
+    is pre-staged and freshness cannot silently decay — the failure
+    mode that produced the round-8 backlog undercount. Evidence =
+    union of the committed CORRECTNESS_r*.json ledgers up to
+    EVIDENCE_EPOCH, newest row per query."""
+    import glob
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds: dict[str, int] = {}
+    for p in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        rn = int(re.search(r"r(\d+)", pathlib.Path(p).name).group(1))
+        if rn > EVIDENCE_EPOCH:
+            continue
+        for q in json.load(open(p)):
+            rounds[q] = max(rounds.get(q, 0), rn)
+    from dataextractor_spark.registry import PRIORITY_ORDER as po
+
+    never = set(po) - set(rounds)
+    # never-checked queries outrank everything (first-ever evidence
+    # first — the r5-r7 build-out rule); none exist under the freeze
+    assert never <= set(po[: len(never)]) if never else True, never
+    window = [q for q in po[:50] if q not in CHANGED_FIRST_OK]
+    boundary = sorted(rounds[q] for q in po)[49]
+    strictly_older = {q for q in po if rounds[q] < boundary}
+    assert strictly_older <= set(window), (
+        "stale queries missing from the 50-slot prefix: "
+        f"{sorted(strictly_older - set(window))}"
+    )
+    assert all(rounds[q] <= boundary for q in window), (
+        "fresher-than-boundary queries occupying prefix slots: "
+        f"{sorted(q for q in window if rounds[q] > boundary)}"
+    )
+    tail = [q for q in po[50:] if q not in CHANGED_FIRST_OK]
+    seq = [rounds[q] for q in tail]
+    bad = [
+        (tail[i], seq[i], tail[i + 1], seq[i + 1])
+        for i in range(len(seq) - 1)
+        if seq[i] > seq[i + 1]
+    ]
+    assert not bad, f"queue tail not oldest-first (pre-staging broken): {bad[:5]}"
+
+
 def test_docstring_test_references_exist():
     """Every `tests/test_*.py` a package docstring cites must exist —
     the dangling-reference class of rot, caught at CI time."""
