@@ -645,19 +645,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash")  # bit-sketch → rows-only; hamming checked in tests
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (64-bit) fingerprints + near-dup candidates by Hamming
-    distance ≤ 6, banded on 4×16-bit chunks.
-
-    Fingerprint: per token h = xxhash64(token); bit b of the simhash is
-    the sign of Σ_tokens (±1 by bit b of h) — computed as 64 vectorized
-    conditional sums in ONE aggregate pass (no per-row Python).
-    Candidate pairing joins on any equal 16-bit chunk (pigeonhole: a
-    pair within Hamming 3 shares ≥1 exact chunk; ≤6 needs 2-chunk OR
-    which this approximates), then exact Hamming via bit_count(xor).
-    """
-    d = load_table(spark, sf_dir, "documents")
+def simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash near-dup candidate pairs for any (doc_id, lang, text)
+    DataFrame — the kernel behind dedup_simhash (which supplies the
+    documents fixture), factored out so the randomized oracle in
+    tests/test_properties.py can drive it with arbitrary corpora.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, same-lang
+    pairs only, Hamming ≤ 6. Identical token SETS (the fingerprint
+    unit is array_distinct'd) always produce identical fingerprints,
+    identical chunks, and therefore a Hamming-0 pair — the
+    deterministic completeness guarantee the property test pins."""
     tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("t")).withColumn(
         "h", F.xxhash64("t")
     )
@@ -722,6 +719,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_simhash")  # bit-sketch → rows-only; hamming checked in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) fingerprints + near-dup candidates by Hamming
+    distance ≤ 6, banded on 4×16-bit chunks.
+
+    Fingerprint: per token h = xxhash64(token); bit b of the simhash is
+    the sign of Σ_tokens (±1 by bit b of h) — computed as 64 vectorized
+    conditional sums in ONE aggregate pass (no per-row Python).
+    Candidate pairing joins on any equal 16-bit chunk (pigeonhole: a
+    pair within Hamming 3 shares ≥1 exact chunk; ≤6 needs 2-chunk OR
+    which this approximates), then exact Hamming via bit_count(xor).
+    The census itself lives in simhash_pairs (kernel, above)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -1071,3 +1071,54 @@ def test_triangle_stats_matches_bruteforce_enumeration(spark, raw):
             3.0 * tri / (wedges2 / 2)
         ),
     }
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pool=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    picks=st.lists(st.integers(0, 2), min_size=2, max_size=12),
+)
+def test_simhash_candidates_include_all_exact_duplicates(
+    spark, pool, picks
+):
+    """Property: SimHash banding is probabilistic for NEAR duplicates
+    but DETERMINISTIC for exact ones — identical token SETS (the
+    fingerprint unit is array_distinct'd) produce identical 64-bit
+    fingerprints, identical 16-bit chunks, and therefore a Hamming-0
+    candidate pair, for ANY corpus shape including empty and
+    whitespace-only texts. Mirrors the MinHash-LSH completeness
+    property so both sketch families carry the same guarantee. Also
+    pins the pair surface: doc_a < doc_b, no self-pairs, no cross-lang
+    pairs, every reported Hamming within the ≤6 radius, and Hamming 0
+    exactly for same-set pairs."""
+    from dataextractor_spark.operators.dedup import simhash_pairs
+
+    texts = [" ".join(pool[i % len(pool)]) for i in picks]
+    rows = [(i, "en" if i % 2 else "de", t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = simhash_pairs(d).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    keyset = {i: (r[1], frozenset(r[2].split(" "))) for i, r in enumerate(rows)}
+    want_exact = {
+        (a, b)
+        for a in keyset
+        for b in keyset
+        if a < b and keyset[a] == keyset[b]
+    }
+    missing = want_exact - set(got)
+    assert not missing, sorted(missing)
+    for (a, b), ham in got.items():
+        assert a < b
+        assert keyset[a][0] == keyset[b][0], f"cross-lang pair {(a, b)}"
+        assert 0 <= ham <= 6
+        if (a, b) in want_exact:
+            assert ham == 0, f"exact-dup pair {(a, b)} has hamming {ham}"
