@@ -1122,3 +1122,65 @@ def test_simhash_candidates_include_all_exact_duplicates(
         assert 0 <= ham <= 6
         if (a, b) in want_exact:
             assert ham == 0, f"exact-dup pair {(a, b)} has hamming {ham}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.sets(
+            st.sampled_from(
+                ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    t=st.sampled_from([0.5, 0.8, 0.95]),
+)
+def test_jaccard_pairs_match_bruteforce_all_pairs(spark, docs, t):
+    """Property: jaccard_pairs_from_tokens finds EXACTLY the pairs the
+    unfiltered all-pairs Jaccard >= t scan finds, with bit-identical
+    similarity values (one IEEE division of exact integer counts,
+    HALF_UP-rounded to 6 dp on both sides) — for ANY corpus and for
+    BOTH physical strategies: "prefix" (AllPairs/PPJoin pruning, the
+    general path) and "auto" (which picks the deletion-neighborhood
+    join when max|doc|·(1−t)/t ≤ 1, e.g. t=0.95 here). The filters are
+    provably-complete PRUNERS, so any lost pair is a filter-arithmetic
+    bug (ceil placement, length-filter direction, positional bound) —
+    exactly the class a fixture corpus rarely exercises at the
+    boundary."""
+    from dataextractor_spark.operators.dedup import (
+        jaccard_pairs_from_tokens,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "de", sorted(s), len(s))
+        for i, s in enumerate(docs)
+    ]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, lang string, toks array<string>, n_toks int"
+    )
+    want = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if rows[a][1] != rows[b][1]:
+                continue
+            inter = len(docs[a] & docs[b])
+            j = _round6_half_up(
+                inter / (len(docs[a]) + len(docs[b]) - inter)
+            )
+            if j >= t:
+                want[(a, b)] = j
+    for strategy in ("prefix", "auto"):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs_from_tokens(tok, t, strategy).collect()
+        }
+        assert got == want, (
+            f"strategy={strategy} t={t}: missing={sorted(set(want) - set(got))} "
+            f"extra={sorted(set(got) - set(want))} "
+            f"value_diffs={[(k, got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]][:3]}"
+        )
