@@ -1184,3 +1184,68 @@ def test_jaccard_pairs_match_bruteforce_all_pairs(spark, docs, t):
             f"extra={sorted(set(got) - set(want))} "
             f"value_diffs={[(k, got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]][:3]}"
         )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["ant", "bee", "cat", "dog", "elk"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_winnow_fingerprints_match_python_replica(spark, docs):
+    """Property: winnow_fingerprints equals the textbook winnowing
+    spec (Schleimer-Wilkerson-Aiken) evaluated in Python — k-grams of
+    k=5 tokens (docs shorter than k hash their whole token list, the
+    MOSS convention), minimum hash per sliding window of w=4 k-grams,
+    first-occurrence-ordered distinct — for ANY corpus including
+    empty/short docs and repeated tokens (which make duplicate k-gram
+    hashes and window-min TIES the common case). The replica builds
+    the k-gram STRINGS independently in Python and borrows only
+    Spark's xxhash64 primitive for the hash values, so the windowing,
+    slicing, truncation, and dedup logic under test is reproduced from
+    the spec, not from the implementation."""
+    from dataextractor_spark.operators.text import winnow_fingerprints
+
+    k, w = 5, 4
+    kgram_strings = {}
+    for toks in map(tuple, docs):
+        n = len(toks)
+        grams = (
+            [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+            if n >= k
+            else [" ".join(toks)]
+        )
+        kgram_strings[toks] = grams
+    uniq = sorted({g for gs in kgram_strings.values() for g in gs})
+    hdf = spark.createDataFrame([(g,) for g in uniq], "g string").select(
+        "g", F.xxhash64("g").alias("h")
+    )
+    h = {r.g: r.h for r in hdf.collect()}
+    rows = [(i, "en" if i % 2 else "de", " ".join(ts)) for i, ts in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (list(r.fps), r.n_fps)
+        for r in winnow_fingerprints(d, k=k, w=w).collect()
+    }
+    for i, toks in enumerate(map(tuple, docs)):
+        kh = [h[g] for g in kgram_strings[toks]]
+        m = len(kh)
+        mins = [
+            min(kh[j : j + w])
+            for j in range(max(m - w + 1, 1))
+        ]
+        fps, seen = [], set()
+        for v in mins:
+            if v not in seen:
+                seen.add(v)
+                fps.append(v)
+        assert got[i] == (fps, len(fps)), (
+            f"doc {i} toks={toks}: got {got[i]}, want {(fps, len(fps))}"
+        )
