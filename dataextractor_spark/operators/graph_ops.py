@@ -539,6 +539,56 @@ LIMIT 10
 """
 
 
+def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
+    """Deterministic synchronous label propagation on a SYMMETRIC edge
+    list: ``edges`` must be (src, dst) with both directions present
+    (one row per directed arc), ideally checkpointed by the caller
+    since it is consumed once per sweep. Every node starts as its own
+    label; each sweep re-labels a node with the most frequent label
+    among its neighbors PLUS ITS OWN one-vote self-label, ties broken
+    toward the SMALLEST label via the engine-portable lpad encoding
+    (count desc, label asc). Node ids must be non-negative and below
+    ``_LPA_ENC``. Returns the final (node, lbl) assignment.
+
+    This is the sweep kernel documented on graph_label_propagation
+    (which supplies the supplier↔part incidence edges); factored out
+    so the randomized oracle in tests/test_properties.py can drive it
+    with arbitrary small graphs against a brute-force synchronous-LPA
+    replica."""
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    enc = _LPA_ENC
+    for _ in range(sweeps):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .unionByName(
+                labels.select("node", "lbl", F.lit(1).cast("long").alias("cnt"))
+            )
+        )
+        key = F.concat(
+            F.lpad(F.col("cnt").cast("string"), 10, "0"),
+            F.lpad((F.lit(enc) - F.col("lbl")).cast("string"), 10, "0"),
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(key).alias("k"))
+            .select(
+                "node",
+                (
+                    F.lit(enc)
+                    - F.substring(F.col("k"), 11, 10).cast("long")
+                ).cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 @query("graph_label_propagation", oracle=_LPA_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by deterministic label propagation on the
@@ -578,37 +628,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("lbl")
-    )
-    enc = _LPA_ENC
-    for _ in range(_LPA_SWEEPS):
-        votes = (
-            edges.join(
-                labels.select(F.col("node").alias("src"), "lbl"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .unionByName(
-                labels.select("node", "lbl", F.lit(1).cast("long").alias("cnt"))
-            )
-        )
-        key = F.concat(
-            F.lpad(F.col("cnt").cast("string"), 10, "0"),
-            F.lpad((F.lit(enc) - F.col("lbl")).cast("string"), 10, "0"),
-        )
-        labels = (
-            votes.groupBy("node")
-            .agg(F.max(key).alias("k"))
-            .select(
-                "node",
-                (
-                    F.lit(enc)
-                    - F.substring(F.col("k"), 11, 10).cast("long")
-                ).cast("long").alias("lbl"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    labels = lpa_labels(edges)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -967,46 +987,22 @@ ORDER BY cc_decile
 """
 
 
-@query("graph_local_clustering", oracle=_LOCAL_CC_ORACLE)
-def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node LOCAL clustering coefficient (Watts-Strogatz: the
-    fraction of a node's neighbor pairs that are themselves adjacent)
-    on the part co-purchase graph, summarized as a decile histogram —
-    the community-structure fingerprint that separates hub-and-spoke
-    catalogs from clique-y ones, where graph_triangle_count's single
-    GLOBAL coefficient cannot.
+def local_clustering_cc(pairs: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph
+    given its canonical edge list: ``pairs`` must be (u, v) with
+    u < v, distinct (one row per undirected edge), ideally
+    checkpointed by the caller since it is consumed three times.
+    Returns one row per node of degree ≥2: (node, d, c8, cc_decile)
+    where c8 is the 8-dp fixed-point BIGINT quantization of
+    2·t/(d(d−1)) and cc_decile = min(9, floor(20t / d(d−1))) — both
+    pure integer arithmetic, see the inline comment at the fixed-point
+    select.
 
-    Reuses the degree-ordered-orientation wedge machinery of
-    graph_triangle_count (Suri-Vassilvitskii; Θ(m^1.5) wedge volume,
-    SHUFFLE_HASH closing join) but keeps the wedge APEX through the
-    closing semi-join, so every found triangle {src,x,y} credits all
-    three corners via one explode + node-keyed count. cc_i =
-    2·t_i / (d_i(d_i−1)) is exact (integer triangle counts over
-    integer degree pairs); nodes of degree <2 are excluded (the
-    coefficient is undefined). The decile mean is computed from an
-    8-dp fixed-point BIGINT quantization of each cc_i (pure integer
-    round-half-up; see the inline comment), so the only cross-row
-    accumulation is an exact integer sum — no engine- or
-    partition-order-dependent double folding anywhere in the query.
-    The oracle recounts per-corner triangles off the canonical u<v
-    list, proving orientation-invariance node-by-node, not just in
-    total."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    This is the degree-ordered-orientation apex-credit kernel
+    documented on graph_local_clustering (which supplies the
+    co-purchase edge list); factored out so the randomized oracle in
+    tests/test_properties.py can drive it with arbitrary small graphs
+    against brute-force per-node triangle enumeration."""
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1076,7 +1072,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic; quantization error ≤ 5e-9 per node, two orders
     # below the 6-dp output grain. Overflow bound: 4t·1e8 ≤
     # 2e8·d(d-1) < 2^63 for d up to ~2.1e5 (test graphs: d < 1e3).
-    cc = (
+    return (
         deg.where(F.col("d") >= 2)
         .join(tri_corners, "node", "left")
         .select(
@@ -1096,6 +1092,49 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_decile"),
         )
     )
+
+
+@query("graph_local_clustering", oracle=_LOCAL_CC_ORACLE)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts-Strogatz: the
+    fraction of a node's neighbor pairs that are themselves adjacent)
+    on the part co-purchase graph, summarized as a decile histogram —
+    the community-structure fingerprint that separates hub-and-spoke
+    catalogs from clique-y ones, where graph_triangle_count's single
+    GLOBAL coefficient cannot.
+
+    Reuses the degree-ordered-orientation wedge machinery of
+    graph_triangle_count (Suri-Vassilvitskii; Θ(m^1.5) wedge volume,
+    SHUFFLE_HASH closing join) but keeps the wedge APEX through the
+    closing semi-join, so every found triangle {src,x,y} credits all
+    three corners via one explode + node-keyed count. cc_i =
+    2·t_i / (d_i(d_i−1)) is exact (integer triangle counts over
+    integer degree pairs); nodes of degree <2 are excluded (the
+    coefficient is undefined). The decile mean is computed from an
+    8-dp fixed-point BIGINT quantization of each cc_i (pure integer
+    round-half-up; see the inline comment), so the only cross-row
+    accumulation is an exact integer sum — no engine- or
+    partition-order-dependent double folding anywhere in the query.
+    The oracle recounts per-corner triangles off the canonical u<v
+    list, proving orientation-invariance node-by-node, not just in
+    total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cc = local_clustering_cc(pairs)
     return (
         cc.groupBy("cc_decile")
         .agg(

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import json
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 # Every @settings(...) below inherits unset fields from the loaded
@@ -951,9 +951,12 @@ def _theil_sen_bruteforce(series):
     median = avg of the value(s) at 1-indexed ranks ⌊(k+1)/2⌋ and
     ⌈(k+1)/2⌉ of the sorted slopes; OLS from exact integer sums with
     the same cast/associativity as the Spark expression."""
-    # the kernel's join orients every unordered pair by a.d < b.d
+    # the kernel's join orients every unordered pair by a.d < b.d —
+    # vacuous here because the caller builds d as a strictly
+    # increasing cumulative sum, so enumeration order already has
+    # da < db for every pair (no orientation branch needed)
     slopes = sorted(
-        float(cb - ca) / (db - da) if da < db else float(ca - cb) / (da - db)
+        float(cb - ca) / (db - da)
         for i, (da, ca) in enumerate(series)
         for db, cb in series[i + 1 :]
     )
@@ -1249,3 +1252,142 @@ def test_winnow_fingerprints_match_python_replica(spark, docs):
         assert got[i] == (fps, len(fps)), (
             f"doc {i} toks={toks}: got {got[i]}, want {(fps, len(fps))}"
         )
+
+
+# ---- label propagation (synchronous, self-vote, smallest-label ties) --
+
+
+def _lpa_bruteforce(edges: list[tuple[int, int]], sweeps: int = 3) -> dict:
+    """Literal synchronous-LPA replica of lpa_labels' vote semantics:
+    candidate set per node = per-label NEIGHBOR-ARC counts UNION a
+    one-vote row for the node's own current label (the kernel unions a
+    cnt=1 self row rather than adding 1, so an own label that also got
+    k neighbor votes competes with count max(k, 1), never k+1); winner
+    = highest count, ties toward the SMALLEST label."""
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(sweeps):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes: dict[int, int] = {}
+            for m in nbrs:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            votes[labels[n]] = max(votes.get(labels[n], 0), 1)
+            best = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == best)
+        labels = nxt
+    return labels
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+# pinned discriminator for mutation (3): on this graph the max(k,1)
+# and k+1 self-vote semantics assign nodes 1 and 3 different
+# communities by sweep 3 (found by seeded sweep — random graphs alone
+# discriminate it too rarely, the two semantics only diverge once a
+# neighbor SHARES the node's label, i.e. never in sweep 1)
+@example(raw=[(0, 2), (0, 4), (1, 2), (1, 3), (2, 4)])
+def test_lpa_labels_matches_synchronous_bruteforce(spark, raw):
+    """Property: lpa_labels on ANY small undirected graph equals the
+    brute-force synchronous-LPA replica node-by-node. The three
+    semantics the lpad-encoded argmax must preserve for the DuckDB
+    oracle to hash-match are each discriminated by random graphs in
+    this size range (mutation-checked): (1) dropping the cnt=1
+    self-vote union lets bipartite components oscillate (a 2-path
+    relabels wrong by sweep 2); (2) flipping the tie-break to LARGEST
+    label diverges on any tied vote (ubiquitous in sweep 1, where
+    every label has count 1); (3) summing the self row into the
+    neighbor count instead of unioning it (k+1 vs max(k,1)) flips
+    winners whenever the own label is one vote behind."""
+    from hypothesis import assume
+
+    from dataextractor_spark.operators.graph_ops import lpa_labels
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    assume(edges)
+    sym = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.node: r.lbl
+        for r in lpa_labels(df.localCheckpoint(eager=False)).collect()
+    }
+    assert got == _lpa_bruteforce(edges)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+# pinned discriminators (random draws at max_examples=8 can miss
+# triangles entirely, leaving the apex/tie mutations uncaught): the
+# all-equal-degree triangle catches both dropping "src" from the
+# explode (every corner loses its apex credit → t=0 everywhere) and
+# dropping the degree-tie wedge clause (no wedge survives at all);
+# the pendant node 3 (degree 1) catches removing the d>=2 filter.
+@example(raw=[(0, 1), (1, 2), (0, 2)])
+@example(raw=[(0, 1), (1, 2), (0, 2), (2, 3)])
+def test_local_clustering_cc_matches_bruteforce(spark, raw):
+    """Property: local_clustering_cc on ANY small undirected graph
+    equals brute-force per-node triangle enumeration in the exact
+    integer fixed-point form (c8, cc_decile) — no float tolerance.
+    Unlike the global triangle census, the APEX-CREDIT explode must
+    hand each found triangle to all three corners: dropping "src"
+    from the explode array undercounts every wedge apex
+    (mutation-checked: a plain triangle's three nodes each lose their
+    only credit at the corner where they are the apex); the
+    degree-tie clause in the wedge filter is load-bearing exactly as
+    in triangle_stats. Degree-<2 nodes must be absent, not zero
+    (coefficient undefined)."""
+    from hypothesis import assume
+
+    from dataextractor_spark.operators.graph_ops import local_clustering_cc
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    assume(edges)
+    eset = set(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    nodes = sorted(deg)
+    tri = {n: 0 for n in nodes}
+    for i, a in enumerate(nodes):
+        for j in range(i + 1, len(nodes)):
+            for m in range(j + 1, len(nodes)):
+                b, c = nodes[j], nodes[m]
+                if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+    want = {}
+    for n in nodes:
+        d, t = deg[n], tri[n]
+        if d >= 2:
+            want[n] = (
+                d,
+                (4 * t * 10**8 + d * (d - 1)) // (2 * d * (d - 1)),
+                min(9, (20 * t) // (d * (d - 1))),
+            )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.node: (r.d, r.c8, r.cc_decile)
+        for r in local_clustering_cc(
+            df.localCheckpoint(eager=False)
+        ).collect()
+    }
+    assert got == want
