@@ -57,75 +57,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: once (load_all asserts both directions), so adding a query without
 #: scheduling it is an error, and reordering is a one-list edit.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ================= round-10 prefix (50 slots) =================
-    # Evidence-freshening schedule (operator freeze — no new queries).
-    # The external runner evaluates a ~50-slot PREFIX per run, so this
-    # window drains the LAST of the r1/r2/r3-era evidence backlog: the
-    # 43 remaining r2-era rows (ordered by REWRITE RISK — the first 9
-    # are queries whose implementation changed in round 3 AFTER their
-    # r2 driver row, per the git-blame audit in COVERAGE.md; the other
-    # 34 bodies are unchanged since they were checked), then the 7
-    # oldest r5-era rows to fill the window. After this harvest every
-    # query's latest driver row is ≤5 rounds old and the steady-state
-    # rotation policy (COVERAGE.md "Rotation policy") takes over.
-    "sim_ann_lsh",  # r2 row, body rewritten r3
-    "sim_label_centroids",  # r2 row, body rewritten r3
-    "text_zipf_slope",  # r2 row, body rewritten r3
-    "window_first_last_nth",  # r2 row, body rewritten r3
-    "time_scd2_versions",  # r2 row, body rewritten r3
-    "rest_datasource_scan",  # r2 row, body rewritten r3
-    "sql_lateral_topn",  # r2 row, body rewritten r3
-    "scalar_json_funcs",  # r2 row, body rewritten r3
-    "multimodal_resize",  # r2 row, body rewritten r3
-    # -- r2 rows with code unchanged since their driver check --
-    "sim_ann_ivf",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_bigram_top20",
-    "text_winnow_fingerprint",
-    "text_tfidf_top_terms",
-    "text_pack_sequences",
-    "window_rank_topn",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_percent_rank_cume",
-    "time_tumbling_window",
-    "time_sliding_window",
-    "time_session_window",
-    "time_user_activity",
-    "time_gapfill_locf",
-    "time_trailing_week_revenue",
-    "time_cohort_retention",
-    "rest_publicmatches_pipeline",
-    "sql_shipping_priority",
-    "subquery_exists_correlated",
-    "subquery_not_in_null_semantics",
-    "pivot_unpivot_roundtrip",
-    "udf_zscore_median",
-    "sql_recursive_months",
-    "sql_pipe_syntax",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "multimodal_features",
-    "multimodal_framesample",
-    # -- 7 spare slots: the oldest r5-era rows, re-checked early --
-    "agg_chi_square_independence",  # last driver row r5
-    "agg_gini_concentration",  # last driver row r5
-    "agg_survival_km",  # last driver row r5
-    "agg_rfm_segments",  # last driver row r5
-    "agg_benford_digit_audit",  # last driver row r5
-    "window_pctrank_cumedist",  # last driver row r5
-    "funnel_conversion",  # last driver row r5
-    # ---- 50-entry prefix boundary (typical per-run budget) ----
-    # ========= steady-state queue (r5-r9 rows, newest last) =========
-    # Per the rotation policy (COVERAGE.md): queries whose bodies
-    # changed since their last driver row would lead here (there are
-    # none under the freeze), then oldest-first. The r11 prefix is the
-    # head of this block: the remaining r5 rows, then r6 and onward.
+    # ================= round-11 prefix (50 slots) =================
+    # Steady-state rotation (operator freeze, COVERAGE.md "Rotation
+    # policy"): no code changed since any query's last driver row, so
+    # the window is pure oldest-first — the 43 r5-era rows (the oldest
+    # evidence in the ledger) plus the 7 oldest r6-era rows. After this
+    # harvest no query's latest driver row is older than r6. The tail
+    # is sorted oldest-evidence-first so every future window is
+    # pre-staged (CI: tests/test_plans.py
+    # test_priority_order_follows_rotation_policy).
+    # -- latest driver row r5 --
     "join_cdc_apply",
     "time_changepoint_cusum",
     "time_markov_transitions",
@@ -169,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_recall_eval",
     "time_sliding_distinct_hll",
     "graph_triangle_count",
+    # -- latest driver row r6 --
     "sim_mmr_diversify",
     "multimodal_png_codec",
     "streaming_late_discard_audit",
@@ -219,6 +161,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "time_dormancy_reactivation",
     "agg_reorder_rate",
     "time_active_streaks",
+    # -- latest driver row r7 --
     "streaming_session_state_audit",
     "stats_ttest_welch",
     "stats_mann_whitney_u",
@@ -268,8 +211,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stats_cochran_q",
     "etl_calendar_coverage_audit",
     "join_asof_latest_order",
-    # -- the round-8 window (50/50 green in CORRECTNESS_r08, the
-    #    most recently verified of all) goes LAST --
+    # -- latest driver row r8 --
     "multimodal_jpeg_codec",
     "agg_theil_sen_trend",
     "join_salted_skew",
@@ -320,8 +262,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_range_bucketed",
     "sim_ivfpq_search",
     "sort_limit_topk",
-    # -- the round-9 window (50/50 green in CORRECTNESS_r09, the
-    #    most recently verified of all) goes LAST --
+    # -- latest driver row r9 --
     "union_except_intersect",
     "sample_stratified",
     "profile_table",
@@ -372,6 +313,57 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sim_topk_cosine",
     "sim_knn_batch",
     "sim_neardup_pairs",
+    # -- latest driver row r10 --
+    "sim_ann_lsh",
+    "sim_label_centroids",
+    "text_zipf_slope",
+    "window_first_last_nth",
+    "time_scd2_versions",
+    "rest_datasource_scan",
+    "sql_lateral_topn",
+    "scalar_json_funcs",
+    "multimodal_resize",
+    "sim_ann_ivf",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_bigram_top20",
+    "text_winnow_fingerprint",
+    "text_tfidf_top_terms",
+    "text_pack_sequences",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_percent_rank_cume",
+    "time_tumbling_window",
+    "time_sliding_window",
+    "time_session_window",
+    "time_user_activity",
+    "time_gapfill_locf",
+    "time_trailing_week_revenue",
+    "time_cohort_retention",
+    "rest_publicmatches_pipeline",
+    "sql_shipping_priority",
+    "subquery_exists_correlated",
+    "subquery_not_in_null_semantics",
+    "pivot_unpivot_roundtrip",
+    "udf_zscore_median",
+    "sql_recursive_months",
+    "sql_pipe_syntax",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "multimodal_features",
+    "multimodal_framesample",
+    "agg_chi_square_independence",
+    "agg_gini_concentration",
+    "agg_survival_km",
+    "agg_rfm_segments",
+    "agg_benford_digit_audit",
+    "window_pctrank_cumedist",
+    "funnel_conversion",
 )
 
 

@@ -695,6 +695,46 @@ def _driver_pull_census(pkg):
     return got
 
 
+def test_F_binds_only_pyspark_functions():
+    """Companion gate for the census's F-receiver exemption: that
+    exemption assumes `F` is ALWAYS the pyspark.sql.functions alias,
+    so a DataFrame variable named F would have its .first()/.take()
+    driver pulls silently excluded (r10 advice). Assert the
+    assumption: no module in the package binds the name F to anything
+    except `from pyspark.sql import functions as F` — not an
+    assignment, not another import alias, not a def/class, not a
+    function parameter, not a for/with/except target."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "dataextractor_spark"
+    bad = []
+    for py in sorted(pkg.rglob("*.py")):
+        for node in ast.walk(ast.parse(py.read_text())):
+            if isinstance(node, (ast.Import, ast.ImportFrom)):
+                for a in node.names:
+                    if (a.asname or a.name) != "F":
+                        continue
+                    ok = (
+                        isinstance(node, ast.ImportFrom)
+                        and node.module == "pyspark.sql"
+                        and a.name == "functions"
+                    )
+                    if not ok:
+                        bad.append((str(py.relative_to(pkg)), node.lineno))
+            elif isinstance(node, ast.Name) and node.id == "F" and isinstance(
+                node.ctx, ast.Store
+            ):
+                bad.append((str(py.relative_to(pkg)), node.lineno))
+            elif isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ) and node.name == "F":
+                bad.append((str(py.relative_to(pkg)), node.lineno))
+            elif isinstance(node, ast.arg) and node.arg == "F":
+                bad.append((str(py.relative_to(pkg)), node.lineno))
+    assert not bad, f"name F bound to something other than functions: {bad}"
+
+
 def test_driver_pulls_are_exactly_the_bounded_whitelist():
     """Static gate: the package's driver-materialization call sites
     (collect/first/toPandas/take/toLocalIterator/show/head, any
@@ -715,7 +755,7 @@ def test_driver_pulls_are_exactly_the_bounded_whitelist():
 #: driver's harvest of the very window being checked). Bumping this is
 #: part of each round's rotation edit, together with re-sorting the
 #: list; forgetting either fails the gate.
-EVIDENCE_EPOCH = 9
+EVIDENCE_EPOCH = 10
 
 #: Queries allowed ahead of strict oldest-first order because their
 #: implementing code changed since their last driver row (rotation
@@ -751,8 +791,12 @@ def test_priority_order_follows_rotation_policy():
 
     never = set(po) - set(rounds)
     # never-checked queries outrank everything (first-ever evidence
-    # first — the r5-r7 build-out rule); none exist under the freeze
+    # first — the r5-r7 build-out rule); none exist under the freeze.
+    # They get a sentinel round of -1 below so they sort first and the
+    # window/boundary/tail assertions keep producing readable messages
+    # (instead of a bare KeyError) the day a query is added post-freeze.
     assert never <= set(po[: len(never)]) if never else True, never
+    rounds = {q: rounds.get(q, -1) for q in po}
     window = [q for q in po[:50] if q not in CHANGED_FIRST_OK]
     boundary = sorted(rounds[q] for q in po)[49]
     strictly_older = {q for q in po if rounds[q] < boundary}
@@ -965,3 +1009,109 @@ def test_write_bucketed_rejects_non_identifier_names(spark):
     for bad in ("../../escape", "t`; DROP TABLE x; --", "a table", ""):
         with pytest.raises(ValueError, match="plain SQL identifier"):
             write_bucketed(df, bad, "id", 2)
+
+
+#: Evidence anchors for the rows-only class: every registry entry
+#: WITHOUT a DuckDB oracle (the driver records only a rows-present
+#: check) must be named by at least one targeted test — a randomized
+#: property, recall/accuracy contract, or query-level contract test —
+#: so a future rows-only addition can't ship evidence-free (r10
+#: verdict item 3). Values are `test_file.py::test_name`; the gate
+#: asserts the test EXISTS and its source actually NAMES the query,
+#: so an anchor can't silently rot into pointing at an unrelated or
+#: deleted test. Kernel-level properties that don't name the query
+#: (e.g. the winnowing spec replica, the pq/kmeans bit-exact oracles)
+#: are deliberately NOT listed — each query's anchor is the test that
+#: exercises the registered query itself.
+NO_ORACLE_ANCHORS: dict[str, tuple[str, ...]] = {
+    "agg_approx_distinct": (
+        "test_scale_paths.py::test_agg_approx_distinct_query_within_rsd_of_exact",
+    ),
+    "agg_frequent_items": (
+        "test_scale_paths.py::test_frequent_items_superset_of_exact_hitters",
+    ),
+    "agg_hll_intersection": (
+        "test_scale_paths.py::test_hll_intersection_error_bounded",
+    ),
+    "agg_hll_sketch_merge": (
+        "test_scale_paths.py::test_hll_sketch_union_equals_direct_sketch",
+    ),
+    "dedup_minhash_lsh": (
+        "test_scale_paths.py::test_minhash_candidates_cover_true_pairs",
+    ),
+    "dedup_simhash": (
+        "test_scale_paths.py::test_simhash_near_duplicates_have_close_fingerprints",
+    ),
+    "multimodal_phash_neardup": (
+        "test_multimodal.py::test_phash_neardup_matches_reference",
+    ),
+    "sim_ann_ivf": ("test_scale_paths.py::test_ivf_candidates_share_cell",),
+    "sim_ann_ivf_kmeans": (
+        "test_scale_paths.py::test_kmeans_ivf_candidates_share_cell",
+    ),
+    "sim_ann_lsh": (
+        "test_scale_paths.py::test_ann_lsh_candidates_share_bucket",
+    ),
+    "sim_ivfpq_search": (
+        "test_scale_paths.py::test_ivfpq_adc_matches_reconstruction",
+    ),
+    "sim_mmr_diversify": (
+        "test_scale_paths.py::test_mmr_matches_reference_greedy_and_diversifies",
+    ),
+    "sim_pq_adc_search": (
+        "test_curation_ops.py::test_pq_adc_equals_reconstruction_distance",
+    ),
+    "sim_pq_compress": (
+        "test_scale_paths.py::test_sim_pq_compress_query_contract",
+    ),
+    "sim_recall_eval": (
+        "test_scale_paths.py::test_recall_eval_identity_and_monotonicity",
+    ),
+    "sim_semantic_dedup": (
+        "test_scale_paths.py::test_semantic_dedup_matches_bruteforce",
+    ),
+    "text_compression_quality": (
+        "test_scale_paths.py::test_compression_quality_matches_zlib",
+    ),
+    "text_winnow_fingerprint": (
+        "test_scale_paths.py::test_winnow_fingerprint_deterministic_and_bounded",
+    ),
+    "time_sliding_distinct_hll": (
+        "test_scale_paths.py::test_sliding_distinct_hll_tracks_exact",
+    ),
+}
+
+
+def test_no_oracle_queries_have_evidence_anchors():
+    """Rows-only queries get the weakest driver check, so each must
+    carry its own targeted evidence: the anchor map above must cover
+    EXACTLY the no-oracle registry entries (both directions — adding a
+    rows-only query without an anchor fails, as does a stale entry for
+    a query that gained an oracle or was removed), and every anchor
+    must resolve to a real test function whose source names the query."""
+    import ast
+    import pathlib
+
+    no_oracle = {n for n, s in load_all().items() if s.oracle is None}
+    assert no_oracle == set(NO_ORACLE_ANCHORS), (
+        sorted(no_oracle ^ set(NO_ORACLE_ANCHORS))
+    )
+    tests_dir = pathlib.Path(__file__).resolve().parent
+    srcs: dict[str, str] = {}
+    for q, anchors in NO_ORACLE_ANCHORS.items():
+        assert anchors, q
+        for anchor in anchors:
+            fname, _, tname = anchor.partition("::")
+            path = tests_dir / fname
+            assert path.exists(), anchor
+            src = srcs.setdefault(fname, path.read_text())
+            fns = [
+                node
+                for node in ast.walk(ast.parse(src))
+                if isinstance(node, ast.FunctionDef) and node.name == tname
+            ]
+            assert fns, f"{anchor}: test function not found"
+            seg = ast.get_source_segment(src, fns[0]) or ""
+            assert q in seg, (
+                f"{anchor}: test does not name query {q!r} — anchor rot"
+            )

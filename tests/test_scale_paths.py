@@ -2609,3 +2609,47 @@ def test_assign_cells_rejects_cell_collision(spark):
     e2 = spark.createDataFrame([(1, [0.0, 1.0], 0.5)], "vec_id long, embedding array<double>, _d2 double")
     with pytest.raises(ValueError, match="already has"):
         assign_cells(e2, [[0.0, 0.0]])
+
+
+def test_agg_approx_distinct_query_within_rsd_of_exact(spark):
+    """Query-level form of the HLL error contract the agg_approx_distinct
+    docstring promises: every per-returnflag approx distinct (parts and
+    orders, rsd=1%) lands within 2% of the exact countDistinct."""
+    got = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in load_all()["agg_approx_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r.l_returnflag: (r.parts, r.orders)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for flag, (ap, ao) in got.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) / ep < 0.02, (flag, ap, ep)
+        assert abs(ao - eo) / eo < 0.02, (flag, ao, eo)
+
+
+def test_sim_pq_compress_query_contract(spark):
+    """Query-level PQ-compression audit contract for sim_pq_compress
+    (the kernel identities live in tests/test_curation_ops.py): the
+    audit is deterministic across two runs (seeded k-means — learned
+    codebooks are a pure function of the corpus), reconstruction
+    errors are non-negative with avg ≤ max per label, and each label's
+    distinct-code count is positive and can't exceed its vector count
+    (4 bytes per vector ⇒ at most one code per vector, at most 16^4
+    overall)."""
+    fn = load_all()["sim_pq_compress"].fn
+    r1 = [r.asDict() for r in fn(spark, SF_SMALL).collect()]
+    r2 = [r.asDict() for r in fn(spark, SF_SMALL).collect()]
+    assert r1 == r2 and r1
+    for row in r1:
+        assert row["n_vecs"] > 0
+        assert 0.0 <= row["avg_recon_err"] <= row["max_recon_err"]
+        assert 1 <= row["codes_used"] <= min(row["n_vecs"], 16**4)
