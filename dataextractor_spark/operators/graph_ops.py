@@ -142,6 +142,45 @@ FROM stats CROSS JOIN ec CROSS JOIN tri
 """
 
 
+def _orient_by_degree(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (Suri & Vassilvitskii, WWW'11):
+    direct every undirected edge (u, v) toward its higher-(degree, id)
+    endpoint, carrying the destination's degree. ``pairs`` is the
+    canonical u < v edge list; ``deg`` is (node, d). Returns
+    (src, dst, ddst), locally checkpointed because every caller
+    consumes it twice (wedge build + closing edge list). Shared by the
+    global triangle census (triangle_stats) and the per-node
+    clustering kernel (local_clustering_cc) — the orientation is the
+    part both proofs lean on: each triangle has exactly ONE apex under
+    it, so wedges close at most once."""
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = pairs.join(du, "u").join(dv, "v")
+    return (
+        ranked.select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("ddst"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.ddst")
+        .localCheckpoint(eager=False)
+    )
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Exact triangle/wedge census of an undirected graph given its
     canonical edge list: ``pairs`` must be (u, v) with u < v, distinct
@@ -160,29 +199,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = pairs.join(du, "u").join(dv, "v")
-    # orient toward the higher (degree, id) endpoint
-    oriented = ranked.select(
-        F.when(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-            F.struct(
-                F.col("u").alias("src"),
-                F.col("v").alias("dst"),
-                F.col("dv").alias("ddst"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.col("v").alias("src"),
-                F.col("u").alias("dst"),
-                F.col("du").alias("ddst"),
-            )
-        )
-        .alias("e")
-    ).select("e.src", "e.dst", "e.ddst").localCheckpoint(eager=False)
+    oriented = _orient_by_degree(pairs, deg)
     w1 = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
     )
@@ -1010,32 +1027,7 @@ def local_clustering_cc(pairs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .localCheckpoint(eager=False)
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ranked = pairs.join(du, "u").join(dv, "v")
-    oriented = (
-        ranked.select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(
-                    F.col("u").alias("src"),
-                    F.col("v").alias("dst"),
-                    F.col("dv").alias("ddst"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    F.col("v").alias("src"),
-                    F.col("u").alias("dst"),
-                    F.col("du").alias("ddst"),
-                )
-            )
-            .alias("e")
-        )
-        .select("e.src", "e.dst", "e.ddst")
-        .localCheckpoint(eager=False)
-    )
+    oriented = _orient_by_degree(pairs, deg)
     w1 = oriented.select(
         F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx")
     )
