@@ -732,6 +732,15 @@ def test_F_binds_only_pyspark_functions():
                 bad.append((str(py.relative_to(pkg)), node.lineno))
             elif isinstance(node, ast.arg) and node.arg == "F":
                 bad.append((str(py.relative_to(pkg)), node.lineno))
+            elif isinstance(node, ast.ExceptHandler) and node.name == "F":
+                # `except E as F:` binds via a plain string attribute,
+                # not a Name with Store ctx (r11 advice)
+                bad.append((str(py.relative_to(pkg)), node.lineno))
+            elif isinstance(node, (ast.MatchAs, ast.MatchStar)) and getattr(
+                node, "name", None
+            ) == "F":
+                # `case ... as F:` / `case [*F]:` capture patterns
+                bad.append((str(py.relative_to(pkg)), node.lineno))
     assert not bad, f"name F bound to something other than functions: {bad}"
 
 
@@ -755,7 +764,7 @@ def test_driver_pulls_are_exactly_the_bounded_whitelist():
 #: driver's harvest of the very window being checked). Bumping this is
 #: part of each round's rotation edit, together with re-sorting the
 #: list; forgetting either fails the gate.
-EVIDENCE_EPOCH = 10
+EVIDENCE_EPOCH = 11
 
 #: Queries allowed ahead of strict oldest-first order because their
 #: implementing code changed since their last driver row (rotation
@@ -1203,7 +1212,8 @@ def test_correctness_ledger_latest_rows_all_green():
             rec.get("hash_match") is True
             or (
                 rec.get("err") == "no_oracle"
-                and (rec.get("spark_rows") or 0) >= 0
+                and isinstance(rec.get("spark_rows"), int)
+                and rec["spark_rows"] > 0
             )
         )
     }
