@@ -1,0 +1,143 @@
+"""Golden-plan snapshots: the round-10/11 manual plan-parity procedure
+(expression-id-normalized explain diff) factored into reusable code.
+
+Why: plan quality was protected only by per-round manual audits plus
+the anti-pattern gates; a lost broadcast hint or an accidental extra
+shuffle introduced by a refactor would surface only as a bench mystery
+on a host with ~±18% timing noise. A committed, normalized formatted
+plan per guarded query turns that into an immediate CI diff.
+
+Normalization makes the snapshot deterministic across SparkSessions:
+
+- expression ids (``#123``) are renumbered by first appearance
+  (``#E1``, ``#E2``, …) — Spark allocates them from a JVM-global
+  counter, so raw ids differ between runs of identical plans;
+- ``plan_id=N`` markers (broadcast/exchange references) are renumbered
+  the same way;
+- file-scan locations keep only the basename (the fixture directory
+  is a test-host detail, the table identity is not);
+- trailing whitespace is stripped (explainString pads tree lines).
+
+Everything else — operator tree shape, join strategies, exchange
+placement, pushed filters, read schemas — is compared verbatim: those
+ARE the plan properties the snapshot exists to pin.
+
+Capture / refresh with ``python tools/capture_plan_goldens.py``
+(writes tests/goldens/plans/<query>.txt); the gate is
+tests/test_plan_goldens.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .inspect import physical_plan
+
+#: queries whose normalized formatted plans are pinned as goldens: the
+#: five most expensive registry queries (iterative kernels whose scale
+#: story depends on their plan shape), one representative per join
+#: mode/family, and the flagship. Kept here (not in the test) so the
+#: capture tool and the gate can never disagree about the set.
+GOLDEN_QUERIES: tuple[str, ...] = (
+    # top-5 most expensive (BENCH_detail r11) — the audited kernels
+    "sim_ivfpq_search",
+    "graph_label_propagation",
+    "graph_local_clustering",
+    "graph_triangle_count",
+    "dedup_minhash_lsh",
+    # one representative per join mode/family
+    "join_star_revenue",            # multi-way equi star
+    "join_broadcast_dim",           # broadcast hint
+    "join_semi_customers_with_orders",   # left semi
+    "join_anti_customers_without_orders",  # left anti
+    "join_theta_size_bands",        # theta / non-equi
+    "join_range_bucketed",          # keyless range via bucket replication
+    "join_asof_latest_order",       # as-of (merge form)
+    "join_full_outer_daily_activity",    # full outer
+    "join_cross_grid_revenue",      # cross grid × broadcast agg
+    "join_salted_skew",             # skew-salted equi
+    "join_null_safe_eq",            # null-safe equality
+    # the flagship (scan → partial agg → one exchange)
+    "flagship_pricing_summary",
+)
+
+_EXPR_ID = re.compile(r"#(\d+)")
+_PLAN_ID = re.compile(r"plan_id=(\d+)")
+_LOCATION = re.compile(r"(InMemoryFileIndex\s*\[)[^\]]*[/\\]([^/\\\]]+)\]")
+
+
+def normalize_plan(plan: str) -> str:
+    """Expression-id-renumbered, location-scrubbed plan text."""
+    ids: dict[str, str] = {}
+
+    def _renum(m: re.Match) -> str:
+        raw = m.group(1)
+        if raw not in ids:
+            ids[raw] = f"E{len(ids) + 1}"
+        return f"#{ids[raw]}"
+
+    plan = _EXPR_ID.sub(_renum, plan)
+
+    pids: dict[str, str] = {}
+
+    def _renum_pid(m: re.Match) -> str:
+        raw = m.group(1)
+        if raw not in pids:
+            pids[raw] = str(len(pids) + 1)
+        return f"plan_id={pids[raw]}"
+
+    plan = _PLAN_ID.sub(_renum_pid, plan)
+    plan = _LOCATION.sub(r"\1<dir>/\2]", plan)
+    return "\n".join(line.rstrip() for line in plan.splitlines()).strip() + "\n"
+
+
+def normalized_plan(df: DataFrame) -> str:
+    """Normalized formatted physical plan of ``df`` (golden format).
+
+    Two confs are pinned (and restored) around the explain:
+
+    - ``spark.sql.debug.maxToStringFields=400`` so wide plans (the
+      32-perm MinHash signature struct) are never
+      "... N more fields"-truncated — a truncated golden would
+      silently stop diffing the very columns it pins;
+    - ``spark.sql.autoBroadcastJoinThreshold=-1`` so a broadcast in
+      the snapshot can come ONLY from an explicit hint. At sf0.001
+      every dim auto-broadcasts, so without this a dropped
+      ``F.broadcast``/catalog hint — the exact 100 TB regression the
+      goldens exist to catch, since size estimates are what the hint
+      protects against at scale — would leave the snapshot unchanged
+      (verified during the round-12 mutation check).
+    """
+    conf = df.sparkSession.conf
+    pinned = {
+        "spark.sql.debug.maxToStringFields": "400",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        conf.set(k, v)
+    try:
+        return normalize_plan(physical_plan(df, "formatted"))
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                conf.unset(k)
+            else:
+                conf.set(k, p)
+
+
+def assert_plan_parity(df_before: DataFrame, df_after: DataFrame) -> None:
+    """The refactor-time parity check: normalized plans byte-identical.
+
+    This is the exact procedure used manually in rounds 10–11 for the
+    theil-sen / triangle / simhash / LPA / clustering extractions.
+    """
+    a, b = normalized_plan(df_before), normalized_plan(df_after)
+    if a != b:
+        import difflib
+
+        diff = "\n".join(difflib.unified_diff(
+            a.splitlines(), b.splitlines(), "before", "after", lineterm=""))
+        raise AssertionError(f"plan parity broken:\n{diff}")

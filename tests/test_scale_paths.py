@@ -73,6 +73,84 @@ def test_ann_lsh_candidates_share_bucket(spark):
         assert buckets[r.vec_id] == buckets[r.query_id]
 
 
+def test_ann_lsh_recall_floor_vs_exact_topk(spark):
+    """Recall contract vs the exact top-k, mirroring sim_recall_eval
+    (r11 verdict item 5 — the bucket-membership test above pins the
+    pruning, not the quality). Three claims:
+
+    1. SCORING IS EXACT: every emitted cos_sim equals the brute-force
+       cosine (to the query's 5-dp rounding) — the approximation is
+       the pruning, never the ranking.
+    2. BUCKET-COMPLETENESS: every exact top-5 neighbor that shares the
+       query's bucket MUST appear among the candidates — single-probe
+       LSH's whole guarantee is "what survives the prune is ranked
+       exactly", so a missing in-bucket true neighbor is a bug, not
+       approximation.
+    3. MEAN RECALL FLOOR: deterministic seeded hyperplanes + fixed
+       fixture ⇒ recall@5 is a constant; it measures 0.12 at sf0.001
+       (the fixture embeddings are near-orthogonal random vectors, so
+       single-probe recall sits near bucket occupancy — the honest
+       small-corpus number; multi-probe/IVF carry the high-recall
+       path, see sim_recall_eval). Floor at 0.1: a scoring or
+       bucketing regression collapses it toward 0.
+    """
+    import math
+
+    specs = load_all()
+    embs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    exact_top5 = {
+        qid: {
+            v
+            for _, v in sorted(
+                ((-cos(embs[qid], embs[v]), v) for v in embs if v != qid)
+            )[:5]
+        }
+        for qid in range(5)
+    }
+
+    from collections import defaultdict
+
+    cand = defaultdict(list)
+    for r in specs["sim_ann_lsh"].fn(spark, SF_SMALL).collect():
+        assert abs(r.cos_sim - cos(embs[r.query_id], embs[r.vec_id])) <= 5e-6, (
+            r.query_id, r.vec_id,
+        )
+        cand[r.query_id].append((r.cos_sim, r.vec_id))
+
+    recalls = []
+    for qid in range(5):
+        members = {v for _, v in cand[qid]}
+        in_bucket_true = exact_top5[qid] & members
+        # claim 2: candidates are ALL bucket-mates, so any true
+        # neighbor in the bucket is necessarily emitted; spelled as an
+        # explicit subset so a future candidate-cap can't silently
+        # drop true neighbors
+        assert in_bucket_true <= members
+        top5 = {v for _, v in sorted(((-c, v) for c, v in cand[qid]))[:5]}
+        # exact scoring ⇒ every in-bucket true neighbor must ALSO
+        # out-rank non-neighbors up to ties at 5-dp rounding; allow
+        # rank displacement only by candidates with cos >= its own
+        for v in in_bucket_true:
+            if v not in top5:
+                cv = cos(embs[qid], embs[v])
+                better = sum(1 for c, u in cand[qid] if c > cv + 5e-6)
+                assert better >= 5, (qid, v)
+        recalls.append(len(top5 & exact_top5[qid]) / 5)
+    assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
 def test_simhash_near_duplicates_have_close_fingerprints(spark):
     """SimHash contract: returned pairs are within the Hamming radius;
     spot-check symmetry/determinism across two runs."""
@@ -400,22 +478,33 @@ def test_hll_sketch_union_equals_direct_sketch(spark):
 
 def test_frequent_items_superset_of_exact_hitters(spark):
     """Misra–Gries guarantee: every value above the 1/k frequency
-    threshold appears in the sketch output (no false negatives)."""
+    threshold appears in the sketch output (no false negatives), AND
+    the emitted counts/flags agree with the exact per-value counts —
+    containment vs exact counts, not just set membership (r11 verdict
+    item 5: a sketch output whose `n` column drifted from the true
+    count would previously have passed)."""
     e = load_table(spark, SF_SMALL, "events")
     k = 20
     n_total = e.count()
-    exact_hot = {
-        r.event_type
+    exact_counts = {
+        r.event_type: r.n
         for r in e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") * k > n_total)
         .collect()
     }
+    exact_hot = {v for v, n in exact_counts.items() if n * k > n_total}
+    assert exact_hot, "fixture must contain at least one >1/k hitter"
     got = load_all()["agg_frequent_items"].fn(spark, SF_SMALL).collect()
     sketch_set = {r.event_type for r in got}
     assert exact_hot <= sketch_set
     flagged = {r.event_type for r in got if r.above_threshold}
     assert flagged == exact_hot
+    for r in got:
+        # the query joins the sketch items back to exact counts; each
+        # emitted count must BE the exact count and each flag must be
+        # exactly the n·k > n_total predicate on it
+        assert r.n == exact_counts[r.event_type], r.event_type
+        assert r.above_threshold == (r.n * k > n_total), r.event_type
 
 
 def test_kmeans_mean_update_paths_agree(spark):
@@ -657,19 +746,34 @@ def test_recall_eval_identity_and_monotonicity(spark):
 def test_hll_intersection_error_bounded(spark):
     """Sketch set-algebra contract: the inclusion-exclusion overlap
     estimate stays within 5% relative of the exact distinct-key
-    intersection (compounded error of three HLL estimates), and the
-    estimate columns agree with exact single-set counts at fixture
-    cardinalities."""
+    intersection (compounded error of three HLL estimates), the
+    per-set estimates est_a/est_b stay within 2% of the exact per-year
+    distinct counts (raw HLL-at-lgK=14 accuracy, recomputed here —
+    the query drops its internal exact_n columns), and the overlap
+    check is provably non-vacuous (r11 verdict item 5: previously an
+    all-zero exact_intersection column would have passed)."""
     specs = load_all()
     rows = specs["agg_hll_intersection"].fn(spark, SF_SMALL).collect()
     assert rows
+    o = load_table(spark, SF_SMALL, "orders")
+    exact_by_year = {
+        r.yr: r.n
+        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    nonzero = 0
     for r in rows:
+        assert abs(r.est_a - exact_by_year[r.yr_a]) <= 0.02 * exact_by_year[r.yr_a]
+        assert abs(r.est_b - exact_by_year[r.yr_b]) <= 0.02 * exact_by_year[r.yr_b]
         if r.exact_intersection == 0:
             continue
+        nonzero += 1
         rel = abs(r.est_intersection - r.exact_intersection) / max(
             r.exact_intersection, 1
         )
         assert rel <= 0.05, (r.yr_a, rel)
+    assert nonzero > 0, "fixture must exercise a non-empty intersection"
 
 
 def test_builtin_moments_match_power_sum_formula(spark):
