@@ -173,9 +173,21 @@ def main() -> int:
     only = None
     if "--only" in sys.argv[1:]:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--scales" in sys.argv[1:]:
+        forced = tuple(
+            int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")
+        )
+        for t in SCALES:
+            SCALES[t] = forced
 
+    shuffle_partitions = 32
+    if "--shuffle-partitions" in sys.argv[1:]:
+        shuffle_partitions = int(
+            sys.argv[sys.argv.index("--shuffle-partitions") + 1]
+        )
     spark = get_session(
         app_name="scaling-slopes",
+        shuffle_partitions=shuffle_partitions,
         extra_conf={"spark.sql.files.maxPartitionBytes": "4194304"},
     )
     specs = load_all()
