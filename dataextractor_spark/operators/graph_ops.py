@@ -11,6 +11,8 @@ objects, no driver-side adjacency.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from dataextractor_spark.catalog import load_table
@@ -181,6 +183,33 @@ def _orient_by_degree(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def _closing_join_hint() -> str:
+    """Join strategy for the triangle kernels' closing semi-join
+    (wedges ⋉ oriented edges), selectable per deployment via
+    ``SPARK_GRAFT_GRAPH_CLOSING_JOIN``.
+
+    Default ``shuffle_hash``: hash the m-row edge list, STREAM the
+    Θ(m^1.5) wedge set — no wedge-side sort (rationale at the call
+    site in :func:`triangle_stats`). The round-12 weak-scaling
+    measurement (SLOPES_r12.json, COVERAGE.md round-12) found its
+    single-node failure mode: ShuffledHashJoin builds CANNOT spill, so
+    once per-task build mass outgrows the heap (sf1.6-equivalent on
+    one 8g JVM, where all 32 tasks share one heap) the build OOMs
+    regardless of partition count. On a cluster the standard operating
+    rule — shuffle partitions ∝ |E| so per-build mass stays ≲ a few
+    hundred MB — keeps the default safe; when an operator cannot hold
+    that invariant, ``merge`` selects sort-merge, which spills, at the
+    cost of the wedge-side sort the default exists to avoid.
+    """
+    v = os.environ.get("SPARK_GRAFT_GRAPH_CLOSING_JOIN", "shuffle_hash")
+    if v not in ("shuffle_hash", "merge"):
+        raise ValueError(
+            "SPARK_GRAFT_GRAPH_CLOSING_JOIN must be 'shuffle_hash' or "
+            f"'merge', got {v!r}"
+        )
+    return v
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Exact triangle/wedge census of an undirected graph given its
     canonical edge list: ``pairs`` must be (u, v) with u < v, distinct
@@ -224,7 +253,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     # sort and the same query runs at sf0.1 in <20 s on a vanilla
     # default-heap session.
     tri = wedges.join(
-        closing.hint("shuffle_hash"), ["x", "y"], "left_semi"
+        closing.hint(_closing_join_hint()), ["x", "y"], "left_semi"
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -1047,7 +1076,7 @@ def local_clustering_cc(pairs: DataFrame) -> DataFrame:
     )
     # keep src through the semi-join so the apex gets triangle credit
     tri_corners = (
-        wedges.join(closing.hint("shuffle_hash"), ["x", "y"], "left_semi")
+        wedges.join(closing.hint(_closing_join_hint()), ["x", "y"], "left_semi")
         .select(
             F.explode(F.array("src", "x", "y")).alias("node")
         )

@@ -61,15 +61,37 @@ GOLDEN_QUERIES: tuple[str, ...] = (
     "join_null_safe_eq",            # null-safe equality
     # the flagship (scan → partial agg → one exchange)
     "flagship_pricing_summary",
+    # round-12 widening: one representative per remaining major
+    # family, each pinning the plan property its family's scale story
+    # depends on
+    "window_rank_topn",          # partitioned window (no global sort)
+    "agg_rollup",                # Expand + partial/final agg
+    "dedup_exact",               # hash-partitioned groupBy dedup
+    "sim_topk_cosine",           # broadcast query set + per-query top-k
+    "time_session_window",       # session windowing (batch form)
+    "udf_arrow_map_tokencount",  # Arrow-batched Python (never BatchEval)
+    "text_pack_sequences",       # greedy sequence packing pipeline
+    "curation_pipeline",         # multi-stage filter/enrich chain
 )
 
 _EXPR_ID = re.compile(r"#(\d+)")
 _PLAN_ID = re.compile(r"plan_id=(\d+)")
 _LOCATION = re.compile(r"(InMemoryFileIndex\s*\[)[^\]]*[/\\]([^/\\\]]+)\]")
+#: auto-named higher-order-function variables ("lambda x_17#123"):
+#: python-side F.transform/F.aggregate/F.zip_with lambdas get their
+#: name suffix from a SESSION-GLOBAL counter, so the same query built
+#: after different session history carries different suffixes even
+#: though the plan is identical (found when sim_topk_cosine's golden
+#: drifted purely by x_1→x_6 renames depending on module test order;
+#: SQL-string lambdas like "x -> ..." keep their literal names and
+#: never hit this). The expression id right after the name already
+#: carries identity, so the suffix is renumbered like the ids.
+_LAMBDA_VAR = re.compile(r"(lambda [A-Za-z]+_)(\d+)(?=#)")
 
 
 def normalize_plan(plan: str) -> str:
-    """Expression-id-renumbered, location-scrubbed plan text."""
+    """Expression-id-renumbered, lambda-var-renumbered,
+    location-scrubbed plan text."""
     ids: dict[str, str] = {}
 
     def _renum(m: re.Match) -> str:
@@ -89,6 +111,16 @@ def normalize_plan(plan: str) -> str:
         return f"plan_id={pids[raw]}"
 
     plan = _PLAN_ID.sub(_renum_pid, plan)
+
+    lvars: dict[str, str] = {}
+
+    def _renum_lvar(m: re.Match) -> str:
+        raw = m.group(2)
+        if raw not in lvars:
+            lvars[raw] = f"N{len(lvars) + 1}"
+        return m.group(1) + lvars[raw]
+
+    plan = _LAMBDA_VAR.sub(_renum_lvar, plan)
     plan = _LOCATION.sub(r"\1<dir>/\2]", plan)
     return "\n".join(line.rstrip() for line in plan.splitlines()).strip() + "\n"
 

@@ -151,10 +151,12 @@ def _strict_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
-def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
+def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> tuple[int, int]:
     """Assert the Spark result and DuckDB oracle agree on column names,
     row count, every value (tolerantly), AND on the strict typed
-    canonical form the driver hashes."""
+    canonical form the driver hashes. Returns (spark_rows, oracle_rows)
+    so record-writing callers (tools/driver_sim.py) get the counts from
+    the same materialization they just verified."""
     con = duck_connection(sf_dir)
     try:
         # .df() — NOT fetchall() — so DuckDB's pandas type mapping
@@ -195,3 +197,4 @@ def compare_to_oracle(spark_df, sql: str, sf_dir: str) -> None:
         "STRICT driver-mode mismatch (values may be equal but typed "
         f"canonical form differs — e.g. i:5 vs f:5.0); first 3: {diff[:3]}"
     )
+    return len(spark_rows), len(oracle_rows)

@@ -54,3 +54,29 @@ def test_golden_plan_matches(spark, name):
             f"If the change is intended, refresh with\n"
             f"  python tools/capture_plan_goldens.py {name}\n"
             f"and justify it in the commit message.\n{diff}")
+
+
+def test_triangle_closing_join_merge_fallback(spark, monkeypatch):
+    """The round-12 weak-scaling finding (SLOPES_r12.json): the
+    triangle kernels' no-spill SHUFFLE_HASH closing build OOMs once
+    per-task build mass outgrows the heap, and the documented remedy
+    is yielding to sort-merge (which spills). That remedy is now a
+    knob — SPARK_GRAFT_GRAPH_CLOSING_JOIN=merge — and this test pins
+    all three contracts: the default plan keeps the hash build (also
+    golden-pinned), the fallback really flips BOTH kernels' closing
+    semi-join to SortMergeJoin, and an invalid value refuses loudly
+    rather than silently hashing."""
+    specs = load_all()
+    for name in ("graph_triangle_count", "graph_local_clustering"):
+        dflt = normalized_plan(specs[name].fn(spark, SF_SMALL))
+        assert "ShuffledHashJoin" in dflt and "LeftSemi" in dflt, name
+
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_CLOSING_JOIN", "merge")
+        merged = normalized_plan(specs[name].fn(spark, SF_SMALL))
+        monkeypatch.delenv("SPARK_GRAFT_GRAPH_CLOSING_JOIN")
+        assert "SortMergeJoin LeftSemi" in merged, name
+        assert "ShuffledHashJoin" not in merged, name
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_CLOSING_JOIN", "bogus")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_GRAPH_CLOSING_JOIN"):
+        specs["graph_triangle_count"].fn(spark, SF_SMALL)

@@ -1060,6 +1060,7 @@ NO_ORACLE_ANCHORS: dict[str, tuple[str, ...]] = {
     ),
     "sim_ann_lsh": (
         "test_scale_paths.py::test_ann_lsh_candidates_share_bucket",
+        "test_scale_paths.py::test_ann_lsh_recall_floor_vs_exact_topk",
     ),
     "sim_ivfpq_search": (
         "test_scale_paths.py::test_ivfpq_adc_matches_reconstruction",
