@@ -553,11 +553,21 @@ def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> Data
     )
     ok = sizes.filter(F.col("bucket_n") <= bucket_cap).select("band", "bhash", "lang")
     over = sizes.filter(F.col("bucket_n") > bucket_cap).select("band", "bhash", "lang")
+    # skipped_buckets is a plain count over `over` (already one row per
+    # over-cap bucket — it comes from a groupBy on the bucket key), NOT
+    # a second countDistinct group in the docs aggregate: two distinct
+    # groups in one agg go through RewriteDistinctAggregates, whose
+    # Expand projection order follows an expression-id-dependent hash —
+    # a session-history-dependent physical plan (caught by the golden
+    # gate under full-suite order, r12). Single distinct group → no
+    # Expand, one less 5-key row expansion, deterministic plan.
     audit = (
         banded.join(over, ["band", "bhash", "lang"])
-        .agg(
-            F.countDistinct("band", "bhash", "lang").alias("skipped_buckets"),
-            F.countDistinct("doc_id").alias("skipped_docs"),
+        .agg(F.countDistinct("doc_id").alias("skipped_docs"))
+        .crossJoin(
+            F.broadcast(
+                over.agg(F.count(F.lit(1)).alias("skipped_buckets"))
+            )
         )
         .select(
             F.lit(None).cast("long").alias("doc_a"),

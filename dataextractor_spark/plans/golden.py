@@ -87,6 +87,14 @@ _LOCATION = re.compile(r"(InMemoryFileIndex\s*\[)[^\]]*[/\\]([^/\\\]]+)\]")
 #: never hit this). The expression id right after the name already
 #: carries identity, so the suffix is renumbered like the ids.
 _LAMBDA_VAR = re.compile(r"(lambda [A-Za-z]+_)(\d+)(?=#)")
+#: ``Scan ExistingRDD`` argument strings for localCheckpoint'ed frames
+#: carry two run-varying artifacts: the RDD id (session-global counter
+#: — MapPartitionsRDD[60] in an isolated run, [12798] after a full
+#: suite) and the creation callsite (``NativeMethodAccessorImpl.java:0``
+#: on a warm JVM vs ``<unknown>:0`` on a fresh one — JIT reflection
+#: inflation detail). Both are identity-free; scrub them. Found when
+#: the round-12 golden gate went red under full-suite order only.
+_RDD_REF = re.compile(r"(\w+RDD)\[\d+\]( at \w+ at )[^,\s]*")
 
 
 def normalize_plan(plan: str) -> str:
@@ -121,6 +129,7 @@ def normalize_plan(plan: str) -> str:
         return m.group(1) + lvars[raw]
 
     plan = _LAMBDA_VAR.sub(_renum_lvar, plan)
+    plan = _RDD_REF.sub(r"\1[<id>]\2<site>", plan)
     plan = _LOCATION.sub(r"\1<dir>/\2]", plan)
     return "\n".join(line.rstrip() for line in plan.splitlines()).strip() + "\n"
 
