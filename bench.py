@@ -410,6 +410,13 @@ def run_compare(base_sha: str, reps: int = N_REPS) -> None:
         cur_mods = _pkg_modules()
         names = [n for n in HEADLINE if n in base_specs]
         skipped = [n for n in HEADLINE if n not in base_specs]
+        # optimization-iteration aid: restrict the paired run to a
+        # subset (comma-separated). The committed round evidence always
+        # comes from the full-headline run (variable unset).
+        only = os.environ.get("SPARK_GRAFT_COMPARE_ONLY")
+        if only:
+            keep = {s.strip() for s in only.split(",") if s.strip()}
+            names = [n for n in names if n in keep]
 
         spark = get_session(
             app_name="dataextractor-spark-bench-compare",

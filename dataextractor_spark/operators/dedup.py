@@ -515,6 +515,15 @@ def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> Data
     sig_aggs = [
         F.min(F.xxhash64("t", F.lit(i))).alias(f"h{i}") for i in range(_N_PERM)
     ]
+    # One materialization for FOUR consumers (banded→sizes, banded→
+    # gated, sig_a, sig_b). Without the pin, column pruning gives each
+    # consumer a slightly different partial-aggregate subtree, the
+    # exchanges stop being identical, exchange reuse never fires, and
+    # the token-explode + 32-min signature aggregate — the most
+    # expensive stage of the query — executes four times (measured:
+    # four ~0.6 s scan+agg jobs in the r12 profile, ~1.9 s of the
+    # 5.3 s total). This is the guide §8 "fingerprints only" step:
+    # compute the sketch once, decide on the sketch.
     docs = (
         tok.groupBy("doc_id", "lang")
         .agg(*sig_aggs)
@@ -523,6 +532,7 @@ def minhash_lsh_pairs(d: DataFrame, *, bucket_cap: int = LSH_BUCKET_CAP) -> Data
             "lang",
             F.array(*[F.col(f"h{i}") for i in range(_N_PERM)]).alias("sig"),
         )
+        .localCheckpoint(eager=False)
     )
     rows_per_band = _N_PERM // _BANDS
     bands = F.transform(

@@ -81,12 +81,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: distinct-pair extraction is one shuffle on the pair,
     each sweep shuffles edges on src then dst (hash-uniform node
     keys; AQE splits genuine skew), and the per-sweep state is one
-    (node, rank) row per node — never adjacency on the driver."""
+    (node, rank) row per node — never adjacency on the driver.
+
+    r12 optimization (guide §2.3, narrower types): node ids are LONGS
+    (supplier 2k, part 2k+1 — the LPA encoding) instead of the
+    original 's<k>'/'p<k>' strings. The id only needs to (a) be
+    unique across the two key spaces and (b) recover the node type at
+    the end (parity); a string id shuffles ~2× the bytes per edge row
+    and pays string hashing/compares in every sweep's join+agg — the
+    r12 profile showed the three sweep stages as the query's hottest
+    single-task CPU. The oracle (unchanged, string ids) pins that the
+    reported summary is encoding-invariant."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     fwd = pairs.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -94,7 +104,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, iterations=3, damping=0.85)
     return (
         ranks.select(
-            F.when(F.col("node").startswith("s"), F.lit("supplier"))
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
             .otherwise(F.lit("part"))
             .alias("node_type"),
             "rank",
@@ -471,19 +481,29 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the node id, the standard distributed BFS; frontiers pin via
     localCheckpoint so sweep k+1 never re-derives sweep k's lineage,
     and per-sweep state is one row per reached node, never adjacency
-    on the driver."""
+    on the driver.
+
+    r12 optimizations: (a) node ids are LONGS (supplier 2k, part
+    2k+1) instead of 's<k>'/'p<k>' strings — guide §2.3 narrower
+    types; every sweep's edges⋈frontier join and the anti-join hash
+    and shuffle an 8-byte key instead of a variable-width string, and
+    the level counts are integer-exact so the result is
+    encoding-invariant by construction. (b) only each sweep's NEW
+    frontier is checkpointed — ``visited`` is a union of already-
+    pinned frontiers, so its own checkpoint added a materialization
+    job per sweep for lineage that is one union-node deep (the r12
+    profile showed a ~3 s driver/scheduling gap across 21 jobs;
+    dropping the redundant pins removes 4 of them)."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     fwd = pairs.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
-    seed = li.agg(
-        F.concat(F.lit("s"), F.min("l_suppkey").cast("string")).alias("node")
-    )
+    seed = li.agg((F.min("l_suppkey") * 2).alias("node"))
     visited = seed.withColumn("level", F.lit(0).cast("long")).localCheckpoint(
         eager=False
     )
@@ -497,12 +517,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("level", F.lit(k).cast("long"))
             .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return (
         visited.groupBy(
             "level",
-            F.when(F.substring("node", 1, 1) == "s", "supplier")
+            F.when(F.col("node") % 2 == 0, "supplier")
             .otherwise("part")
             .alias("node_type"),
         )
@@ -592,8 +612,9 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
     since it is consumed once per sweep. Every node starts as its own
     label; each sweep re-labels a node with the most frequent label
     among its neighbors PLUS ITS OWN one-vote self-label, ties broken
-    toward the SMALLEST label via the engine-portable lpad encoding
-    (count desc, label asc). Node ids must be non-negative and below
+    toward the SMALLEST label — argmax by (count desc, label asc) via
+    max(struct(cnt, enc−lbl)), numerically equivalent to the
+    engine-portable lpad encoding the SQL oracle uses. Node ids must be non-negative and below
     ``_LPA_ENC``. Returns the final (node, lbl) assignment.
 
     This is the sweep kernel documented on graph_label_propagation
@@ -616,19 +637,26 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
                 labels.select("node", "lbl", F.lit(1).cast("long").alias("cnt"))
             )
         )
-        key = F.concat(
-            F.lpad(F.col("cnt").cast("string"), 10, "0"),
-            F.lpad((F.lit(enc) - F.col("lbl")).cast("string"), 10, "0"),
+        # r12: the argmax key is max(struct(cnt, enc-lbl)) — struct
+        # ordering is lexicographic by field, so this picks the same
+        # winner as the historical lpad-string encoding (fixed-width
+        # zero-padded decimal compares lexicographically ≡ numerically
+        # for the same non-negative < 1e10 domain) without building a
+        # 20-char string per vote row: the vote rows are the sweep's
+        # largest intermediate, and the string build + string max
+        # showed up as the hottest post-shuffle stages in the r12
+        # profile (guide §1.2 per-task work). The SQL oracle keeps the
+        # lpad form; the hash match pins the equivalence.
+        key = F.struct(
+            F.col("cnt").alias("c"),
+            (F.lit(enc) - F.col("lbl")).alias("nl"),
         )
         labels = (
             votes.groupBy("node")
             .agg(F.max(key).alias("k"))
             .select(
                 "node",
-                (
-                    F.lit(enc)
-                    - F.substring(F.col("k"), 11, 10).cast("long")
-                ).cast("long").alias("lbl"),
+                (F.lit(enc) - F.col("k.nl")).cast("long").alias("lbl"),
             )
             .localCheckpoint(eager=False)
         )
