@@ -16,9 +16,25 @@ flagged broadcast-able so star joins never shuffle them.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+#: Per-session memo of UNMATERIALIZED scan DataFrames, keyed
+#: (sf_dir, name, validate), plus the one-time session-conf pin. A
+#: DataFrame here is a plan, not data: every action against it still
+#: scans the parquet files, so this caches no results — it removes the
+#: ~0.12 s of file-listing + footer-schema work `spark.read.parquet`
+#: re-does per call, and the 3 py4j conf round-trips, which the bench
+#: re-paid for EVERY query × rep (~300 load_table calls per sweep).
+#: Weakly keyed so throwaway test sessions don't pin JVM state alive.
+#: Caveat (docstring'd on load_table): within one session a table
+#: path is assumed immutable — true for the driver fixtures and the
+#: bench restage dir, which is written once before any load.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 # --- explicit schema registry (FIXTURES.md §1) ---------------------------
 
@@ -165,38 +181,56 @@ def load_table(
     Broadcast-able dims come back with a broadcast hint already applied,
     so every downstream star join picks BroadcastHashJoin without the
     caller having to remember.
+
+    The returned DataFrame is memoized per (session, sf_dir, name,
+    validate) — it is a lazy scan plan, so sharing it across callers
+    shares no computed data, only the file listing and schema. A
+    table path must therefore not be rewritten mid-session (all
+    driver fixtures and the bench restage dir satisfy this).
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
-    # Results must not depend on the caller's session timezone (the
-    # driver harness builds its own SparkSession): epoch math and
-    # date_format over LTZ timestamps read the session tz, so pin it.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Same any-session reasoning for a known-pathological optimizer rule
-    # (SPARK-36715 family): InferFiltersFromGenerate synthesizes
-    # `size(arr) > 0` above explode, and predicate pushdown inlines the
-    # array-building expression into the scan filter with attribute
-    # references substituted — for nested higher-order-function
-    # pipelines (winnowing fingerprints) that re-evaluates inner arrays
-    # per lambda element, a measured 23x slowdown. explode() already
-    # emits nothing for empty arrays, so excluding the rule is safe.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    state = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, validate)
+    cached = state.get(key)
+    if cached is not None:
+        return cached
+    if not state.get("_confs_set"):
+        # Results must not depend on the caller's session timezone (the
+        # driver harness builds its own SparkSession): epoch math and
+        # date_format over LTZ timestamps read the session tz, so pin
+        # it. Once per session: load_table is the mandatory first
+        # touch of any data, and nothing in-repo unpins it after.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Same any-session reasoning for a known-pathological optimizer
+        # rule (SPARK-36715 family): InferFiltersFromGenerate
+        # synthesizes `size(arr) > 0` above explode, and predicate
+        # pushdown inlines the array-building expression into the scan
+        # filter with attribute references substituted — for nested
+        # higher-order-function pipelines (winnowing fingerprints) that
+        # re-evaluates inner arrays per lambda element, a measured 23x
+        # slowdown. explode() already emits nothing for empty arrays,
+        # so excluding the rule is safe.
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # events.ts nanos handling (see the events branch below) must
+        # be on before the first events read; harmless for µs files.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        state["_confs_set"] = True
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
-        # Spark 4 refuses to read natively — the legacy conf surfaces it
-        # as raw int64 nanos) and plain TIMESTAMP(MICROS), depending on
-        # the fixture generator version. Handle both: read with the
-        # nanos-as-long conf on (harmless for µs files), then branch on
-        # the surfaced type. The nanos branch converts losslessly with
-        # integer division — int64 `div` avoids the double-mantissa
-        # precision loss a float division would introduce; the native
-        # branch just normalizes NTZ → session-tz timestamp (session tz
-        # is pinned UTC above, so the wall-clock values are identical).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 refuses to read natively — the legacy conf, set with
+        # the session pins above, surfaces it as raw int64 nanos) and
+        # plain TIMESTAMP(MICROS), depending on the fixture generator
+        # version. Handle both: branch on the surfaced type. The nanos
+        # branch converts losslessly with integer division — int64
+        # `div` avoids the double-mantissa precision loss a float
+        # division would introduce; the native branch just normalizes
+        # NTZ → session-tz timestamp (session tz is pinned UTC above,
+        # so the wall-clock values are identical).
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -208,6 +242,7 @@ def load_table(
         check_schema(name, df)
     if name in BROADCAST_DIMS:
         df = F.broadcast(df)
+    state[key] = df
     return df
 
 

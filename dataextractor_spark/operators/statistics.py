@@ -625,33 +625,33 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB that is one fact scan with a 40-column partial aggregate,
     identical cost profile to a plain mean."""
     o = load_table(spark, sf_dir, "orders")
-    cents = _cents()
+    cents_sql = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
-    def w(b: int):
-        h = F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("#"),
-                    F.lit(str(b)),
-                )
-            ),
-            1,
-            8,
+    # Column-tree cost is DRIVER cost (guide §5): the 20-replicate
+    # weight tree built operator-by-operator through py4j was ~1.5 s
+    # of the query's ~2.8 s bench time (~500 gateway round-trips,
+    # re-paid every invocation). The SAME expressions as SQL strings
+    # parse+analyze in ~0.1 s — this is the kmeans _centroid_sql
+    # lesson applied to the statistics family. Expressions are
+    # integer-exact, so the change cannot perturb results.
+    def w(b: int) -> str:
+        h = (
+            f"substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
+            f"'{b}')), 1, 8)"
         )
-        expr = F.lit(0)
-        for c in _POIS_CUTS:
-            expr = expr + (h >= F.lit(c)).cast("int")
-        return expr.cast("long")
+        terms = " + ".join(
+            f"CAST(({h} >= '{c}') AS INT)" for c in _POIS_CUTS
+        )
+        return f"CAST(0 + {terms} AS BIGINT)"
 
     aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(cents).alias("s_cents"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("n_rows"),
+        F.expr(f"sum({cents_sql})").alias("s_cents"),
     ]
     for b in range(_N_BOOT):
         wb = w(b)
-        aggs.append(F.sum(wb * cents).alias(f"ws_{b}"))
-        aggs.append(F.sum(wb).alias(f"wn_{b}"))
+        aggs.append(F.expr(f"sum({wb} * {cents_sql})").alias(f"ws_{b}"))
+        aggs.append(F.expr(f"sum({wb})").alias(f"wn_{b}"))
     one = o.agg(*aggs)
     mean_terms = ", ".join(
         f"CAST(ws_{b} AS DOUBLE) / wn_{b} / 100.0" for b in range(_N_BOOT)
@@ -861,17 +861,16 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def flag(b: int):
-        h = F.substring(
-            F.md5(
-                F.concat(
-                    F.col("k").cast("string"), F.lit(f"#p{b}")
-                )
-            ),
-            1,
-            8,
+    # SQL-string expression build, not per-operator py4j Columns: the
+    # 20-permutation flag/score trees were ~1.9 s of driver time per
+    # invocation (guide §5; see sample_bootstrap_ci for the numbers).
+    # Every arithmetic step and cast is spelled identically to the
+    # former Column form, so the values are bit-identical.
+    def flag(b: int) -> str:
+        h = (
+            f"substring(md5(concat(CAST(k AS STRING), '#p{b}')), 1, 8)"
         )
-        return (F.conv(h, 16, 10).cast("long") < F.col("cutoff")).cast("int")
+        return f"CAST((CAST(conv({h}, 16, 10) AS BIGINT) < cutoff) AS INT)"
 
     aggs = [
         F.max("n").alias("n"),
@@ -881,24 +880,27 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for b in range(_N_PERM):
         fb = flag(b)
-        aggs.append(F.sum(fb * F.col("cents")).alias(f"ps_{b}"))
-        aggs.append(F.sum(fb).cast("long").alias(f"pn_{b}"))
+        aggs.append(F.expr(f"sum({fb} * cents)").alias(f"ps_{b}"))
+        aggs.append(F.expr(f"CAST(sum({fb}) AS BIGINT)").alias(f"pn_{b}"))
     row = base.crossJoin(tot).agg(*aggs)
-    d_obs = F.abs(
-        F.col("s_a").cast("double") / F.col("n_a")
-        - (F.col("s") - F.col("s_a")).cast("double")
-        / (F.col("n") - F.col("n_a"))
+    d_obs_sql = (
+        "abs(CAST(s_a AS DOUBLE) / n_a"
+        " - CAST(s - s_a AS DOUBLE) / (n - n_a))"
     )
-    extreme_sum = F.lit(0)
-    for b in range(_N_PERM):
-        pn, ps = F.col(f"pn_{b}"), F.col(f"ps_{b}")
-        d_b = F.abs(
-            ps.cast("double") / pn
-            - (F.col("s") - ps).cast("double") / (F.col("n") - pn)
+
+    def d_b_sql(b: int) -> str:
+        return (
+            f"abs(CAST(ps_{b} AS DOUBLE) / pn_{b}"
+            f" - CAST(s - ps_{b} AS DOUBLE) / (n - pn_{b}))"
         )
-        extreme_sum = extreme_sum + F.when(
-            (pn > 0) & (pn < F.col("n")) & (d_b >= d_obs), 1
-        ).otherwise(0)
+
+    extreme_sum = F.expr(
+        "0 + " + " + ".join(
+            f"(CASE WHEN pn_{b} > 0 AND pn_{b} < n"
+            f" AND {d_b_sql(b)} >= {d_obs_sql} THEN 1 ELSE 0 END)"
+            for b in range(_N_PERM)
+        )
+    )
     signed_obs = (
         F.col("s_a").cast("double") / F.col("n_a")
         - (F.col("s") - F.col("s_a")).cast("double")
