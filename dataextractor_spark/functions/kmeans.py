@@ -36,13 +36,45 @@ from pyspark.sql import DataFrame, functions as F
 IVF_TARGET_CELL_ROWS = 64
 
 
+#: upper clamp of ivf_cell_count — also the seed-prefetch width of
+#: count_and_seeds (the first K_MAX hash-ranked rows always contain
+#: the first k for any k ≤ K_MAX).
+IVF_K_MAX = 256
+
+
 def ivf_cell_count(n_vectors: int, target_rows: int = IVF_TARGET_CELL_ROWS) -> int:
     """Cell count k derived from the corpus size: k = n/target clamped
     to [4, 256] and to n (can't have more cells than vectors). The
     classic IVF sizing k ≈ √n also works; n/target keeps probe cost
     flat, which is the property the tests pin."""
     k = math.ceil(max(n_vectors, 1) / target_rows)
-    return max(4, min(256, k, max(n_vectors, 1)))
+    return max(4, min(IVF_K_MAX, k, max(n_vectors, 1)))
+
+
+def count_and_seeds(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[int, list]:
+    """Corpus count + the first ``IVF_K_MAX`` hash-ranked seed rows,
+    computed as TWO CONCURRENT driver-submitted jobs (guide §2.6
+    "overlap independent jobs": an IVF build opens with a count —
+    which sizes k — followed by the seed collect; the jobs are
+    independent because the seed ORDER does not depend on k, so
+    prefetching the clamp-maximum prefix and slicing to k afterwards
+    yields byte-identical seeds while halving the serialized
+    open-of-build wall time). Returns ``(n, seed_rows)``; callers
+    slice ``seed_rows[:k]``. The pull is bounded O(K_MAX·d) — the
+    same broadcast-dim contract as the codebook pulls below."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sel = vectors.select(id_col, vec_col)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_n = pool.submit(sel.count)
+        fut_seeds = pool.submit(
+            lambda: sel.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(IVF_K_MAX)
+            .collect()
+        )
+        return fut_n.result(), fut_seeds.result()
 
 
 def _centroid_sql(centroids: list[list[float]]) -> str:
@@ -161,6 +193,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     wide_agg_max_dim: int = 128,
+    seed_rows: list | None = None,
 ) -> list[list[float]]:
     """Fit k centroids over an array-typed vector column; returns the
     codebook as a plain k×d list (driver-side O(k·d), like any
@@ -187,11 +220,19 @@ def kmeans_fit(
     every few sweeps keeps the lineage and shuffle files from either
     growing unboundedly or being re-derived after executor loss.
     """
+    # seed_rows: callers that already hold the hash-ranked seed prefix
+    # (count_and_seeds) pass it in, skipping this job; the slice to k
+    # is identical to a limit(k) collect because the ranking is a
+    # total order independent of k.
     seeds = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(k)
-        .collect()
+        seed_rows[:k]
+        if seed_rows is not None
+        else (
+            vectors.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
     )
     centroids = [[float(v) for v in r[vec_col]] for r in seeds]
     d_dim = len(centroids[0]) if centroids else 0

@@ -978,35 +978,42 @@ def graph_kcore_decomposition(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r12: each sweep's (n_suppliers, n_parts, n_edges) report is read
+    # off the two DEGREE TABLES the peel already derives — distinct-src
+    # count = rows of the src-degree table, edge count = its degree
+    # sum, symmetrically for dst — instead of a separate
+    # countDistinct×2 aggregate over the edge set, whose
+    # RewriteDistinctAggregates Expand tripled every edge row before
+    # aggregating (the four ~0.4 s stat jobs in the r12 profile).
+    # Guide §2.3 "aggregate before you shuffle": the stats now
+    # aggregate node-sized tables, and the values are identical exact
+    # integers by construction.
     stats = []
-
-    def stat(e: DataFrame, i: int) -> DataFrame:
-        return e.agg(
-            F.lit(i).cast("long").alias("sweep"),
-            F.countDistinct("src").cast("long").alias("n_suppliers"),
-            F.countDistinct("dst").cast("long").alias("n_parts"),
-            F.count(F.lit(1)).cast("long").alias("n_edges"),
-        )
-
-    stats.append(stat(edges, 0))
     cur = edges
-    for i in range(1, _KCORE_SWEEPS + 1):
-        ds = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("src")
+    for i in range(_KCORE_SWEEPS + 1):
+        ds = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        dd = cur.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        stats.append(
+            ds.agg(
+                F.lit(i).cast("long").alias("sweep"),
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                # coalesce: sum over a fully-peeled (empty) edge set is
+                # NULL where the old count(*) was 0
+                F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    dd.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+                )
+            )
+            .select("sweep", "n_suppliers", "n_parts", "n_edges")
         )
-        dd = (
-            cur.groupBy("dst")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select("dst")
-        )
-        cur = cur.join(ds, "src").join(dd, "dst").localCheckpoint(
-            eager=False
-        )
-        stats.append(stat(cur, i))
+        if i < _KCORE_SWEEPS:
+            cur = (
+                cur.join(ds.filter(F.col("d") >= _KCORE_K).select("src"), "src")
+                .join(dd.filter(F.col("d") >= _KCORE_K).select("dst"), "dst")
+                .localCheckpoint(eager=False)
+            )
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)

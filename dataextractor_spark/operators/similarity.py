@@ -384,13 +384,20 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataextractor_spark.functions.kmeans import (
         assign_cells,
+        count_and_seeds,
         ivf_cell_count,
         kmeans_fit,
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = ivf_cell_count(e.count())
-    codebook = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    # r12: count + seed-prefix collect as two concurrent jobs
+    # (count_and_seeds docstring); seeds sliced to k are identical
+    n, seed_rows = count_and_seeds(e)
+    k = ivf_cell_count(n)
+    codebook = kmeans_fit(
+        e, k, max_iter=4, id_col="vec_id", vec_col="embedding",
+        seed_rows=seed_rows,
+    )
     assigned = assign_cells(e, codebook)
     q = F.broadcast(
         assigned.filter(F.col("vec_id") < 5).select(
@@ -635,13 +642,20 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataextractor_spark.functions.kmeans import (
         assign_cells,
+        count_and_seeds,
         ivf_cell_count,
         kmeans_fit,
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = ivf_cell_count(e.count())
-    codebook = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    # r12: count + seed-prefix collect as two concurrent jobs
+    # (count_and_seeds docstring); seeds sliced to k are identical
+    n, seed_rows = count_and_seeds(e)
+    k = ivf_cell_count(n)
+    codebook = kmeans_fit(
+        e, k, max_iter=4, id_col="vec_id", vec_col="embedding",
+        seed_rows=seed_rows,
+    )
     assigned = assign_cells(e, codebook).select("vec_id", "embedding", "cell")
     cells = assigned.groupBy("cell").agg(
         F.collect_list("vec_id").alias("ids"),
@@ -715,6 +729,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _centroid_sql,
         _d2_sql,
         assign_cells,
+        count_and_seeds,
         ivf_cell_count,
         kmeans_fit,
     )
@@ -723,8 +738,14 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, ksub, dim = 4, 16, 64
     ds = dim // m
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = ivf_cell_count(e.count())
-    coarse = kmeans_fit(e, k, max_iter=4, id_col="vec_id", vec_col="embedding")
+    # r12: count + seed-prefix collect as two concurrent jobs
+    # (count_and_seeds docstring); seeds sliced to k are identical
+    n, seed_rows = count_and_seeds(e)
+    k = ivf_cell_count(n)
+    coarse = kmeans_fit(
+        e, k, max_iter=4, id_col="vec_id", vec_col="embedding",
+        seed_rows=seed_rows,
+    )
     assigned = assign_cells(e, coarse)
     resid = assigned.withColumn(
         "residual",

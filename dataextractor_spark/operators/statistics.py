@@ -2558,8 +2558,19 @@ def theil_sen_trend_from_daily(daily: DataFrame) -> DataFrame:
     revenue series); factored out so the randomized oracle in
     tests/test_properties.py can drive it with arbitrary small series
     against a brute-force pairwise-slope replica."""
-    a, b = daily.alias("a"), daily.alias("b")
-    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+    # r12: the pair generation is a non-equi join → nested-loop with
+    # one side broadcast. `daily` is an aggregate output that AQE
+    # coalesces to ONE partition, so without the spread the Θ(n²)
+    # pair enumeration ran on one core — twice, because
+    # repartitionByRange below executes its input once to SAMPLE
+    # range boundaries and once to shuffle (the two single-task
+    # 0.6 s/1.1 s jobs in the r12 profile). Broadcasting the a-side
+    # and round-robin-spreading the b-side (n day rows — trivial to
+    # exchange) parallelizes both passes; the join's output multiset
+    # is partitioning-invariant, so results are byte-identical.
+    p = int(daily.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a, b = daily.alias("a"), daily.repartition(p).alias("b")
+    slopes = F.broadcast(a).join(b, F.col("a.d") < F.col("b.d")).select(
         (
             (F.col("b.cents") - F.col("a.cents")).cast("double")
             / (F.col("b.d") - F.col("a.d"))

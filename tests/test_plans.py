@@ -639,8 +639,11 @@ DRIVER_PULL_SITES = {
                                  # documented point; anything larger
                                  # graduates to join_broadcast_dim)
     "etl/pipeline.py": 1,        # head(3) error sample for the report
-    "functions/kmeans.py": 4,    # seeds + 2 mean-update codebook pulls
-                                 # (k×d) + scalar inertia
+    "functions/kmeans.py": 5,    # seeds (count_and_seeds prefetch +
+                                 # kmeans_fit fallback — one executes
+                                 # per fit, both bounded O(K_MAX·d)) +
+                                 # 2 mean-update codebook pulls (k×d)
+                                 # + scalar inertia
     "functions/pq.py": 2,        # seeds + fused codebook pull (k×d)
     "functions/graph.py": 1,     # 1-row convergence certificate
 }
