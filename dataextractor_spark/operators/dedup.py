@@ -162,7 +162,15 @@ def jaccard_pairs_from_tokens(
     tok: DataFrame, t: float, strategy: str = "auto"
 ) -> DataFrame:
     """Strategy dispatch for any (doc_id, lang, toks, n_toks) input —
-    word tokens, character shingles, n-grams alike."""
+    word tokens, character shingles, n-grams alike.
+
+    The tokenized table is pinned (lazy localCheckpoint) before
+    anything consumes it: the auto-dispatch statistic plus the 2-3
+    consumers inside either strategy (full+deletion signatures, or
+    postings+verify sides) would otherwise each re-scan and
+    re-tokenize the corpus — compute the token arrays once, decide on
+    them (guide §1.2 / the minhash signature-pin lesson)."""
+    tok = tok.localCheckpoint(eager=False)
     if strategy == "auto":
         n_max = tok.agg(F.max("n_toks")).collect()[0][0] or 0
         # max symmetric difference a Jaccard ≥ t pair can have:

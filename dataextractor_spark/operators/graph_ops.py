@@ -1253,15 +1253,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar that tells a recommender/sampler how degree-biased edge
     sampling will behave before it runs.
 
-    On the DOUBLED edge list (each undirected edge in both
-    directions) the symmetric Pearson needs only three sums — Σdj,
-    Σdj², Σdjdk — which stay exact BIGINT (degrees are bounded by the
-    basket co-occurrence width; Σdjdk peaks ~4e11 at sf0.1, int64
-    headroom as agg_hhi_concentration). r is one fixed double
-    expression, rounded 6dp. Plan: the distinct-pair build (the
-    triangle-count edge derivation), one node-keyed degree aggregate,
-    two degree joins on the doubled list, one scalar row — no wedges,
-    no iteration."""
+    The symmetric Pearson needs only three sums over the DOUBLED edge
+    list — Σdj, Σdj², Σdjdk — which stay exact BIGINT (degrees are
+    bounded by the basket co-occurrence width; Σdjdk peaks ~4e11 at
+    sf0.1, int64 headroom as agg_hhi_concentration). They are computed
+    WITHOUT materializing the doubled list: each canonical u<v pair
+    contributes both directions algebraically (Σ(du+dv), Σ(du²+dv²),
+    2Σdu·dv), so the edge set is joined to the degree table ONCE (on
+    u), pre-aggregated per v (cnt, Σdu, Σdu² — guide §2.3 "aggregate
+    before you shuffle"), and the second degree join runs on the
+    node-sized per-v partials instead of a second edge-sized pass.
+    Every sum is an exact integer regrouping of the doubled-list sums
+    (integer addition is associative), so the final doubles are
+    bit-identical to the two-pass form the oracle spells out. r is one
+    fixed double expression, rounded 6dp. Plan: the distinct-pair
+    build (the triangle-count edge derivation), one node-keyed degree
+    aggregate, ONE edge-sized degree join + per-v partial agg, one
+    node-sized join, one scalar row — no wedges, no iteration."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -1284,19 +1292,45 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    directed = pairs.select(
-        F.col("u").alias("s"), F.col("v").alias("t")
-    ).unionAll(pairs.select(F.col("v"), F.col("u")))
-    ed = directed.join(
-        deg.select(F.col("node").alias("s"), F.col("d").alias("dj")), "s"
-    ).join(
-        deg.select(F.col("node").alias("t"), F.col("d").alias("dk")), "t"
+    # one edge-sized join (u-side degree), then per-v integer partials:
+    # the doubled-list sums regroup exactly as
+    #   m2  = 2·Σ_v cnt_v          sj  = Σ_v (s1_v + dv·cnt_v)
+    #   sjj = Σ_v (s2_v + dv²·cnt_v)   sjk = 2·Σ_v dv·s1_v
+    # with cnt_v = #edges where v is the greater endpoint, s1_v = Σdu,
+    # s2_v = Σdu² over those edges — exact BIGINT throughout.
+    per_v = (
+        pairs.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("du").cast("long").alias("s1"),
+            F.sum(F.col("du") * F.col("du")).cast("long").alias("s2"),
+        )
     )
-    s = ed.agg(
-        F.count(F.lit(1)).cast("long").alias("m2"),
-        F.sum("dj").cast("long").alias("sj"),
-        F.sum(F.col("dj") * F.col("dj")).cast("long").alias("sjj"),
-        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("sjk"),
+    s = (
+        per_v.join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * 2), F.lit(0))
+            .cast("long")
+            .alias("m2"),
+            F.sum(F.col("s1") + F.col("dv") * F.col("cnt"))
+            .cast("long")
+            .alias("sj"),
+            F.sum(
+                F.col("s2") + F.col("dv") * F.col("dv") * F.col("cnt")
+            )
+            .cast("long")
+            .alias("sjj"),
+            F.sum(F.lit(2) * F.col("dv") * F.col("s1"))
+            .cast("long")
+            .alias("sjk"),
+        )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return s.select(
