@@ -706,7 +706,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    m = pairs.count()  # bounded scalar: |undirected edges|
+    # |undirected edges| rides in-plan as a broadcast 1-row scalar
+    # instead of a driver-blocking count() job — the value is only
+    # used inside the output expression, never to size the plan, so
+    # there is nothing for the driver to decide with it (guide §5:
+    # the driver should do almost no work; one fewer job on the
+    # critical path). The oracle's CROSS JOIN m-subquery has this
+    # exact shape.
+    m_row = pairs.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
     la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
     intra = (
@@ -733,19 +740,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_row))
         .withColumn(
             "intra_edges",
             F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long"),
         )
         .withColumn(
             "modularity_term",
+            # multiplication order matches the former Python-literal
+            # form exactly: (4.0 * m) * intra and ((4.0 * m) * m) —
+            # identical IEEE doubles, result bit-identical
             F.round(
                 (
-                    4.0 * m * F.col("intra_edges")
+                    F.lit(4.0) * F.col("m_edges") * F.col("intra_edges")
                     - F.col("degree_sum").cast("double")
                     * F.col("degree_sum")
                 )
-                / (4.0 * m * m),
+                / (F.lit(4.0) * F.col("m_edges") * F.col("m_edges")),
                 6,
             ),
         )

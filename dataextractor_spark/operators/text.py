@@ -484,16 +484,26 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = terms.groupBy("term").agg(
         F.countDistinct("doc_id").alias("docs_with_term")
     )
-    n_total = d.count()
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        "lang",
-        "term",
-        F.col("n_occ"),
-        F.round(
-            F.col("n_occ")
-            * F.log(F.lit(float(n_total)) / F.col("docs_with_term")),
-            6,
-        ).alias("tfidf"),
+    # corpus size rides in-plan as a broadcast 1-row scalar (the
+    # oracle's CROSS JOIN n shape) instead of a driver-blocking
+    # count() job — it only feeds the output expression
+    n_row = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "lang",
+            "term",
+            F.col("n_occ"),
+            F.round(
+                F.col("n_occ")
+                * F.log(
+                    F.col("n_total").cast("double")
+                    / F.col("docs_with_term")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
