@@ -1044,6 +1044,11 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     output — and pinned ≤5% relative in tests/test_scale_paths.py
     (inclusion-exclusion compounds the three estimates' errors; that
     compounding is why the contract is looser than raw HLL's ≤2%)."""
+    # NOTE (r12): the sketch aggregate must stay byte-identical to the
+    # original raw-input form — a distinct pre-pass was prototyped
+    # (registers are duplicate-insensitive) and REVERTED because the
+    # DataSketches HLL *estimate* is insertion-order / merge-tree
+    # dependent (HIP accumulator), so the emitted estimates changed.
     o = load_table(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("yr"), "o_custkey"
     )
@@ -1055,6 +1060,10 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # the EXACT branch is estimate-free: it can (and does) run on one
+    # distinct (yr, custkey) pass instead of two raw orders scans +
+    # a countDistinct Expand — integer outputs identical (guide §2.3)
+    oc = o.distinct()
     a = sk.select(
         F.col("yr").alias("yr_a"), F.col("sk").alias("sk_a"),
         F.col("exact_n").alias("exact_a"),
@@ -1073,11 +1082,16 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     exact = (
-        o.withColumn("yr2", F.col("yr") - 1)
-        .select(F.col("yr2").alias("yr_a"), "o_custkey")
-        .join(o.select(F.col("yr").alias("yr_a"), "o_custkey"), ["yr_a", "o_custkey"], "left_semi")
+        oc.select((F.col("yr") - 1).alias("yr_a"), "o_custkey")
+        .join(
+            oc.select(F.col("yr").alias("yr_a"), "o_custkey"),
+            ["yr_a", "o_custkey"],
+            "left_semi",
+        )
+        # left side is distinct on (yr_a, o_custkey), so plain count
+        # equals the former countDistinct exactly
         .groupBy("yr_a")
-        .agg(F.countDistinct("o_custkey").cast("long").alias("exact_intersection"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
     )
     return (
         pairs.join(exact, "yr_a", "left")

@@ -1046,20 +1046,6 @@ _DRIFT_NUM, _DRIFT_DEN = 20, 1
 _DRIFT_LABELS = tuple(range(10))
 
 
-def _psi_terms(pa_counts, pb_counts, na, nb):
-    """Population-stability-index as an explicit left-to-right chain
-    over the fixed label order (never a grouped float sum): add-one
-    smoothing keeps every log finite."""
-    total = None
-    k = len(_DRIFT_LABELS)
-    for ca, cb in zip(pa_counts, pb_counts):
-        pa = (ca + 1.0) / (na + F.lit(float(k)))
-        pb = (cb + 1.0) / (nb + F.lit(float(k)))
-        term = (pa - pb) * F.log(pa / pb)
-        total = term if total is None else total + term
-    return total
-
-
 @query(
     "sim_embedding_drift",
     oracle=f"""
@@ -1178,31 +1164,28 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kb"),
     )
+    # r12: the 22 pivot aggregates and the PSI chain below are SQL
+    # strings parsed by F.expr (one parse apiece) instead of
+    # operator-by-operator Column trees — ~1 s of measured driver
+    # time per invocation was plan CONSTRUCTION (guide §5; the
+    # sample_bootstrap_ci pattern). Spelling matches the former
+    # Column form literal-for-literal; the oracle hash pins it.
     lbl_aggs = [
-        F.coalesce(
-            F.sum(F.when((F.col("b_side") == 0) & (F.col("label") == l), 1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias(f"a{l}")
-        for l in _DRIFT_LABELS
-    ] + [
-        F.coalesce(
-            F.sum(F.when((F.col("b_side") == 1) & (F.col("label") == l), 1)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias(f"b{l}")
+        f"CAST(coalesce(sum(CASE WHEN b_side = {side} AND label = {l}"
+        f" THEN 1 END), 0) AS BIGINT) AS {tag}{l}"
+        for side, tag in ((0, "a"), (1, "b"))
         for l in _DRIFT_LABELS
     ]
     ns_lbl = e.agg(
-        F.coalesce(F.sum(F.when(F.col("b_side") == 0, 1)), F.lit(0))
-        .cast("long")
-        .alias("na"),
-        F.coalesce(F.sum(F.when(F.col("b_side") == 1, 1)), F.lit(0))
-        .cast("long")
-        .alias("nb"),
-        *lbl_aggs,
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN b_side = 0 THEN 1 END), 0)"
+            " AS BIGINT) AS na"
+        ),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN b_side = 1 THEN 1 END), 0)"
+            " AS BIGINT) AS nb"
+        ),
+        *[F.expr(a) for a in lbl_aggs],
     )
     shift = F.abs(F.col("ka") * F.col("nb") - F.col("kb") * F.col("na"))
     dimstat = (
@@ -1229,12 +1212,19 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     na, nb = F.col("na"), F.col("nb")
-    psi = _psi_terms(
-        [F.col(f"a{l}") for l in _DRIFT_LABELS],
-        [F.col(f"b{l}") for l in _DRIFT_LABELS],
-        na,
-        nb,
+    # population-stability index as one SQL string: an explicit
+    # left-to-right chain over the fixed label order (never a grouped
+    # float sum — accumulation order must match the oracle), add-one
+    # smoothing keeps every log finite; 1.0D / 10.0D double literals
+    # match the former Python-float lits
+    k = float(len(_DRIFT_LABELS))
+    pa = lambda l: f"(a{l} + 1.0D) / (na + {k}D)"  # noqa: E731
+    pb = lambda l: f"(b{l} + 1.0D) / (nb + {k}D)"  # noqa: E731
+    psi_sql = " + ".join(
+        f"(({pa(l)}) - ({pb(l)})) * ln(({pa(l)}) / ({pb(l)}))"
+        for l in _DRIFT_LABELS
     )
+    psi = F.expr(psi_sql)
     return (
         ns_lbl.crossJoin(F.broadcast(dimstat))
         .select(

@@ -1712,57 +1712,66 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines, no group-hash order anywhere. Inputs are
     integer dollars (int64 headroom argument as ab_cuped_adjustment);
     S_g^2 exceeds int64 so the squares move to double AFTER the exact
-    integer sums. One orders scan, one aggregate row."""
+    integer sums. One orders scan, one aggregate row.
+
+    r12: the 15 pivot aggregates and the cross-group chains are built
+    as SQL strings parsed by F.expr instead of operator-by-operator
+    Column trees — the sample_bootstrap_ci lesson (guide §5: large
+    query-plan construction is driver-side cost; one parse replaces
+    ~150 py4j round-trips). Every literal, cast, and left-to-right
+    accumulation order is spelled identically to the former Column
+    form, so results are bit-identical (oracle hash pins it)."""
     o = load_table(spark, sf_dir, "orders")
-    dollars = F.round(F.col("o_totalprice")).cast("long")
+    dlr = "CAST(round(o_totalprice, 0) AS BIGINT)"
     aggs = []
     for i, lvl in enumerate(_ANOVA_LEVELS, 1):
-        hit = F.col("o_orderpriority") == lvl
+        hit = f"o_orderpriority = '{lvl}'"
         aggs += [
-            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
-            .cast("long")
-            .alias(f"n{i}"),
-            F.coalesce(F.sum(F.when(hit, dollars)), F.lit(0))
-            .cast("long")
-            .alias(f"s{i}"),
-            F.coalesce(F.sum(F.when(hit, dollars * dollars)), F.lit(0))
-            .cast("long")
-            .alias(f"q{i}"),
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0)"
+            f" AS BIGINT) AS n{i}",
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN {dlr} END), 0)"
+            f" AS BIGINT) AS s{i}",
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN {dlr} * {dlr} END),"
+            f" 0) AS BIGINT) AS q{i}",
         ]
-    s = o.agg(*aggs)
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    grp_term = None
-    for i in range(1, 6):
-        term = d(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
-        grp_term = term if grp_term is None else grp_term + term
-    n = None
-    st = None
-    qt = None
-    for i in range(1, 6):
-        n = F.col(f"n{i}") if n is None else n + F.col(f"n{i}")
-        st = F.col(f"s{i}") if st is None else st + F.col(f"s{i}")
-        qt = F.col(f"q{i}") if qt is None else qt + F.col(f"q{i}")
+    s = o.agg(*[F.expr(a) for a in aggs])
+    grp = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
+    )
     m = s.select(
         *[F.col(f"{c}{i}") for i in range(1, 6) for c in ("n", "s", "q")],
-        n.cast("long").alias("n"),
-        st.cast("long").alias("st"),
-        qt.cast("long").alias("qt"),
-        grp_term.alias("grp_term"),
+        F.expr(
+            f"CAST({' + '.join(f'n{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS n"
+        ),
+        F.expr(
+            f"CAST({' + '.join(f's{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS st"
+        ),
+        F.expr(
+            f"CAST({' + '.join(f'q{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS qt"
+        ),
+        F.expr(f"({grp}) AS grp_term"),
     )
-    ssb = F.col("grp_term") - d("st") * F.col("st") / F.col("n")
-    ssw = d("qt") - F.col("grp_term")
-    sst = d("qt") - d("st") * F.col("st") / F.col("n")
+    ssb = "(grp_term - CAST(st AS DOUBLE) * st / n)"
+    ssw = "(CAST(qt AS DOUBLE) - grp_term)"
+    sst = "(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)"
     return m.select(
         F.col("n").alias("n_total"),
-        F.lit(5).cast("long").alias("k_groups"),
+        F.expr("CAST(5 AS BIGINT) AS k_groups"),
         *[
-            F.round(d(f"s{i}") / F.col(f"n{i}"), 6).alias(f"mean_p{i}")
+            F.expr(
+                f"round(CAST(s{i} AS DOUBLE) / n{i}, 6) AS mean_p{i}"
+            )
             for i in range(1, 6)
         ],
-        F.round(ssb, 2).alias("ss_between"),
-        F.round(ssw, 2).alias("ss_within"),
-        F.round((ssb / 4) / (ssw / (F.col("n") - 5)), 6).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.expr(f"round({ssb}, 2) AS ss_between"),
+        F.expr(f"round({ssw}, 2) AS ss_within"),
+        F.expr(
+            f"round(({ssb} / 4) / ({ssw} / (n - 5)), 6) AS f_stat"
+        ),
+        F.expr(f"round({ssb} / {sst}, 6) AS eta_squared"),
     )
 
 
@@ -3400,47 +3409,49 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p", F.abs(2 * dollars - F.col("med2")).alias("z")
     )
+    # r12: pivot aggregates + cross-group chains as SQL strings (one
+    # F.expr parse each) instead of ~150 py4j Column calls — the
+    # stats_anova_oneway / sample_bootstrap_ci pattern; spelling
+    # identical, results bit-identical (oracle hash pins it)
     aggs = []
     for i, lvl in enumerate(_ANOVA_LEVELS, 1):
-        hit = F.col("p") == lvl
+        hit = f"p = '{lvl}'"
         aggs += [
-            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
-            .cast("long")
-            .alias(f"n{i}"),
-            F.coalesce(F.sum(F.when(hit, F.col("z"))), F.lit(0))
-            .cast("long")
-            .alias(f"s{i}"),
-            F.coalesce(
-                F.sum(F.when(hit, F.col("z") * F.col("z"))), F.lit(0)
-            )
-            .cast("long")
-            .alias(f"q{i}"),
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0)"
+            f" AS BIGINT) AS n{i}",
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN z END), 0)"
+            f" AS BIGINT) AS s{i}",
+            f"CAST(coalesce(sum(CASE WHEN {hit} THEN z * z END), 0)"
+            f" AS BIGINT) AS q{i}",
         ]
-    piv = devs.agg(*aggs)
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    grp_term = None
-    n = None
-    st = None
-    qt = None
-    for i in range(1, 6):
-        term = d(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
-        grp_term = term if grp_term is None else grp_term + term
-        n = F.col(f"n{i}") if n is None else n + F.col(f"n{i}")
-        st = F.col(f"s{i}") if st is None else st + F.col(f"s{i}")
-        qt = F.col(f"q{i}") if qt is None else qt + F.col(f"q{i}")
-    m2 = piv.select(
-        n.cast("long").alias("n"),
-        st.cast("long").alias("st"),
-        qt.cast("long").alias("qt"),
-        grp_term.alias("grp_term"),
+    piv = devs.agg(*[F.expr(a) for a in aggs])
+    grp = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(1, 6)
     )
-    ssb = F.col("grp_term") - d("st") * F.col("st") / F.col("n")
-    ssw = d("qt") - F.col("grp_term")
+    m2 = piv.select(
+        F.expr(
+            f"CAST({' + '.join(f'n{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS n"
+        ),
+        F.expr(
+            f"CAST({' + '.join(f's{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS st"
+        ),
+        F.expr(
+            f"CAST({' + '.join(f'q{i}' for i in range(1, 6))} AS BIGINT)"
+            " AS qt"
+        ),
+        F.expr(f"({grp}) AS grp_term"),
+    )
+    ssb = "(grp_term - CAST(st AS DOUBLE) * st / n)"
+    ssw = "(CAST(qt AS DOUBLE) - grp_term)"
     return m2.select(
         F.col("n").alias("n_total"),
-        F.round(ssb / 4 / (ssw / (F.col("n") - 5)), 6).alias("bf_f_stat"),
-        F.round(ssb, 2).alias("ss_between_dev"),
-        F.round(ssw, 2).alias("ss_within_dev"),
+        F.expr(
+            f"round({ssb} / 4 / ({ssw} / (n - 5)), 6) AS bf_f_stat"
+        ),
+        F.expr(f"round({ssb}, 2) AS ss_between_dev"),
+        F.expr(f"round({ssw}, 2) AS ss_within_dev"),
     )
 
 
