@@ -621,7 +621,22 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
     (which supplies the supplier↔part incidence edges); factored out
     so the randomized oracle in tests/test_properties.py can drive it
     with arbitrary small graphs against a brute-force synchronous-LPA
-    replica."""
+    replica.
+
+    r12 physical shape: edges are hash-exchanged by src ONCE up front
+    and the sweeps run UN-checkpointed inside one plan, so every
+    sweep's edges⋈labels join sees the same exchange subtree and AQE
+    reuses it (ReusedExchange) instead of re-shuffling the edge list
+    per sweep (guide §2.4 "two operations keyed the same way can
+    share one exchange"). Only the FINAL labels are pinned — callers
+    consume them 2-3 times; per-sweep pins forced one plan segment
+    per sweep, which both re-exchanged edges every sweep and paid an
+    AQE job cascade per segment (measured: 7.19 s → 5.01 s min-of-3
+    on the sf0.1 kernel, identical labels). Lineage depth grows with
+    the sweep count, which is fine at the fixed 3-4 sweeps the
+    declared queries use; a many-sweep caller should re-introduce a
+    periodic pin."""
+    edges = edges.repartition("src")
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("lbl")
     )
@@ -658,9 +673,8 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
                 "node",
                 (F.lit(enc) - F.col("k.nl")).cast("long").alias("lbl"),
             )
-            .localCheckpoint(eager=False)
         )
-    return labels
+    return labels.localCheckpoint(eager=False)
 
 
 @query("graph_label_propagation", oracle=_LPA_ORACLE)
