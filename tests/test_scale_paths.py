@@ -762,10 +762,22 @@ def test_hll_intersection_error_bounded(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    # r12: the exact branch was rewritten onto one distinct
+    # (yr, custkey) pass — pin its integers against a direct
+    # set-intersection recomputation, not just the ≥0 contract
+    year_sets: dict[int, set] = {}
+    for r in o.select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).collect():
+        year_sets.setdefault(r.yr, set()).add(r.o_custkey)
     nonzero = 0
     for r in rows:
         assert abs(r.est_a - exact_by_year[r.yr_a]) <= 0.02 * exact_by_year[r.yr_a]
         assert abs(r.est_b - exact_by_year[r.yr_b]) <= 0.02 * exact_by_year[r.yr_b]
+        want = len(
+            year_sets.get(r.yr_a, set()) & year_sets.get(r.yr_b, set())
+        )
+        assert r.exact_intersection == want, (r.yr_a, r.exact_intersection, want)
         if r.exact_intersection == 0:
             continue
         nonzero += 1
@@ -2757,3 +2769,43 @@ def test_sim_pq_compress_query_contract(spark):
         assert row["n_vecs"] > 0
         assert 0.0 <= row["avg_recon_err"] <= row["max_recon_err"]
         assert 1 <= row["codes_used"] <= min(row["n_vecs"], 16**4)
+
+
+def test_assortativity_single_pass_matches_doubled_list_definition(spark):
+    """r12 regrouping proof: graph_assortativity computes the Newman
+    sums from ONE pass over the canonical u<v pair list (per-v integer
+    partials); this recomputes the textbook DOUBLED-edge-list sums
+    (Σdj, Σdj², Σdjdk over both directions) in plain Python sets/dicts
+    and checks every output value — the regrouping must be an exact
+    integer identity, not an approximation."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    rows = li.collect()
+    by_order: dict = {}
+    for r in rows:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pairs = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs.add((ps[i], ps[j]))
+    deg: dict = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m2 = sj = sjj = sjk = 0
+    for u, v in pairs:
+        for dj, dk in ((deg[u], deg[v]), (deg[v], deg[u])):
+            m2 += 1
+            sj += dj
+            sjj += dj * dj
+            sjk += dj * dk
+    out = load_all()["graph_assortativity"].fn(spark, SF_SMALL).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_edges == m2 // 2 == len(pairs)
+    assert abs(r.avg_end_degree - round(sj / m2, 6)) < 1e-9
+    want = (sjk - sj * sj / m2) / (sjj - sj * sj / m2)
+    assert abs(r.assortativity - round(want, 6)) < 1e-9
