@@ -741,23 +741,47 @@ def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # Shape note (r12): the k-position fan-out is ONE explode over the
+    # array of the k hash expressions — the former per-seed unionAll
+    # scanned its input once PER HASH SEED, which compounded across
+    # the seven re-derived audit branches to 21 parquet scans / 23
+    # exchanges (committed before-plan); explode emits the identical
+    # (key, pos) multiset from one pass. Lazy checkpoints of the
+    # shared branches were also tried and REVERTED: they measured
+    # slower than the re-derivation they save (paired vs the same
+    # base: 0.74 with all four pins, 0.95 with a build-only pin,
+    # 0.52-0.70 for explode alone) — the audit's subtrees are small
+    # distinct/semi-join sets, cheaper to recompute from page-cached
+    # parquet than to materialize.
     build = (
-        o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
     )
-    bits = None
-    for s in range(BLOOM_K):
-        part = build.select(
-            F.expr(_bloom_pos_spark("o_custkey", s)).alias("pos")
+    bits = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_spark("o_custkey", s))
+                        for s in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
         )
-        bits = part if bits is None else bits.unionAll(part)
-    bits = bits.distinct()
-
-    probes = None
-    for s in range(BLOOM_K):
-        part = c.select(
-            "c_custkey", F.expr(_bloom_pos_spark("c_custkey", s)).alias("pos")
-        )
-        probes = part if probes is None else probes.unionAll(part)
+        .distinct()
+    )
+    probes = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_spark("c_custkey", s))
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
     positive = (
         probes.join(F.broadcast(bits), "pos")
         .groupBy("c_custkey")
@@ -765,8 +789,9 @@ def agg_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hits") == BLOOM_K)
         .select("c_custkey")
     )
-    exact = c.select("c_custkey").join(
-        build, c.c_custkey == build.o_custkey, "left_semi"
+    exact = (
+        c.select("c_custkey")
+        .join(build, c.c_custkey == build.o_custkey, "left_semi")
     )
     fn = exact.join(positive, "c_custkey", "left_anti")
 
