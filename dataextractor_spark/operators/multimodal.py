@@ -875,7 +875,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py recomputes every hash and pair from the
     synthesis rule independently and pins this output."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = dhash_images(encode_patterned_images(docs))
+    # lazy checkpoint: both sides of the banded self-join consume the
+    # hash table, and unpinned each side re-ran the image encode +
+    # dHash mapInPandas pass (two ~0.33 s Python-stage jobs in the r12
+    # profile — the most expensive stage of the query); pinned, the
+    # codec pass runs once (the minhash signature-pin recipe: compute
+    # the sketch once, decide on the sketch)
+    hashes = dhash_images(encode_patterned_images(docs)).localCheckpoint(
+        eager=False
+    )
     bands = hashes.select(
         "doc_id",
         "phash",
