@@ -1098,10 +1098,14 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", "lang", tri.alias("toks")).localCheckpoint(
         eager=False
     )
+    # lazy checkpoint: three consumers (df table, prefix ranking, the
+    # b-side postings) each re-ran the shingle explode from the pinned
+    # sh — three ~1.4 s single-stage jobs in the r12 profile, the
+    # query's dominant cost; pinned, the postings explode runs once
     post = sh.select(
         "doc_id", "lang", F.size("toks").alias("sz"),
         F.explode("toks").alias("tok"),
-    )
+    ).localCheckpoint(eager=False)
     df_tab = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     rn = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (

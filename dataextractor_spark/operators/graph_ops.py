@@ -384,13 +384,28 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized survives past the second aggregate at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
-    sup = pairs.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).select(F.lit("supplier").alias("node_type"), "deg")
-    prt = pairs.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).select(F.lit("part").alias("node_type"), "deg")
-    degs = sup.unionByName(prt)
+    # One GROUPING SETS pass computes both degree tables: the former
+    # two-branch union re-derived the distinct-pair shuffle once per
+    # side (2 scans / 2 distinct exchanges / 2 agg exchanges in the
+    # r12 before-plan); Expand doubles the pair rows through ONE
+    # exchange instead. Row-for-row identical: count per suppkey /
+    # per partkey over the same distinct pair set, with grouping()
+    # (not null-ness) naming the side.
+    degs = (
+        pairs.groupingSets(
+            [["l_suppkey"], ["l_partkey"]], "l_suppkey", "l_partkey"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            F.grouping("l_suppkey").alias("gs"),
+        )
+        .select(
+            F.when(F.col("gs") == 0, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            "deg",
+        )
+    )
     return (
         degs.groupBy(
             "node_type",
