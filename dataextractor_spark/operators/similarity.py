@@ -887,42 +887,62 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def level_eval(max_lvl: int) -> DataFrame:
-        lc = cands.filter(F.col("lvl") <= max_lvl)
-        top = (
-            lc.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k)
-            .select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    # Both probe levels evaluate in ONE plan (r12): the former
+    # per-level helper re-derived the candidate join and the exact
+    # baseline once per level — the profiled 19-job / 1.6 s
+    # orchestration gap was mostly duplicated broadcast builds. A
+    # level-0 candidate participates in both evaluations, a level-1
+    # candidate only in the cumulative one, so exploding each row into
+    # its evaluation levels and re-keying every window/aggregate/join
+    # by (query_id, probe_level) computes identical per-level rows
+    # from single subtrees.
+    ev = cands.withColumn(
+        "probe_level",
+        F.explode(
+            F.when(
+                F.col("lvl") == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(1)))
+        ),
+    )
+    wl = Window.partitionBy("query_id", "probe_level").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    top = (
+        ev.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "probe_level", F.col("vec_id").alias("ann_vec_id"))
+    )
+    n_c = ev.groupBy("query_id", "probe_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    exact_lv = exact.withColumn(
+        "probe_level", F.explode(F.array(F.lit(0), F.lit(1)))
+    )
+    hits = (
+        exact_lv.join(
+            top,
+            (exact_lv.query_id == top.query_id)
+            & (exact_lv.probe_level == top.probe_level)
+            & (exact_lv.vec_id == top.ann_vec_id),
+            "left",
         )
-        n_c = lc.groupBy("query_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        .groupBy(exact_lv.query_id, exact_lv.probe_level)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("ann_vec_id").cast("long").alias("n_hits"),
         )
-        hits = (
-            exact.join(
-                top,
-                (exact.query_id == top.query_id)
-                & (exact.vec_id == top.ann_vec_id),
-                "left",
-            )
-            .groupBy(exact.query_id)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_exact"),
-                F.count("ann_vec_id").cast("long").alias("n_hits"),
-            )
-        )
-        return hits.join(n_c, "query_id", "left").select(
+    )
+    return (
+        hits.join(n_c, ["query_id", "probe_level"], "left")
+        .select(
             "query_id",
-            F.lit(max_lvl).cast("long").alias("probe_level"),
+            F.col("probe_level").cast("long").alias("probe_level"),
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             "n_hits",
             F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
                 "recall_at_5"
             ),
         )
-
-    return (
-        level_eval(0)
-        .unionByName(level_eval(1))
         .orderBy("query_id", "probe_level")
     )
 
