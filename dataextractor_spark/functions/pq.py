@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dataextractor_spark.functions.kmeans import _d2_sql
+from dataextractor_spark.functions.kmeans import _d2_sql, no_aqe
 
 
 def pq_fit(
@@ -57,6 +57,26 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ds = dim // m
+    # r13: seed collect + every fused sweep with AQE off (kmeans.no_aqe
+    # — one driver-scheduled job per sweep instead of two, centroids
+    # bit-identical); restored before the caller's query plans run.
+    with no_aqe(vectors.sparkSession):
+        return _pq_fit_jobs(
+            vectors, m=m, ksub=ksub, ds=ds, max_iter=max_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+
+def _pq_fit_jobs(
+    vectors: DataFrame,
+    *,
+    m: int,
+    ksub: int,
+    ds: int,
+    max_iter: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
     seeds = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))

@@ -844,25 +844,33 @@ def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     burst of extreme values cannot drag the baseline toward itself
     (the failure mode of z-score monitoring on heavy-tailed metrics).
 
-    Two robust location passes, both as grouped exact medians: the
-    per-type median, then the median of absolute deviations — each is
-    one hash aggregate over type-keyed partials plus a type-keyed join
-    back to the stream (AQE broadcasts the ≤|types|-row statistics
-    side). The flag ratio is rounded identically in both engines
+    Two robust location passes, both exact medians, computed as WINDOW
+    aggregates over one type-keyed partition (r13, guide §2.4): the
+    r12 broadcast-join form re-derived the events scan FOUR times (the
+    med aggregate ran inside both dev branches) and shuffled the value
+    stream through two separate percentile aggregates; partitioning
+    once by event_type attaches the per-type median in place, derives
+    adev, attaches MAD over the SAME partitioning (no second
+    exchange), and feeds the type-keyed rollup without re-exchanging —
+    one scan, one shuffle. Values are bit-identical: both forms run
+    the same exact Percentile over the same per-type value multiset
+    (order-free — it sorts internally), and the flag expression is
+    unchanged. Per-type state concentration is the same as the
+    grouped-percentile form (exact medians buffer their group either
+    way). The flag ratio is rounded identically in both engines
     before the 3.5 comparison so a 1-ulp division difference cannot
     flip a row across the threshold.
     """
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
-    )
-    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+    w = Window.partitionBy("event_type")
+    dev = e.withColumn(
+        "med", F.percentile("value", F.lit(0.5)).over(w)
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    flagged = dev.withColumn(
+        "mad", F.percentile("adev", F.lit(0.5)).over(w)
+    ).withColumn(
         "is_out",
         (
             F.round(0.6745 * F.col("adev") / F.col("mad"), 6) > 3.5

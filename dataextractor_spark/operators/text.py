@@ -994,7 +994,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays small; Spark broadcasts it when it fits, and the left-semi
     join never materializes matches), then per-doc any-hit and a
     lang-sized rollup. Runtime is dominated by the train-side scan,
-    which is the floor for any decontamination pass."""
+    which is the floor for any decontamination pass.
+
+    r13 (guide §2.4, one fewer shingle pass): the train-doc roster
+    needs no shingles at all — a document contributes to n_train iff
+    it has ≥ k tokens and is on the train side of the id split, and
+    doc_id is the table key, so `distinct (doc_id, lang) over train
+    shingles` ≡ a narrow filter of the base table. The r12 form
+    re-ran the explode+md5 shingle pass a third time just to recover
+    that roster (the doc_id%17 filters already push below the explode
+    on the other two passes, so eval-side shingling only ever touches
+    the 1/17 eval slice — the roster pass was the only redundant
+    full-width one)."""
     k = 8
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -1023,7 +1034,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train_docs = train.select("doc_id", "lang").distinct()
+    train_docs = d.filter(
+        (F.size(w) >= k) & (F.col("doc_id") % 17 != 0)
+    ).select("doc_id", "lang")
     return (
         train_docs.join(hits, "doc_id", "left")
         .groupBy("lang")
@@ -1086,6 +1099,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     No Python anywhere. MLE probabilities need no smoothing here
     because the LM is fit on the very corpus being scored (every
     token has a nonzero count by construction).
+
+    r13 note: a ROLLUP fold of lm+total into one pinned pass (the
+    text_bigram_lm_ppl recipe) was implemented, proven identical, and
+    REVERTED — paired 1.28/1.38/1.33 over three runs; on this query
+    the pin's extra materialization job outweighs the one saved
+    explode+aggregate (the bigram variant saves three).
 
     ppl is derived from the ALREADY-ROUNDED mean log-prob so both
     engines exponentiate bit-identical inputs.
@@ -1218,32 +1237,56 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the association-strength ranking that frequency alone gets
     wrong for common-word pairs.
 
-    Plan: bigram extraction is one indexed higher-order transform per
-    document (narrow); bigram and unigram counts are vocabulary-
-    bounded hash aggregates; the two probability lookups re-key the
-    bigram table by each endpoint (AQE broadcasts the unigram side
-    when small, shuffle-joins otherwise — both vocabulary-bounded,
-    never corpus-quadratic); totals ride along as 1-row broadcasts;
-    top-20 is TakeOrderedAndProject.
+    Plan (r13 single-pass restructure, guide §2.3/§2.4 — the r12 form
+    tokenized the corpus FIVE times: the bigram counts, the unigram
+    counts twice for the two endpoint lookups, and both totals
+    re-deriving those aggregates): ONE explode carries each token with
+    its successor (null past the end), and one GROUPING SETS
+    ((tok, nxt), (tok))
+    aggregate emits every statistic the query needs — the (tok, nxt)
+    groups with a non-null successor are the bigram counts, the (tok)
+    groups are the unigram counts, and both corpus totals re-aggregate
+    the pinned (tok) slice (all rows = Σ unigrams; rows with a
+    successor = Σ bigrams). All exact integers, identical to the
+    separate aggregates. The vocabulary-bounded output is pinned (lazy
+    localCheckpoint) so its four consumers — both endpoint lookups and
+    both totals — read one materialization; the probability joins and
+    the 1-row broadcasts are unchanged; top-20 is
+    TakeOrderedAndProject.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.split("text", " ").alias("w"))
-    bg = toks.select(
-        F.explode(
-            F.expr(
-                "transform(slice(w, 1, size(w) - 1),"
-                " (x, i) -> struct(x as w1, w[i + 1] as w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    unic = (
-        toks.select(F.explode("w").alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c"))
+    w = F.split("text", " ")
+    tn = F.zip_with(
+        w,
+        F.slice(w, 2, F.size(w)),
+        lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
     )
-    nb = bgc.agg(F.sum("c_ab").cast("double").alias("n_bi"))
-    nu = unic.agg(F.sum("c").cast("double").alias("n_uni"))
+    ev = d.select(F.explode(tn).alias("p")).select("p.tok", "p.nxt")
+    # two grouping sets, not rollup's three: both corpus totals are
+    # trivial re-aggregations of the pinned (tok) slice, so paying a
+    # third Expand copy of every exploded token for them is waste.
+    lm = (
+        ev.groupingSets([["tok", "nxt"], ["tok"]], "tok", "nxt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.col("nxt")).alias("cntv"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bgc = lm.filter((F.col("gid") == 0) & F.col("nxt").isNotNull()).select(
+        F.col("tok").alias("w1"),
+        F.col("nxt").alias("w2"),
+        F.col("cnt").alias("c_ab"),
+    )
+    unic = lm.filter(F.col("gid") == 1).select(
+        F.col("tok").alias("t"), F.col("cnt").alias("c")
+    )
+    tot = lm.filter(F.col("gid") == 1).agg(
+        F.sum("cnt").alias("tc"), F.sum("cntv").alias("tv")
+    )
+    nb = tot.select(F.col("tv").cast("double").alias("n_bi"))
+    nu = tot.select(F.col("tc").cast("double").alias("n_uni"))
     u1 = unic.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
     u2 = unic.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
     return (
@@ -1716,40 +1759,76 @@ def text_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     unusual order (shuffled spam, template glitches) scores normal
     under a unigram LM but high-perplexity here.
 
-    Plan shape at 100 TB, all JVM expressions: the bigram stream is
-    the zip_with-over-shifted-slices transform (linear, no UDF); the
-    three LM tables (bigram counts, prefix totals via re-aggregation
-    of the bigram table rather than a second corpus pass, unigram
-    counts) are vocabulary-bounded hash aggregates; scoring re-keys
-    the bigram stream three times on word-shaped keys (AQE broadcasts
-    small LM sides), then one doc-keyed aggregate;
-    TakeOrderedAndProject for the top-15. Perplexity exponentiates
-    the ALREADY-ROUNDED mean so both engines see bit-identical
-    inputs."""
+    Plan shape at 100 TB, all JVM expressions: ONE token-successor
+    explode feeds everything (r13 single-pass restructure, guide
+    §2.3/§2.4 — the r12 form tokenized the corpus FIVE times: the
+    scoring stream, the bigram counts, the prefix totals re-deriving
+    them, the unigram counts, and the total re-deriving those). Each
+    token rides with its successor (null past the end), so one
+    GROUPING SETS ((tok, nxt), (tok)) aggregate emits all three LM
+    tables in a single vocabulary-bounded pass: the (tok, nxt) groups
+    with a valid successor are the bigram counts, the (tok) groups
+    are the unigram counts (count(*)) AND the prefix totals (count of
+    valid-successor rows — exactly Σc12 over that w1), and the token
+    total re-aggregates the pinned (tok) slice. Every statistic is
+    the identical exact integer the separate aggregates produced
+    (cast to double below 2^53). The grouping output is pinned
+    (lazy localCheckpoint) so its four consumers read one
+    materialization instead of re-aggregating; scoring re-keys the
+    bigram stream (the second and only other corpus pass) three times
+    on word-shaped keys (AQE broadcasts small LM sides), then one
+    doc-keyed aggregate; TakeOrderedAndProject for the top-15.
+    Perplexity exponentiates the ALREADY-ROUNDED mean so both engines
+    see bit-identical inputs."""
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    n1 = F.greatest(F.size(w) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(w, 1, n1),
-        F.slice(w, 2, n1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    # (tok_i, tok_{i+1}) for every position; the last token pairs with
+    # null (zip_with pads the shorter side), so unigram statistics fall
+    # out of the same explode that carries the bigram stream.
+    tn = F.zip_with(
+        w,
+        F.slice(w, 2, F.size(w)),
+        lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
     )
-    bg = (
-        d.select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    ev = (
+        d.select("doc_id", F.explode(tn).alias("p"))
+        .select("doc_id", F.col("p.tok").alias("tok"), F.col("p.nxt").alias("nxt"))
+        .filter(F.col("tok") != "")
     )
-    big = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c12")
+    valid = F.col("nxt").isNotNull() & (F.col("nxt") != "")
+    # two grouping sets, not rollup's three: the grand total is a
+    # trivial re-aggregation of the pinned (tok) slice, so paying a
+    # third Expand copy of every exploded token for it is pure waste.
+    lm = (
+        ev.groupingSets([["tok", "nxt"], ["tok"]], "tok", "nxt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.when(valid, 1)).alias("cntv"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=False)
     )
-    pre = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    uni = (
-        d.select(F.explode(F.split("text", " ")).alias("u"))
-        .filter(F.col("u") != "")
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    big = lm.filter(
+        (F.col("gid") == 0) & F.col("nxt").isNotNull() & (F.col("nxt") != "")
+    ).select(
+        F.col("tok").alias("w1"),
+        F.col("nxt").alias("w2"),
+        F.col("cnt").cast("double").alias("c12"),
     )
-    tot = uni.agg(F.sum("cu").alias("n"))
+    pre = lm.filter(F.col("gid") == 1).select(
+        F.col("tok").alias("w1"), F.col("cntv").cast("double").alias("c1")
+    )
+    uni = lm.filter(F.col("gid") == 1).select(
+        F.col("tok").alias("u"), F.col("cnt").cast("double").alias("cu")
+    )
+    tot = (
+        lm.filter(F.col("gid") == 1)
+        .agg(F.sum("cnt").alias("t"))
+        .select(F.col("t").cast("double").alias("n"))
+    )
+    bg = ev.filter(valid).select(
+        "doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2")
+    )
     lam = F.lit(BIGRAM_LM_LAMBDA)
     scored = (
         bg.join(big, ["w1", "w2"])
