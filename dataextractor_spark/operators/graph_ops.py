@@ -193,34 +193,109 @@ def _orient_by_degree(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def _closing_join_hint() -> str:
-    """Join strategy for the triangle kernels' closing semi-join
-    (wedges ⋉ oriented edges), selectable per deployment via
-    ``SPARK_GRAFT_GRAPH_CLOSING_JOIN``.
+#: estimated co-purchase edges per lineitem row. Measured on the
+#: fixture family: 1.37M canonical u<v edges from 600k lineitem rows
+#: at sf0.1 (×2.29), with the order-size distribution fixed by the
+#: generator; ×1.3 headroom rounds to 3. Only the ORDER of magnitude
+#: matters — the decision this feeds has a ≥4× memory derate on the
+#: other side.
+_EDGES_PER_ROW = 3.0
 
-    Default ``shuffle_hash``: hash the m-row edge list, STREAM the
-    Θ(m^1.5) wedge set — no wedge-side sort (rationale at the call
-    site in :func:`triangle_stats`). The round-12 weak-scaling
-    measurement (SLOPES_r12.json, COVERAGE.md round-12) found its
-    single-node failure mode: ShuffledHashJoin builds CANNOT spill, so
-    once per-task build mass outgrows the heap (sf1.6-equivalent on
-    one 8g JVM, where all 32 tasks share one heap) the build OOMs
-    regardless of partition count. On a cluster the standard operating
-    rule — shuffle partitions ∝ |E| so per-build mass stays ≲ a few
-    hundred MB — keeps the default safe; when an operator cannot hold
-    that invariant, ``merge`` selects sort-merge, which spills, at the
-    cost of the wedge-side sort the default exists to avoid.
-    """
-    v = os.environ.get("SPARK_GRAFT_GRAPH_CLOSING_JOIN", "shuffle_hash")
-    if v not in ("shuffle_hash", "merge"):
-        raise ValueError(
-            "SPARK_GRAFT_GRAPH_CLOSING_JOIN must be 'shuffle_hash' or "
-            f"'merge', got {v!r}"
+#: bytes per edge row inside an UnsafeHashedRelation build (16 B key
+#: material + unsafe row + pointer array at load factor ~0.5).
+_BUILD_BYTES_PER_EDGE = 64.0
+
+
+def _parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a staged parquet table from its footers —
+    driver-side metadata only (pyarrow), no Spark job. Used by the
+    closing-join sizing estimate below; a failure (exotic layout,
+    missing file) degrades to 0 rows, which selects the unspillable-
+    build-friendly small-graph path exactly like today's default."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        files = (
+            glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.isdir(path)
+            else [path]
         )
-    return v
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return 0
 
 
-def triangle_stats(pairs: DataFrame) -> DataFrame:
+def _mem_bytes(s: str) -> float:
+    m = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    s = s.strip().lower()
+    if s and s[-1] in m:
+        return float(s[:-1]) * m[s[-1]]
+    return float(s)
+
+
+def _closing_join_hint(spark=None, sf_dir: str | None = None) -> str:
+    """Join strategy for the triangle kernels' closing semi-join
+    (wedges ⋉ oriented edges), per ``SPARK_GRAFT_GRAPH_CLOSING_JOIN``:
+
+    - ``auto`` (default, r13 — VERDICT r12 item 1): derive the hint
+      from an ESTIMATED per-task build mass against the task slot's
+      execution-memory share. ShuffledHashJoin builds cannot spill
+      (SLOPES_r12: the forced shuffle_hash default OOMed building the
+      UnsafeHashedRelation at 16× data on one 8 GiB local[32] heap —
+      partition count cannot save it because every task slot builds
+      concurrently in the shared heap), so shuffle_hash is only
+      chosen while the estimate fits:
+
+        est_task_build = rows(lineitem) · 3 edges/row · 64 B/edge
+                           ÷ shuffle partitions
+        budget         = 0.6 (spark.memory.fraction) · heap
+                           ÷ task slots ÷ 4 (derate: the build shares
+                         its slot with the streamed wedge batches and
+                         the rest of the stage pipeline)
+
+      Row counts come from the parquet footers (driver-side pyarrow
+      metadata — no job); heap/slots come from the executor confs on
+      a cluster and the driver confs under local[*]. At sf0.1 /
+      local[32] / 8g the estimate is ~3.7 MB vs a ~38 MB budget →
+      shuffle_hash (the measured-fastest local shape, unchanged);
+      at the 16× weak-scaling probe it is ~59 MB → merge, which
+      spills and completes where the old default died.
+    - ``shuffle_hash`` / ``merge``: explicit overrides, unchanged.
+
+    Sort-merge costs the wedge-side sort the hash build avoids, which
+    is exactly the price of spillability — the auto rule pays it only
+    when the unspillable build would not provably fit.
+    """
+    v = os.environ.get("SPARK_GRAFT_GRAPH_CLOSING_JOIN", "auto")
+    if v not in ("auto", "shuffle_hash", "merge"):
+        raise ValueError(
+            "SPARK_GRAFT_GRAPH_CLOSING_JOIN must be 'auto', "
+            f"'shuffle_hash' or 'merge', got {v!r}"
+        )
+    if v != "auto":
+        return v
+    if spark is None or sf_dir is None:
+        # kernel driven directly (property tests, ad-hoc frames): tiny
+        # inputs by contract — the hash build is the right shape.
+        return "shuffle_hash"
+    rows = _parquet_num_rows(sf_dir, "lineitem")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sc = spark.sparkContext
+    if sc.master.startswith("local"):
+        heap = _mem_bytes(sc.getConf().get("spark.driver.memory", "1g"))
+        slots = sc.defaultParallelism
+    else:
+        heap = _mem_bytes(sc.getConf().get("spark.executor.memory", "1g"))
+        slots = int(sc.getConf().get("spark.executor.cores", "1"))
+    est_task_build = rows * _EDGES_PER_ROW * _BUILD_BYTES_PER_EDGE / max(parts, 1)
+    budget = 0.6 * heap / max(slots, 1) / 4.0
+    return "shuffle_hash" if est_task_build <= budget else "merge"
+
+
+def triangle_stats(pairs: DataFrame, closing_hint: str | None = None) -> DataFrame:
     """Exact triangle/wedge census of an undirected graph given its
     canonical edge list: ``pairs`` must be (u, v) with u < v, distinct
     (one row per undirected edge), ideally checkpointed by the caller
@@ -263,7 +338,9 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     # sort and the same query runs at sf0.1 in <20 s on a vanilla
     # default-heap session.
     tri = wedges.join(
-        closing.hint(_closing_join_hint()), ["x", "y"], "left_semi"
+        closing.hint(closing_hint or _closing_join_hint()),
+        ["x", "y"],
+        "left_semi",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -335,7 +412,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pagerank/dedup pattern; see those modules)
         .localCheckpoint(eager=False)
     )
-    return triangle_stats(pairs)
+    return triangle_stats(pairs, _closing_join_hint(spark, sf_dir))
 
 
 @query(
@@ -651,6 +728,20 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
     the sweep count, which is fine at the fixed 3-4 sweeps the
     declared queries use; a many-sweep caller should re-introduce a
     periodic pin."""
+    return _lpa_labels_plan(edges, sweeps).localCheckpoint(eager=False)
+
+
+def _lpa_labels_plan(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
+    """The UN-PINNED sweep kernel behind :func:`lpa_labels` — exposed
+    separately so the r12 sweep-sharing claim is plan-checkable (r12
+    VERDICT item 3: the committed after-dump started at the final
+    pin's ``Scan ExistingRDD``, so the per-sweep ReusedExchange was
+    timing-and-code-shape evidence only). The golden-gated test in
+    tests/test_plan_goldens.py explains THIS frame (with AQE off, so
+    the ReuseExchange rule is applied at planning and visible) and
+    pins the count of ReusedExchange nodes over the single up-front
+    edges exchange; plans/r13/graph_label_propagation_kernel.txt is
+    the committed capture."""
     edges = edges.repartition("src")
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("lbl")
@@ -689,7 +780,7 @@ def lpa_labels(edges: DataFrame, sweeps: int = _LPA_SWEEPS) -> DataFrame:
                 (F.lit(enc) - F.col("k.nl")).cast("long").alias("lbl"),
             )
         )
-    return labels.localCheckpoint(eager=False)
+    return labels
 
 
 @query("graph_label_propagation", oracle=_LPA_ORACLE)
@@ -1108,7 +1199,9 @@ ORDER BY cc_decile
 """
 
 
-def local_clustering_cc(pairs: DataFrame) -> DataFrame:
+def local_clustering_cc(
+    pairs: DataFrame, closing_hint: str | None = None
+) -> DataFrame:
     """Per-node local clustering coefficient of an undirected graph
     given its canonical edge list: ``pairs`` must be (u, v) with
     u < v, distinct (one row per undirected edge), ideally
@@ -1151,7 +1244,11 @@ def local_clustering_cc(pairs: DataFrame) -> DataFrame:
     )
     # keep src through the semi-join so the apex gets triangle credit
     tri_corners = (
-        wedges.join(closing.hint(_closing_join_hint()), ["x", "y"], "left_semi")
+        wedges.join(
+            closing.hint(closing_hint or _closing_join_hint()),
+            ["x", "y"],
+            "left_semi",
+        )
         .select(
             F.explode(F.array("src", "x", "y")).alias("node")
         )
@@ -1230,7 +1327,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cc = local_clustering_cc(pairs)
+    cc = local_clustering_cc(pairs, _closing_join_hint(spark, sf_dir))
     return (
         cc.groupBy("cc_decile")
         .agg(

@@ -1325,9 +1325,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines and the overlap count is exact. Plan: 10
     broadcast query rows × one corpus scan (both similarities
     computed in the same projection — the prefix slice costs nothing
-    extra), two per-query row_number windows over bounded (10-key)
-    partitions, one join + count. Scales as queries × corpus, the
-    same envelope as sim_knn_batch."""
+    extra), ONE (qid, metric)-keyed row_number window over bounded
+    (20-key) partitions, and a join-free overlap count (inline
+    comment below). Scales as queries × corpus, the same envelope as
+    sim_knn_batch."""
     e = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         e.filter(F.col("vec_id") < 10).select(
@@ -1352,38 +1353,46 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    wf = Window.partitionBy("qid").orderBy(
-        F.col("cf").desc(), F.col("vec_id")
+    # r13 (guide §2.4, the sim_recall_eval explode-fanout recipe): the
+    # r12 form ranked the pinned score table TWICE (two full
+    # exchange+sort windows) and joined the two top-10 sets. Both
+    # rankings share one sort domain: explode each scored row into
+    # (metric, score) and run ONE window over (qid, metric) — same
+    # per-partition order and tiebreak, so the two top-10 SETS are
+    # identical objects — then count the overlap without a join: each
+    # qid contributes exactly 20 ranked rows (10 per metric; the
+    # corpus exceeds 10 candidates per query by contract), a vec_id
+    # appears once or twice, and |rf ∩ rt| = 20 − #distinct vec_ids =
+    # Σcnt − #groups of the (qid, vec_id) rollup. Exact integers
+    # end-to-end; ordering/rounding unchanged.
+    wr = Window.partitionBy("qid", "m").orderBy(
+        F.col("s").desc(), F.col("vec_id")
     )
-    wt = Window.partitionBy("qid").orderBy(
-        F.col("ct").desc(), F.col("vec_id")
-    )
-    rf = (
+    ranked = (
         scored.select(
-            "qid", "vec_id", F.row_number().over(wf).alias("r")
+            "qid",
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("m"), F.col("cf").alias("s")),
+                    F.struct(F.lit(1).alias("m"), F.col("ct").alias("s")),
+                )
+            ).alias("e"),
         )
+        .select("qid", "vec_id", F.col("e.m").alias("m"), F.col("e.s").alias("s"))
+        .select("qid", "vec_id", "m", F.row_number().over(wr).alias("r"))
         .where("r <= 10")
-        .drop("r")
     )
-    rt = (
-        scored.select(
-            "qid", "vec_id", F.row_number().over(wt).alias("r")
-        )
-        .where("r <= 10")
-        .drop("r")
-        .withColumnRenamed("vec_id", "tv")
-        .withColumnRenamed("qid", "tq")
+    per_pair = ranked.groupBy("qid", "vec_id").agg(
+        F.count(F.lit(1)).alias("k")
     )
     return (
-        rf.join(
-            rt,
-            (F.col("tq") == F.col("qid")) & (F.col("tv") == F.col("vec_id")),
-            "left",
-        )
-        .groupBy(F.col("qid").alias("query_id"))
+        per_pair.groupBy(F.col("qid").alias("query_id"))
         .agg(
-            F.count("tv").cast("long").alias("n_overlap"),
-            F.round(F.count("tv") / 10.0, 6).alias("recall_at_10"),
+            (F.sum("k") - F.count(F.lit(1))).cast("long").alias("n_overlap"),
+            F.round(
+                (F.sum("k") - F.count(F.lit(1))) / 10.0, 6
+            ).alias("recall_at_10"),
         )
         .orderBy("query_id")
     )

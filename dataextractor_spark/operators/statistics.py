@@ -2592,8 +2592,12 @@ def theil_sen_trend_from_daily(daily: DataFrame) -> DataFrame:
     # choice — the lazy checkpoint makes the single materialization a
     # plan property instead of a config dependency (same device as
     # `daily` above and pq.py's `segs`).
+    # r13 scale-knob sweep: the range fan-out follows the session conf
+    # like the pair spread above (was a hardcoded 32). Global ranks =
+    # offset + local row_number are partition-count-invariant, so the
+    # result is unchanged for any value.
     parts = (
-        slopes.repartitionByRange(32, "slope")
+        slopes.repartitionByRange(p, "slope")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )

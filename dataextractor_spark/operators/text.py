@@ -2490,6 +2490,13 @@ def text_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # r13 rejection log: a collect_set(source)-per-gram + in-place
+    # ordered-pair expansion (one gram-keyed exchange, no join) was
+    # implemented, proven row-identical at sf0.01, and REVERTED on the
+    # paired control — 1.26/1.38/1.37 over three runs: the object
+    # aggregate (collect_set falls out of whole-stage codegen into
+    # ObjectHashAggregate) costs more per row than the second
+    # page-cached exchange + codegen'd SMJ it saves locally.
     a = sh.select(F.col("source").alias("src_a"), "g")
     b = sh.select(F.col("source").alias("src_b"), "g")
     inter = (

@@ -158,9 +158,13 @@ def window_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins equivalence against the naive global-ntile form."""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     k = 10
-    parts = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # r13 scale-knob sweep: range fan-out from the session conf (was a
+    # hardcoded 32). Global rank = offset + local row_number is
+    # partition-count-invariant, so the result is unchanged.
+    n_range = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = o.repartitionByRange(
+        n_range, "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     rhs = counts.select(F.col("pid").alias("pid_b"), F.col("cnt").alias("cnt_b"))
     offsets = (

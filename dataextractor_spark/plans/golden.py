@@ -169,6 +169,46 @@ def normalized_plan(df: DataFrame) -> str:
                 conf.set(k, p)
 
 
+def lpa_kernel_golden_text(spark, sf_dir: str) -> str:
+    """Normalized plan of the UN-PINNED LPA sweep kernel (r13, closing
+    the r12 VERDICT evidence gap: the per-sweep ReusedExchange claim
+    was never visible in a committed dump because every capture
+    started at the final pin's RDD scan). Builds the exact edge frame
+    graph_label_propagation feeds the kernel, explains the pre-pin
+    ``_lpa_labels_plan`` frame with AQE OFF — the static planner runs
+    the ReuseExchange rule at planning time, so the sweep-shared
+    edges exchange appears as explicit ReusedExchange nodes instead
+    of an invisible runtime stage-cache hit — and normalizes like any
+    other golden (auto-broadcast disabled inside normalized_plan, so
+    the join shape is the scale-relevant one). Gate:
+    tests/test_plan_goldens.py::test_lpa_sweep_kernel_golden."""
+    from pyspark.sql import functions as F
+
+    from dataextractor_spark.catalog import load_table
+    from dataextractor_spark.operators.graph_ops import _lpa_labels_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fwd = pairs.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    conf = spark.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return normalized_plan(_lpa_labels_plan(edges))
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def assert_plan_parity(df_before: DataFrame, df_after: DataFrame) -> None:
     """The refactor-time parity check: normalized plans byte-identical.
 

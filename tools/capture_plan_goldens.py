@@ -32,8 +32,15 @@ def main() -> int:
     from dataextractor_spark.registry import load_all
     from dataextractor_spark.session import get_session
 
-    targets = sys.argv[1:] or list(GOLDEN_QUERIES)
-    unknown = [q for q in targets if q not in GOLDEN_QUERIES]
+    from dataextractor_spark.plans.golden import lpa_kernel_golden_text
+
+    # r13: the LPA sweep-kernel capture is a pseudo-golden (a kernel
+    # frame, not a registry query) — see lpa_kernel_golden_text.
+    extras = {"lpa_sweep_kernel": lpa_kernel_golden_text}
+    targets = sys.argv[1:] or (list(GOLDEN_QUERIES) + list(extras))
+    unknown = [
+        q for q in targets if q not in GOLDEN_QUERIES and q not in extras
+    ]
     if unknown:
         print(f"not in GOLDEN_QUERIES: {unknown}", file=sys.stderr)
         return 1
@@ -45,9 +52,12 @@ def main() -> int:
     queries = load_all()
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     for name in targets:
-        df = queries[name].fn(spark, SF_SMALL)
+        if name in extras:
+            text = extras[name](spark, SF_SMALL)
+        else:
+            text = normalized_plan(queries[name].fn(spark, SF_SMALL))
         out = GOLDEN_DIR / f"{name}.txt"
-        out.write_text(normalized_plan(df))
+        out.write_text(text)
         print(f"wrote {out.relative_to(ROOT)}")
     return 0
 
