@@ -1241,18 +1241,14 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized the corpus FIVE times: the bigram counts, the unigram
     counts twice for the two endpoint lookups, and both totals
     re-deriving those aggregates): ONE explode carries each token with
-    its successor (null past the end), and one GROUPING SETS
-    ((tok, nxt), (tok))
-    aggregate emits every statistic the query needs — the (tok, nxt)
-    groups with a non-null successor are the bigram counts, the (tok)
-    groups are the unigram counts, and both corpus totals re-aggregate
-    the pinned (tok) slice (all rows = Σ unigrams; rows with a
-    successor = Σ bigrams). All exact integers, identical to the
-    separate aggregates. The vocabulary-bounded output is pinned (lazy
-    localCheckpoint) so its four consumers — both endpoint lookups and
-    both totals — read one materialization; the probability joins and
-    the 1-row broadcasts are unchanged; top-20 is
-    TakeOrderedAndProject.
+    its successor (null past the end), and one plain (tok, nxt)
+    count — pinned, pair-vocabulary-bounded — is the sole corpus
+    aggregate; every statistic the query needs is a filter or a cheap
+    re-aggregation of that pin (bigram counts = non-null-successor
+    groups; unigram counts = Σ over successors; both corpus totals =
+    1-row sums). All exact integers, identical to the separate
+    aggregates. The probability joins and the 1-row broadcasts are
+    unchanged; top-20 is TakeOrderedAndProject.
     """
     d = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -1262,28 +1258,27 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("tok"), b.alias("nxt")),
     )
     ev = d.select(F.explode(tn).alias("p")).select("p.tok", "p.nxt")
-    # two grouping sets, not rollup's three: both corpus totals are
-    # trivial re-aggregations of the pinned (tok) slice, so paying a
-    # third Expand copy of every exploded token for them is waste.
+    # one plain (tok, nxt) count — no grouping sets: an Expand copies
+    # every exploded token once per grouping set through the partial
+    # aggregate (measured a paired loss on the sibling bigram query),
+    # while every statistic here is a cheap re-aggregation of this
+    # pair-vocabulary pin.
     lm = (
-        ev.groupingSets([["tok", "nxt"], ["tok"]], "tok", "nxt")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count(F.col("nxt")).alias("cntv"),
-            F.grouping_id().alias("gid"),
-        )
+        ev.groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    bgc = lm.filter((F.col("gid") == 0) & F.col("nxt").isNotNull()).select(
+    bgc = lm.filter(F.col("nxt").isNotNull()).select(
         F.col("tok").alias("w1"),
         F.col("nxt").alias("w2"),
         F.col("cnt").alias("c_ab"),
     )
-    unic = lm.filter(F.col("gid") == 1).select(
-        F.col("tok").alias("t"), F.col("cnt").alias("c")
+    unic = lm.groupBy("tok").agg(F.sum("cnt").alias("cl")).select(
+        F.col("tok").alias("t"), F.col("cl").alias("c")
     )
-    tot = lm.filter(F.col("gid") == 1).agg(
-        F.sum("cnt").alias("tc"), F.sum("cntv").alias("tv")
+    tot = lm.agg(
+        F.sum("cnt").alias("tc"),
+        F.sum(F.when(F.col("nxt").isNotNull(), F.col("cnt"))).alias("tv"),
     )
     nb = tot.select(F.col("tv").cast("double").alias("n_bi"))
     nu = tot.select(F.col("tc").cast("double").alias("n_uni"))
@@ -1764,17 +1759,16 @@ def text_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.3/§2.4 — the r12 form tokenized the corpus FIVE times: the
     scoring stream, the bigram counts, the prefix totals re-deriving
     them, the unigram counts, and the total re-deriving those). Each
-    token rides with its successor (null past the end), so one
-    GROUPING SETS ((tok, nxt), (tok)) aggregate emits all three LM
-    tables in a single vocabulary-bounded pass: the (tok, nxt) groups
-    with a valid successor are the bigram counts, the (tok) groups
-    are the unigram counts (count(*)) AND the prefix totals (count of
-    valid-successor rows — exactly Σc12 over that w1), and the token
-    total re-aggregates the pinned (tok) slice. Every statistic is
-    the identical exact integer the separate aggregates produced
-    (cast to double below 2^53). The grouping output is pinned
-    (lazy localCheckpoint) so its four consumers read one
-    materialization instead of re-aggregating; scoring re-keys the
+    token rides with its successor (null past the end), so one plain
+    (tok, nxt) count — pinned, pair-vocabulary-bounded — is the sole
+    corpus aggregate, and all three LM tables are filters or cheap
+    re-aggregations of the pin: bigram counts = valid-successor
+    groups; unigram counts = Σ over a token's successor groups (every
+    occurrence has exactly one successor row); prefix totals = the
+    same sum over valid successors only (≡ Σc12 over that w1); the
+    token total = a 1-row sum. Every statistic is the identical exact
+    integer the separate aggregates produced (cast to double below
+    2^53). Scoring re-keys the
     bigram stream (the second and only other corpus pass) three times
     on word-shaped keys (AQE broadcasts small LM sides), then one
     doc-keyed aggregate; TakeOrderedAndProject for the top-15.
@@ -1796,35 +1790,34 @@ def text_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
     )
     valid = F.col("nxt").isNotNull() & (F.col("nxt") != "")
-    # two grouping sets, not rollup's three: the grand total is a
-    # trivial re-aggregation of the pinned (tok) slice, so paying a
-    # third Expand copy of every exploded token for it is pure waste.
+    # one plain (tok, nxt) count — no grouping sets: an Expand would
+    # copy every exploded token once per grouping set through the
+    # partial aggregate (a measured 1.07–1.27 paired loss in both the
+    # 3-set and 2-set variants tried first this round), while every LM
+    # table is a cheap re-aggregation of this pair-vocabulary pin.
     lm = (
-        ev.groupingSets([["tok", "nxt"], ["tok"]], "tok", "nxt")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count(F.when(valid, 1)).alias("cntv"),
-            F.grouping_id().alias("gid"),
-        )
+        ev.groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    big = lm.filter(
-        (F.col("gid") == 0) & F.col("nxt").isNotNull() & (F.col("nxt") != "")
-    ).select(
+    big = lm.filter(valid).select(
         F.col("tok").alias("w1"),
         F.col("nxt").alias("w2"),
         F.col("cnt").cast("double").alias("c12"),
     )
-    pre = lm.filter(F.col("gid") == 1).select(
-        F.col("tok").alias("w1"), F.col("cntv").cast("double").alias("c1")
+    pre = (
+        lm.filter(valid)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c1l"))
+        .select(F.col("tok").alias("w1"), F.col("c1l").cast("double").alias("c1"))
     )
-    uni = lm.filter(F.col("gid") == 1).select(
-        F.col("tok").alias("u"), F.col("cnt").cast("double").alias("cu")
+    uni = (
+        lm.groupBy("tok")
+        .agg(F.sum("cnt").alias("cul"))
+        .select(F.col("tok").alias("u"), F.col("cul").cast("double").alias("cu"))
     )
-    tot = (
-        lm.filter(F.col("gid") == 1)
-        .agg(F.sum("cnt").alias("t"))
-        .select(F.col("t").cast("double").alias("n"))
+    tot = lm.agg(F.sum("cnt").alias("t")).select(
+        F.col("t").cast("double").alias("n")
     )
     bg = ev.filter(valid).select(
         "doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2")
