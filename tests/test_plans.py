@@ -767,13 +767,44 @@ def test_driver_pulls_are_exactly_the_bounded_whitelist():
 #: driver's harvest of the very window being checked). Bumping this is
 #: part of each round's rotation edit, together with re-sorting the
 #: list; forgetting either fails the gate.
-EVIDENCE_EPOCH = 11
+EVIDENCE_EPOCH = 12
 
 #: Queries allowed ahead of strict oldest-first order because their
 #: implementing code changed since their last driver row (rotation
 #: policy rule 1, COVERAGE.md "Rotation policy"). Empty under the
 #: operator freeze; entries need a git-blame justification.
-CHANGED_FIRST_OK: set[str] = set()
+#:
+#: Round 13 (optimization round 2): every query whose implementing
+#: function or a kernel it calls into changed in 0849a32..HEAD —
+#: single-pass restructures (text.py: text_bigram_lm_ppl,
+#: text_pmi_bigrams, text_decontaminate; aggregates.py:
+#: agg_anomaly_mad; similarity.py: sim_matryoshka_recall), the
+#: auto-sized triangle closing join and the LPA kernel refactor
+#: (graph_ops.py: graph_triangle_count, graph_local_clustering,
+#: graph_label_propagation), the no-AQE Lloyd/PQ fit collects
+#: (kmeans.py/pq.py: sim_ivfpq_search, sim_ann_ivf_kmeans,
+#: sim_semantic_dedup, sim_pq_compress, sim_pq_adc_search), and the
+#: conf-parameterized fan-outs (statistics.py: agg_theil_sen_trend;
+#: windows.py: window_deciles). Justification per entry: git blame of
+#: the named file range against the round-12 ledger rows
+#: (CORRECTNESS_r12.json predates all of these commits).
+CHANGED_FIRST_OK: set[str] = {
+    "text_bigram_lm_ppl",
+    "text_pmi_bigrams",
+    "text_decontaminate",
+    "agg_anomaly_mad",
+    "sim_matryoshka_recall",
+    "graph_triangle_count",
+    "graph_local_clustering",
+    "graph_label_propagation",
+    "sim_ivfpq_search",
+    "sim_ann_ivf_kmeans",
+    "sim_semantic_dedup",
+    "sim_pq_compress",
+    "sim_pq_adc_search",
+    "agg_theil_sen_trend",
+    "window_deciles",
+}
 
 
 def test_priority_order_follows_rotation_policy():
@@ -809,9 +840,19 @@ def test_priority_order_follows_rotation_policy():
     # (instead of a bare KeyError) the day a query is added post-freeze.
     assert never <= set(po[: len(never)]) if never else True, never
     rounds = {q: rounds.get(q, -1) for q in po}
+    # Rule 1: every CHANGED_FIRST_OK entry must actually occupy a
+    # prefix slot (a pin that slid into the tail is a stale exemption).
+    assert CHANGED_FIRST_OK <= set(po[:50]), (
+        "CHANGED_FIRST_OK entries outside the 50-slot prefix: "
+        f"{sorted(CHANGED_FIRST_OK - set(po[:50]))}"
+    )
+    # Rule 2 governs the REMAINING slots (COVERAGE.md: "oldest-first
+    # fills the rest"), so the staleness boundary is computed over the
+    # non-pinned population at the reduced window size.
     window = [q for q in po[:50] if q not in CHANGED_FIRST_OK]
-    boundary = sorted(rounds[q] for q in po)[49]
-    strictly_older = {q for q in po if rounds[q] < boundary}
+    eligible = [q for q in po if q not in CHANGED_FIRST_OK]
+    boundary = sorted(rounds[q] for q in eligible)[len(window) - 1]
+    strictly_older = {q for q in eligible if rounds[q] < boundary}
     assert strictly_older <= set(window), (
         "stale queries missing from the 50-slot prefix: "
         f"{sorted(strictly_older - set(window))}"
