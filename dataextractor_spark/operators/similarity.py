@@ -896,13 +896,15 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its evaluation levels and re-keying every window/aggregate/join
     # by (query_id, probe_level) computes identical per-level rows
     # from single subtrees.
+    # A level-l candidate participates in every cumulative evaluation
+    # from its own level up to the deepest probe level, so the levels
+    # derive from lvl itself (r12 ADVICE: a hand-enumerated when/
+    # otherwise would silently fold any future lvl > 1 fan-out into
+    # level 1 instead of extending the curve).
+    max_probe_lvl = 1  # deepest probe level built above (Hamming-1)
     ev = cands.withColumn(
         "probe_level",
-        F.explode(
-            F.when(
-                F.col("lvl") == 0, F.array(F.lit(0), F.lit(1))
-            ).otherwise(F.array(F.lit(1)))
-        ),
+        F.explode(F.sequence(F.col("lvl"), F.lit(max_probe_lvl))),
     )
     wl = Window.partitionBy("query_id", "probe_level").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
@@ -916,7 +918,8 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
     exact_lv = exact.withColumn(
-        "probe_level", F.explode(F.array(F.lit(0), F.lit(1)))
+        "probe_level",
+        F.explode(F.sequence(F.lit(0), F.lit(max_probe_lvl))),
     )
     hits = (
         exact_lv.join(
